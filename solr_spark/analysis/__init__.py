@@ -1,0 +1,7 @@
+from solr_spark.analysis.chains import (  # noqa: F401
+    CODE_STOPWORDS,
+    AnalyzerChain,
+    CODE_CHAIN,
+    TEXT_CHAIN,
+    tokenize_py,
+)

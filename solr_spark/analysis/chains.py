@@ -1,0 +1,143 @@
+"""Analysis chains: tokenizer + filter pipelines, Solr-style.
+
+The reference composes per-field-type ``TokenizerChain``s (char filters →
+tokenizer → token filters) from XML — see Solr
+``schema/FieldTypePluginLoader.java:43,78-90`` and the ``_default`` schema
+``server/solr/configsets/_default/conf/managed-schema.xml:299-316`` (the
+``text_general`` chain: StandardTokenizer → StopFilter → LowerCaseFilter)
+and ``managed-schema.xml:394-424`` (``text_en_splitting``:
+WhitespaceTokenizer → Stop → WordDelimiterGraphFilter(generateWordParts=1,
+splitOnCaseChange=1, ...) → LowerCase → PorterStem).
+
+We freeze ONE deterministic chain (the "code chain") modeled on
+text_en_splitting's word-delimiter behavior, chosen so the exact same
+semantics are expressible in three synchronized forms:
+
+1. Spark column expressions (JVM-side, whole-stage-codegen — the hot path),
+2. plain Python (`tokenize_py`, used by the brute-force numpy oracle),
+3. a DuckDB SQL fragment (`duckdb_tokens_select`, used by `oracle_sql()`).
+
+Frozen semantics (documented; any change invalidates golden vectors):
+
+  a. split CamelCase boundaries: insert a space at ``(ALPHA+)(Alpha lower)``
+     (HTTPServer → HTTP Server) then ``(lower|digit)(Upper)``
+     (parseJson2Xml → parse Json2 Xml) — WordDelimiterGraph's
+     splitOnCaseChange=1 / generateWordParts=1 analog;
+  b. lowercase (LowerCaseFilter);
+  c. split on runs of non-[a-z0-9] (StandardTokenizer-ish for code: this
+     also splits snake_case identifiers on '_');
+  d. drop empty tokens and stopwords (StopFilter, ignoreCase by virtue of
+     running after lowercase). No letter↔digit splitting (splitOnNumerics
+     is NOT applied — frozen choice, simpler and identical across engines).
+
+Doc length = count of surviving tokens — the discountOverlaps=true analog
+(Solr ``search/similarities/BM25SimilarityFactory.java:47``): our chain
+emits no positionIncrement-0 tokens, so token count IS the BM25 doc length.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Stop set mirrors text_general's StopFilter concept with a small frozen
+# English set (managed-schema.xml:299-316 wires stopwords.txt; ours is fixed
+# so every engine form agrees).
+CODE_STOPWORDS: frozenset[str] = frozenset({"the", "a", "an", "of", "to", "in", "is"})
+
+_CAMEL1 = r"([A-Z]+)([A-Z][a-z])"  # HTTPServer -> HTTP Server
+_CAMEL2 = r"([a-z0-9])([A-Z])"  # parseJson  -> parse Json
+_SPLIT = r"[^a-z0-9]+"
+
+_CAMEL1_RE = re.compile(_CAMEL1)
+_CAMEL2_RE = re.compile(_CAMEL2)
+_SPLIT_RE = re.compile(_SPLIT)
+
+
+@dataclass(frozen=True)
+class AnalyzerChain:
+    """A frozen tokenize→filter chain usable from Spark, Python and DuckDB."""
+
+    name: str
+    split_case: bool = True
+    stopwords: frozenset[str] = field(default_factory=lambda: CODE_STOPWORDS)
+
+    # ---- form 1: Spark column expression (JVM-side, codegen'd) ----
+    def tokens(self, col: Column | str) -> Column:
+        """Array<string> of analyzed tokens — pure built-in functions.
+
+        Stays inside WholeStageCodegen: regexp_replace/lower/split/filter
+        are all JVM expressions; no Python crosses the boundary.
+        """
+        c = F.col(col) if isinstance(col, str) else col
+        if self.split_case:
+            c = F.regexp_replace(c, _CAMEL1, r"$1 $2")
+            c = F.regexp_replace(c, _CAMEL2, r"$1 $2")
+        c = F.lower(c)
+        toks = F.split(c, _SPLIT)
+        stops = sorted(self.stopwords)
+        return F.filter(toks, lambda t: (t != F.lit("")) & ~t.isin(stops))
+
+    def doc_len(self, col: Column | str) -> Column:
+        """BM25 doc length = surviving-token count (discountOverlaps=true)."""
+        return F.size(self.tokens(col))
+
+    # ---- form 2: plain Python (oracle / golden vectors) ----
+    def tokenize_py(self, text: str) -> list[str]:
+        if text is None:
+            return []
+        if self.split_case:
+            text = _CAMEL1_RE.sub(r"\1 \2", text)
+            text = _CAMEL2_RE.sub(r"\1 \2", text)
+        toks = _SPLIT_RE.split(text.lower())
+        return [t for t in toks if t and t not in self.stopwords]
+
+    # ---- form 3: DuckDB SQL fragment (for oracle_sql) ----
+    def duckdb_tokens_expr(self, text_expr: str) -> str:
+        """DuckDB list<varchar> expression of analyzed tokens (incl. filter)."""
+        e = text_expr
+        if self.split_case:
+            e = f"regexp_replace({e}, '{_CAMEL1}', '\\1 \\2', 'g')"
+            e = f"regexp_replace({e}, '{_CAMEL2}', '\\1 \\2', 'g')"
+        e = f"string_split_regex(lower({e}), '{_SPLIT}')"
+        stops = ", ".join(f"'{s}'" for s in sorted(self.stopwords))
+        return f"list_filter({e}, t -> t <> '' AND t NOT IN ({stops}))"
+
+    def duckdb_tokens_select(self, table: str, id_col: str, text_col: str) -> str:
+        """A FROM-able subquery producing (id, tok) exploded token rows."""
+        return (
+            f"(SELECT {id_col}, unnest({self.duckdb_tokens_expr(text_col)}) AS tok "
+            f"FROM {table})"
+        )
+
+    # ---- pandas UDF variant (for chains not expressible as builtins) ----
+    def tokens_pandas_udf(self):
+        """Arrow-vectorized tokenizer — identical output to `tokens()`.
+
+        The built-in-expression form is preferred (stays JVM-side); this
+        exists as the extension point for chains that need real Python
+        (stemming, custom char maps) and as a parity check in tests.
+        """
+        chain = self
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def _tok(s: pd.Series) -> pd.Series:
+            return s.map(chain.tokenize_py)
+
+        return _tok
+
+
+#: The code-aware chain (text_en_splitting analog) — the engine default.
+CODE_CHAIN = AnalyzerChain(name="code")
+#: Plain-text chain without case splitting (text_general analog).
+TEXT_CHAIN = AnalyzerChain(name="text_general", split_case=False)
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Module-level shortcut: CODE_CHAIN.tokenize_py."""
+    return CODE_CHAIN.tokenize_py(text)
