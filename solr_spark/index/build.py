@@ -1,0 +1,464 @@
+"""Inverted-index build: staged, resumable, skew-aware.
+
+The Spark restatement of the reference's indexing path (SURVEY.md §3.2):
+Solr's ``/update`` pipeline (``update/DirectUpdateHandler2.java:416,462`` →
+Lucene IndexWriter flush/merge under TieredMergePolicy,
+``index/DefaultMergePolicyFactory.java:42``) becomes four checkpointed
+Spark stages, each writing a Parquet "table" + a JSON lineage manifest
+(the analog of Solr's transaction-log/recovery bookkeeping,
+``update/UpdateLog.java:105,178``):
+
+1. ``analyzed``  — deterministic doc_id assignment (global rank over the
+   (repo, path, commit) primary key — the analog of Lucene segment-local
+   docIDs + compositeId shard routing, ``CompositeIdRouter.java:81``),
+   tokenization (analysis chain), content sha256, doc length.
+2. ``segments``  — per-partition postings: (term, doc_id, tf, doc_len).
+   The analog of flushed in-memory segments before merge.
+3. ``term_dict`` — global term dictionary: df, cf, idf, hot flag.
+   The analog of Solr's distributed exact stats cache
+   (``search/stats/ExactStatsCache.java:62,192``) — global by
+   construction, so every partition scores with identical IDF.
+4. ``blocks``    — the merged, compressed index: fixed-size posting
+   blocks per (term, salt) with delta+varint docID gaps, varint tf/dl,
+   and a per-block max-impact score (Block-Max WAND metadata). Hot terms
+   (df > threshold) are salted into sub-streams so no single reducer
+   owns a whole hot posting list — the skew answer demanded by code
+   corpora where ``import``/``def``/``return`` appear in most docs.
+
+Resume = "skip any stage whose manifest exists and matches the config
+hash"; kill the build between stages and re-running yields a
+bit-identical index (tested).
+
+Scale notes (100 TB / 10^12 docs):
+- every stage is shuffle-minimal: analyze is map-only after one range
+  repartition; segments is one shuffle (term, doc_id); term_dict is a
+  partial-agg rollup of segments; blocks is one shuffle keyed
+  (term, salt) — the window sort and the subsequent groupBy share that
+  single exchange (hash partitioning on (term,salt) satisfies the
+  clustered distribution of the (term,salt,block_no) aggregation).
+- the term_dict↔segments join is keyed on term: Catalyst/AQE broadcasts
+  it when small, else it folds into the same (term) exchange.
+- blocks land partitioned by ``term_bucket = pmod(xxhash64(term), B)``
+  and sorted by term within files → query-side term lookups do
+  directory-level partition pruning + Parquet row-group pruning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import shutil
+import time
+from dataclasses import asdict, dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from solr_spark.analysis import CODE_CHAIN, TEXT_CHAIN, AnalyzerChain
+from solr_spark.index.codec import delta_varint_encode, varint_encode
+
+CHAINS: dict[str, AnalyzerChain] = {"code": CODE_CHAIN, "text_general": TEXT_CHAIN}
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Frozen build knobs (hashed into stage manifests for resume safety)."""
+
+    block_size: int = 128           # docs per posting block (Lucene-ish)
+    hot_df_threshold: int = 50_000  # df above which a term is salted
+    n_salts: int = 16               # sub-streams per hot term
+    n_term_buckets: int = 32        # directory partitions of blocks/
+    k1: float = 1.2                 # BM25SimilarityFactory.java:48
+    b: float = 0.75                 # BM25SimilarityFactory.java:49
+    analyzer: str = "code"
+
+    def chain(self) -> AnalyzerChain:
+        return CHAINS[self.analyzer]
+
+    def config_hash(self) -> str:
+        return hashlib.sha256(json.dumps(asdict(self), sort_keys=True).encode()).hexdigest()[:16]
+
+
+# ---------------------------------------------------------------------------
+# lineage manifests
+# ---------------------------------------------------------------------------
+
+
+def _stage_dir(out_dir: str, stage: str) -> str:
+    return os.path.join(out_dir, stage)
+
+
+def _manifest_path(out_dir: str, stage: str) -> str:
+    return os.path.join(out_dir, f"_MANIFEST_{stage}.json")
+
+
+def _write_manifest(out_dir: str, stage: str, config: IndexConfig, t0: float, extra: dict | None = None) -> dict:
+    """Per-stage lineage: per-file row counts/bytes from Parquet footers.
+
+    This is the per-partition lineage + metrics record the north rule
+    requires: each output file (= one write task / partition) is listed
+    with its row count and size, plus stage wall time and the config hash
+    that produced it.
+    """
+    import pyarrow.parquet as pq
+
+    sdir = _stage_dir(out_dir, stage)
+    files = []
+    for root, _dirs, names in os.walk(sdir):
+        for n in sorted(names):
+            if n.endswith(".parquet"):
+                p = os.path.join(root, n)
+                md = pq.ParquetFile(p).metadata
+                files.append(
+                    {
+                        "file": os.path.relpath(p, sdir),
+                        "rows": md.num_rows,
+                        "bytes": os.path.getsize(p),
+                    }
+                )
+    manifest = {
+        "stage": stage,
+        "config_hash": config.config_hash(),
+        "rows": int(sum(f["rows"] for f in files)),
+        "n_files": len(files),
+        "files": files,
+        "wall_sec": round(time.time() - t0, 3),
+        "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        **(extra or {}),
+    }
+    with open(_manifest_path(out_dir, stage), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def _stage_done(out_dir: str, stage: str, config: IndexConfig) -> bool:
+    p = _manifest_path(out_dir, stage)
+    if not os.path.exists(p):
+        return False
+    with open(p) as f:
+        m = json.load(f)
+    return m.get("config_hash") == config.config_hash()
+
+
+def _clear_stage(out_dir: str, stage: str) -> None:
+    shutil.rmtree(_stage_dir(out_dir, stage), ignore_errors=True)
+    try:
+        os.remove(_manifest_path(out_dir, stage))
+    except FileNotFoundError:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# stage 1: analyze (doc ids, tokens, stats)
+# ---------------------------------------------------------------------------
+
+
+def assign_doc_ids(df: DataFrame, sort_cols: list[str], partitions: int | None = None) -> DataFrame:
+    """Deterministic global doc_id = rank over ``sort_cols`` (a unique key).
+
+    Scalable two-phase ranking (no single-partition global window):
+    range-repartition + in-partition sort, per-partition local row
+    numbers via a streaming mapInPandas counter, then add per-partition
+    offsets (tiny driver-side cumulative sum, broadcast-joined back).
+    doc_id is invariant to the partition count because it equals the
+    global rank of a unique sort key.
+    """
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 1)
+
+    part = (
+        df.repartitionByRange(partitions, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["cnt"] for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = spark.createDataFrame(
+        [(int(pid), int(off)) for pid, off in offsets.items()], "_pid int, _offset long"
+    )
+
+    fields = part.schema.fields
+    out_schema = T.StructType(list(fields) + [T.StructField("_rn", T.LongType(), False)])
+
+    def add_rn(batches):
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.assign(_rn=np.arange(seen, seen + len(pdf), dtype=np.int64))
+            seen += len(pdf)
+            yield pdf
+
+    ranked = part.mapInPandas(add_rn, schema=out_schema)
+    out = (
+        ranked.join(F.broadcast(off_df), "_pid")
+        .withColumn("doc_id", (F.col("_offset") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_offset")
+    )
+    return out
+
+
+def _stage_analyze(spark: SparkSession, corpus_df: DataFrame, out_dir: str, config: IndexConfig) -> None:
+    chain = config.chain()
+    with_ids = assign_doc_ids(corpus_df, ["repo", "path", "commit"])
+    analyzed = (
+        with_ids.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        .withColumn("tokens", chain.tokens("content"))
+        .withColumn("doc_len", F.size("tokens").cast("int"))
+        .select("doc_id", "repo", "path", "commit", "lang", "content_sha256", "doc_len", "tokens")
+    )
+    analyzed.write.mode("overwrite").parquet(_stage_dir(out_dir, "analyzed"))
+    spark.catalog.clearCache()  # release the doc-id assignment persist
+
+
+# ---------------------------------------------------------------------------
+# stage 2: segments (raw postings)
+# ---------------------------------------------------------------------------
+
+
+def _stage_segments(spark: SparkSession, out_dir: str, config: IndexConfig) -> None:
+    analyzed = spark.read.parquet(_stage_dir(out_dir, "analyzed")).select("doc_id", "doc_len", "tokens")
+    postings = (
+        analyzed.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("int").alias("tf"), F.first("doc_len").alias("doc_len"))
+    )
+    postings.write.mode("overwrite").parquet(_stage_dir(out_dir, "segments"))
+
+
+# ---------------------------------------------------------------------------
+# stage 3: term dictionary + global stats
+# ---------------------------------------------------------------------------
+
+
+def _stage_term_dict(spark: SparkSession, out_dir: str, config: IndexConfig) -> None:
+    analyzed = spark.read.parquet(_stage_dir(out_dir, "analyzed"))
+    n_docs = analyzed.count()
+    sum_dl = analyzed.agg(F.sum("doc_len")).collect()[0][0] or 0
+    avgdl = float(sum_dl) / n_docs if n_docs else 0.0
+
+    segments = spark.read.parquet(_stage_dir(out_dir, "segments"))
+    # idf = ln(1 + (N - df + 0.5)/(df + 0.5))   (Lucene BM25, frozen in FIXTURES.md)
+    term_dict = (
+        segments.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf"))
+        .withColumn(
+            "idf",
+            F.log1p((F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))),
+        )
+        .withColumn("is_hot", F.col("df") > F.lit(config.hot_df_threshold))
+    )
+    (term_dict.repartitionByRange(max(1, spark.sparkContext.defaultParallelism // 4), "term")
+     .sortWithinPartitions("term")
+     .write.mode("overwrite").parquet(_stage_dir(out_dir, "term_dict")))
+
+    meta = {
+        "n_docs": int(n_docs),
+        "sum_doc_len": int(sum_dl),
+        "avgdl": avgdl,
+        "config": asdict(config),
+        "config_hash": config.config_hash(),
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+# ---------------------------------------------------------------------------
+# stage 4: compressed posting blocks (the merged index)
+# ---------------------------------------------------------------------------
+
+_BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("salt", T.IntegerType(), False),
+        T.StructField("block_no", T.IntegerType(), False),
+        T.StructField("n_docs", T.IntegerType(), False),
+        T.StructField("min_doc_id", T.LongType(), False),
+        T.StructField("max_doc_id", T.LongType(), False),
+        T.StructField("block_max", T.DoubleType(), False),
+        T.StructField("doc_ids_enc", T.BinaryType(), False),
+        T.StructField("tfs_enc", T.BinaryType(), False),
+        T.StructField("dls_enc", T.BinaryType(), False),
+    ]
+)
+
+
+def _encode_blocks_udf():
+    """Grouped-block encoder: arrays → delta+varint binaries (numpy)."""
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for term, salt, block_no, block_max, doc_ids, tfs, dls in zip(
+                pdf["term"], pdf["salt"], pdf["block_no"], pdf["block_max"],
+                pdf["doc_ids"], pdf["tfs"], pdf["dls"],
+            ):
+                doc_ids = np.asarray(doc_ids, dtype=np.int64)
+                rows.append(
+                    (
+                        term,
+                        int(salt),
+                        int(block_no),
+                        len(doc_ids),
+                        int(doc_ids[0]),
+                        int(doc_ids[-1]),
+                        float(block_max),
+                        delta_varint_encode(doc_ids),
+                        varint_encode(np.asarray(tfs, dtype=np.int64)),
+                        varint_encode(np.asarray(dls, dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in _BLOCK_SCHEMA.fields],
+            )
+
+    return enc
+
+
+def _stage_blocks(spark: SparkSession, out_dir: str, config: IndexConfig) -> None:
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    avgdl = meta["avgdl"] or 1.0
+    k1, b = config.k1, config.b
+
+    segments = spark.read.parquet(_stage_dir(out_dir, "segments"))
+    term_dict = spark.read.parquet(_stage_dir(out_dir, "term_dict")).select("term", "idf", "is_hot")
+
+    # join keyed on term: AQE broadcasts term_dict when it is small; at
+    # scale it shares the (term)-keyed exchange with the block shuffle.
+    p = segments.join(term_dict, "term")
+    p = p.withColumn(
+        "salt",
+        F.when(F.col("is_hot"), F.pmod(F.xxhash64("doc_id"), F.lit(config.n_salts)).cast("int")).otherwise(F.lit(0)),
+    )
+    # per-posting BM25 impact (float64) for the per-block max (BMW metadata)
+    tf, dl = F.col("tf").cast("double"), F.col("doc_len").cast("double")
+    p = p.withColumn(
+        "impact", F.col("idf") * tf / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl)))
+    )
+
+    w = Window.partitionBy("term", "salt").orderBy("doc_id")
+    p = p.withColumn("block_no", ((F.row_number().over(w) - 1) / F.lit(config.block_size)).cast("int"))
+
+    grouped = (
+        p.groupBy("term", "salt", "block_no")
+        .agg(
+            F.max("impact").alias("block_max"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("doc_id"), F.col("tf"), F.col("doc_len").alias("dl")))
+            ).alias("postings"),
+        )
+        # unzip the sorted struct array into aligned primitive arrays
+        # JVM-side so the encoder UDF sees numpy arrays, not dict rows
+        .select(
+            "term", "salt", "block_no", "block_max",
+            F.col("postings.doc_id").alias("doc_ids"),
+            F.col("postings.tf").alias("tfs"),
+            F.col("postings.dl").alias("dls"),
+        )
+    )
+    blocks = grouped.mapInPandas(_encode_blocks_udf(), schema=_BLOCK_SCHEMA)
+    blocks = blocks.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(config.n_term_buckets)).cast("int")
+    )
+    (
+        blocks.repartition(max(1, spark.sparkContext.defaultParallelism), "term_bucket")
+        .sortWithinPartitions("term", "salt", "block_no")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(_stage_dir(out_dir, "blocks"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# orchestration
+# ---------------------------------------------------------------------------
+
+_STAGES = ["analyzed", "segments", "term_dict", "blocks"]
+
+
+class InvertedIndex:
+    """Handle to a built index directory (docs / term_dict / blocks)."""
+
+    def __init__(self, spark: SparkSession, out_dir: str):
+        self.spark = spark
+        self.dir = out_dir
+        with open(os.path.join(out_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.config = IndexConfig(**self.meta["config"])
+
+    @property
+    def docs(self) -> DataFrame:
+        """Doc registry (no tokens — Parquet column pruning keeps it cheap)."""
+        return self.spark.read.parquet(_stage_dir(self.dir, "analyzed")).drop("tokens")
+
+    @property
+    def term_dict(self) -> DataFrame:
+        return self.spark.read.parquet(_stage_dir(self.dir, "term_dict"))
+
+    @property
+    def blocks(self) -> DataFrame:
+        return self.spark.read.parquet(_stage_dir(self.dir, "blocks"))
+
+    @property
+    def segments(self) -> DataFrame:
+        return self.spark.read.parquet(_stage_dir(self.dir, "segments"))
+
+    def manifests(self) -> dict[str, dict]:
+        out = {}
+        for s in _STAGES:
+            p = _manifest_path(self.dir, s)
+            if os.path.exists(p):
+                with open(p) as f:
+                    out[s] = json.load(f)
+        return out
+
+    @property
+    def n_docs(self) -> int:
+        return self.meta["n_docs"]
+
+    @property
+    def avgdl(self) -> float:
+        return self.meta["avgdl"]
+
+
+def build_index(
+    spark: SparkSession,
+    corpus_df: DataFrame,
+    out_dir: str,
+    config: IndexConfig | None = None,
+    resume: bool = True,
+) -> InvertedIndex:
+    """Run (or resume) the staged index build. Returns the index handle.
+
+    With ``resume=True`` any stage whose manifest exists with a matching
+    config hash is skipped — kill the job between stages and re-run to
+    continue from the last completed stage (tested to be bit-identical).
+    """
+    config = config or IndexConfig()
+    os.makedirs(out_dir, exist_ok=True)
+
+    stage_fns = {
+        "analyzed": lambda: _stage_analyze(spark, corpus_df, out_dir, config),
+        "segments": lambda: _stage_segments(spark, out_dir, config),
+        "term_dict": lambda: _stage_term_dict(spark, out_dir, config),
+        "blocks": lambda: _stage_blocks(spark, out_dir, config),
+    }
+    for stage in _STAGES:
+        if resume and _stage_done(out_dir, stage, config):
+            continue
+        _clear_stage(out_dir, stage)
+        t0 = time.time()
+        stage_fns[stage]()
+        _write_manifest(out_dir, stage, config, t0)
+    return InvertedIndex(spark, out_dir)

