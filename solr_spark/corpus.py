@@ -35,9 +35,10 @@ KEYWORDS = {
     "rust": ["fn", "let", "mut", "impl", "struct", "return", "pub", "use", "match"],
 }
 
-# fixed identifier word-part vocabulary → identifiers are combinations,
-# giving a long-tailed token distribution after the analyzer splits them.
-_WORD_PARTS = [
+# identifier word-part vocabulary: a head of real-ish parts plus a long
+# deterministic synthetic tail, Zipf(1.2)-selected → the corpus exhibits
+# both hot tokens (df ≈ n_docs) and rare terms (df ≤ 3), per FIXTURES.md.
+_HEAD_PARTS = [
     "get", "set", "user", "name", "data", "parse", "json", "http", "server", "client",
     "config", "value", "index", "query", "result", "count", "list", "node", "item", "key",
     "map", "hash", "file", "path", "read", "write", "buffer", "stream", "token", "term",
@@ -47,6 +48,23 @@ _WORD_PARTS = [
 ]
 
 
+def _make_vocab() -> list[str]:
+    syll = [
+        "ba", "be", "bi", "bo", "bu", "da", "de", "di", "do", "du",
+        "ka", "ke", "ki", "ko", "ku", "la", "le", "li", "lo", "lu",
+        "ma", "me", "mi", "mo", "mu", "na", "ne", "ni", "no", "nu",
+        "ra", "re", "ri", "ro", "ru", "sa", "se", "si", "so", "su",
+    ]
+    tail = []
+    for i in range(5000):
+        a, b, c = syll[i % 40], syll[(i // 40) % 40], syll[(i // 1600) % 40]
+        tail.append(a + b + c if i >= 1600 else a + b)
+    return _HEAD_PARTS + tail
+
+
+_WORD_PARTS = _make_vocab()
+
+
 def _doc_rng(doc_index: int) -> np.random.Generator:
     """Per-doc RNG — identical for a given (SEED, doc_index) everywhere."""
     return np.random.default_rng([SEED, int(doc_index)])
@@ -54,8 +72,8 @@ def _doc_rng(doc_index: int) -> np.random.Generator:
 
 def _make_identifier(rng: np.random.Generator) -> str:
     n = int(rng.integers(1, 4))
-    # Zipf-ish part choice: geometric over the fixed vocabulary
-    idx = np.minimum(rng.geometric(0.08, size=n) - 1, len(_WORD_PARTS) - 1)
+    # Zipf(1.2) part choice over the fixed vocabulary (clipped heavy tail)
+    idx = np.minimum(rng.zipf(1.2, size=n) - 1, len(_WORD_PARTS) - 1)
     parts = [_WORD_PARTS[i] for i in idx]
     if rng.random() < 0.5:  # snake_case
         return "_".join(parts)

@@ -172,14 +172,24 @@ class SearchEngine:
         """
         terms = self.analyze_query(query_text)
         stats = self._term_stats(terms)
-        return self.topk_from_stats(stats, k=k, mode=mode, prune=prune)
+        return self.topk_from_stats(
+            stats, k=k, mode=mode, prune=prune, n_query_terms=len(set(terms))
+        )
 
     def topk_from_stats(
-        self, stats: list[TermStats], k: int = 10, mode: str = "OR", prune: bool = True
+        self,
+        stats: list[TermStats],
+        k: int = 10,
+        mode: str = "OR",
+        prune: bool = True,
+        n_query_terms: int | None = None,
     ) -> DataFrame:
         empty = self.spark.createDataFrame([], "doc_id long, score float")
         n_required = len(stats)
-        if not stats or (mode == "AND" and n_required == 0):
+        if n_query_terms is None:
+            n_query_terms = n_required
+        # conjunction over a term absent from the index matches nothing
+        if not stats or (mode == "AND" and n_required < n_query_terms):
             return empty
         if mode == "AND" and prune and n_required > 1:
             blocks = self._and_pruned_blocks(stats, k)
