@@ -1,38 +1,284 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Engine queries come from ``solr_spark`` (the PySpark-native inverted-index
++ BM25 engine, SURVEY.md §2); each has an exact DuckDB oracle in
+``oracle_sql()`` sharing the same frozen analyzer definition.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from solr_spark.analysis import CODE_CHAIN
+from solr_spark.index.build import IndexConfig, build_index
+from solr_spark.operators import (
+    collapse,
+    facet_field,
+    facet_range,
+    fetch,
+    group_topn,
+    rollup,
+    stats_numeric,
+    timeseries,
+)
+from solr_spark.oracle_sql import bm25_topk_sql, term_dict_sql
+from solr_spark.query.engine import SearchEngine
+
+# ---------------------------------------------------------------------------
+# shared index over the driver's `documents` table (built once per sf_dir,
+# resumable: repeated calls skip completed stages via manifests)
+# ---------------------------------------------------------------------------
+
+_ENTRY_CONFIG = IndexConfig(
+    block_size=64, hot_df_threshold=1000, n_salts=4, n_term_buckets=8
+)
+_engines: dict[str, SearchEngine] = {}
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    if sf_dir not in _engines:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        out = f"/tmp/solr_spark_entry_{os.path.basename(os.path.normpath(sf_dir))}"
+        idx = build_index(
+            spark, docs, out, _ENTRY_CONFIG, resume=True, text_col="text", id_col="doc_id"
+        )
+        _engines[sf_dir] = SearchEngine(idx)
+    return _engines[sf_dir]
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _bm25(spark: SparkSession, sf_dir: str, query: str, mode: str, k: int = 10) -> DataFrame:
+    hits = _engine(spark, sf_dir).topk(query, k=k, mode=mode)
+    # round the f32 score (same on the oracle side) for hash-stable values
+    return hits.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
+
+
+# query texts for the BM25 entries (analyzed by the same chain both sides)
+_Q_OR = "spark merge data"
+_Q_AND = "vector customer"
+_Q_HOT = "table"
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 with display fields on sf0.001 documents."""
+    eng = _engine(spark, "/root/testdata/sf0.001")
+    return eng.topk_with_fields(_Q_OR, k=10, mode="OR")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- full-text engine (index build + BM25 top-k) ---
+    q["bm25_top10_or"] = lambda s, d: _bm25(s, d, _Q_OR, "OR")
+    q["bm25_top10_and"] = lambda s, d: _bm25(s, d, _Q_AND, "AND")
+    q["bm25_hot_term"] = lambda s, d: _bm25(s, d, _Q_HOT, "OR")
+
+    def term_dict_top(s, d):
+        td = _engine(s, d).index.term_dict
+        return (
+            td.select("term", "df", "cf")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(20)
+        )
+
+    q["term_dict_top20"] = term_dict_top
+
+    def terms_prefix(s, d):
+        td = _engine(s, d).index.term_dict
+        return (
+            td.where(F.col("term").startswith("s"))
+            .select("term", "df", "cf")
+            .orderBy(F.asc("term"))
+            .limit(20)
+        )
+
+    q["terms_component_prefix"] = terms_prefix
+
+    def token_count(s, d):
+        # analyzer parity check: per-doc token counts from the doc registry
+        docs = _engine(s, d).index.docs
+        return (
+            docs.where(F.col("doc_id") < 20)
+            .select("doc_id", F.col("doc_len").alias("n_tokens"))
+            .orderBy("doc_id")
+        )
+
+    q["token_count_docs"] = token_count
+
+    # --- facets / components over documents ---
+    q["facet_lang"] = lambda s, d: facet_field(_read(s, d, "documents"), "lang")
+    q["facet_range_nchars"] = lambda s, d: facet_range(
+        _read(s, d, "documents"), "n_chars", 0.0, 1000.0, 100.0
+    ).select(F.col("bucket_start").cast("double").alias("bucket_start"), "count")
+    q["stats_nchars"] = lambda s, d: stats_numeric(
+        _read(s, d, "documents"), "n_chars"
+    ).select(
+        "count", "missing", "min", "max", "sum",
+        F.round("mean", 4).alias("mean"), F.round("stddev", 4).alias("stddev"),
+    )
+
+    def collapse_source(s, d):
+        docs = _read(s, d, "documents")
+        return (
+            collapse(docs, "source", [F.desc("n_chars"), F.asc("doc_id")])
+            .select("source", "doc_id", "n_chars")
+            .orderBy("source")
+        )
+
+    q["collapse_by_source"] = collapse_source
+
+    def group_top2(s, d):
+        docs = _read(s, d, "documents")
+        return (
+            group_topn(docs, "lang", [F.desc("n_chars"), F.asc("doc_id")], n=2)
+            .select("lang", "group_rank", "doc_id", "n_chars")
+            .orderBy("lang", "group_rank")
+        )
+
+    q["grouping_top2_per_lang"] = group_top2
+
+    # --- streaming-expression analogs over TPC-H-ish tables ---
+    q["rollup_orders_priority"] = lambda s, d: rollup(
+        _read(s, d, "orders"),
+        ["o_orderpriority"],
+        {
+            "n_orders": F.count("*"),
+            "total_price": F.round(F.sum("o_totalprice"), 2),
+        },
+    ).orderBy("o_orderpriority")
+
+    def join_cust_orders(s, d):
+        orders = _read(s, d, "orders")
+        cust = _read(s, d, "customer")
+        return (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .orderBy("c_mktsegment")
+        )
+
+    q["hashjoin_customer_orders"] = join_cust_orders
+
+    def ts_events(s, d):
+        ev = _read(s, d, "events")
+        return timeseries(
+            ev, "ts", "day",
+            {"n": F.count("*"), "total_value": F.round(F.sum("value"), 3)},
+        ).select(F.col("bucket").cast("date").alias("day"), "n", "total_value")
+
+    q["timeseries_events_daily"] = ts_events
+
+    def fetch_enrich(s, d):
+        ev = _read(s, d, "events").where(F.col("event_id") < 100)
+        users = (
+            _read(s, d, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("user_events"))
+        )
+        return (
+            fetch(ev.select("event_id", "user_id"), users, ["user_id"])
+            .select("event_id", "user_id", "user_events")
+            .orderBy("event_id")
+        )
+
+    q["fetch_enrich_events"] = fetch_enrich
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    tok = CODE_CHAIN  # one frozen analyzer definition for both sides
+    o: dict[str, str] = {}
+
+    o["bm25_top10_or"] = bm25_topk_sql(tok.tokenize_py(_Q_OR), "OR")
+    o["bm25_top10_and"] = bm25_topk_sql(tok.tokenize_py(_Q_AND), "AND")
+    o["bm25_hot_term"] = bm25_topk_sql(tok.tokenize_py(_Q_HOT), "OR")
+    o["term_dict_top20"] = term_dict_sql(order="df DESC, term ASC", limit=20)
+    o["terms_component_prefix"] = term_dict_sql(
+        order="term ASC", term_filter="tok LIKE 's%'", limit=20
+    )
+    o["token_count_docs"] = f"""
+        SELECT doc_id, count(tok) AS n_tokens
+        FROM (SELECT doc_id, unnest({tok.duckdb_tokens_expr('text')}) AS tok
+              FROM documents WHERE doc_id < 20) t
+        GROUP BY doc_id ORDER BY doc_id
     """
-    return {}
+
+    o["facet_lang"] = """
+        SELECT lang, count(*) AS count FROM documents
+        GROUP BY lang ORDER BY count DESC, lang LIMIT 100
+    """
+    o["facet_range_nchars"] = """
+        SELECT CAST(floor(n_chars / 100.0) * 100.0 AS DOUBLE) AS bucket_start,
+               count(*) AS count
+        FROM documents WHERE n_chars >= 0 AND n_chars < 1000
+        GROUP BY 1 ORDER BY 1
+    """
+    o["stats_nchars"] = """
+        SELECT count(n_chars) AS count,
+               count(*) - count(n_chars) AS missing,
+               min(n_chars) AS min, max(n_chars) AS max,
+               sum(n_chars) AS sum,
+               round(avg(n_chars), 4) AS mean,
+               round(stddev_samp(n_chars), 4) AS stddev
+        FROM documents
+    """
+    o["collapse_by_source"] = """
+        SELECT source, doc_id, n_chars FROM (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM documents) t
+        WHERE rn = 1 ORDER BY source
+    """
+    o["grouping_top2_per_lang"] = """
+        SELECT lang, rn AS group_rank, doc_id, n_chars FROM (
+          SELECT lang, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM documents) t
+        WHERE rn <= 2 ORDER BY lang, rn
+    """
+
+    o["rollup_orders_priority"] = """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+    o["hashjoin_customer_orders"] = """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+    o["timeseries_events_daily"] = """
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n, round(sum(value), 3) AS total_value
+        FROM events GROUP BY 1 ORDER BY 1
+    """
+    o["fetch_enrich_events"] = """
+        SELECT e.event_id, e.user_id, u.user_events
+        FROM (SELECT event_id, user_id FROM events WHERE event_id < 100) e
+        LEFT JOIN (SELECT user_id, count(*) AS user_events
+                   FROM events GROUP BY user_id) u USING (user_id)
+        ORDER BY e.event_id
+    """
+    return o

@@ -1,0 +1,93 @@
+"""Mimic the driver's correctness gate: run each __spark_entry__ query on
+Spark AND its oracle SQL on DuckDB at sf0.01; compare row count, column
+names, and order-insensitive values."""
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entry_mod  # noqa: E402
+from solr_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()[:26]
+    return v
+
+
+def norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
+
+
+def main():
+    spark = get_spark("check_entry")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entry_mod.queries()
+    oqs = entry_mod.oracle_sql()
+    only = sys.argv[1:] or list(qs)
+    n_pass = n_fail = 0
+    for name in only:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oqs:
+            print(f"SKIP {name}: no oracle ({len(srows)} rows, {dt:.1f}s)")
+            continue
+        try:
+            res = con.execute(oqs[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"schema {sorted(scols)} != {sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount {len(srows)} != {len(drows)}")
+        if not problems:
+            a, b = norm_rows(scols, srows), norm_rows(dcols, drows)
+            if a != b:
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                problems.append(f"values differ, e.g. {diff}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            n_fail += 1
+        else:
+            print(f"OK   {name} ({len(srows)} rows, {dt:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -207,14 +207,28 @@ def assign_doc_ids(df: DataFrame, sort_cols: list[str], partitions: int | None =
     return out
 
 
-def _stage_analyze(spark: SparkSession, corpus_df: DataFrame, out_dir: str, config: IndexConfig) -> None:
+def _stage_analyze(
+    spark: SparkSession,
+    corpus_df: DataFrame,
+    out_dir: str,
+    config: IndexConfig,
+    text_col: str,
+    id_col: str | None,
+    sort_cols: list[str],
+) -> None:
     chain = config.chain()
-    with_ids = assign_doc_ids(corpus_df, ["repo", "path", "commit"])
+    if id_col is not None:
+        with_ids = corpus_df.withColumn("doc_id", F.col(id_col).cast("long"))
+        if id_col != "doc_id":
+            with_ids = with_ids.drop(id_col)
+    else:
+        with_ids = assign_doc_ids(corpus_df, sort_cols)
+    meta_cols = [c for c in with_ids.columns if c not in (text_col, "doc_id")]
     analyzed = (
-        with_ids.withColumn("content_sha256", F.sha2(F.col("content"), 256))
-        .withColumn("tokens", chain.tokens("content"))
+        with_ids.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+        .withColumn("tokens", chain.tokens(text_col))
         .withColumn("doc_len", F.size("tokens").cast("int"))
-        .select("doc_id", "repo", "path", "commit", "lang", "content_sha256", "doc_len", "tokens")
+        .select("doc_id", *meta_cols, "content_sha256", "doc_len", "tokens")
     )
     analyzed.write.mode("overwrite").parquet(_stage_dir(out_dir, "analyzed"))
     spark.catalog.clearCache()  # release the doc-id assignment persist
@@ -438,18 +452,29 @@ def build_index(
     out_dir: str,
     config: IndexConfig | None = None,
     resume: bool = True,
+    text_col: str = "content",
+    id_col: str | None = None,
+    sort_cols: list[str] | None = None,
 ) -> InvertedIndex:
     """Run (or resume) the staged index build. Returns the index handle.
+
+    ``text_col`` is the analyzed field; ``id_col`` (if given) supplies a
+    pre-assigned unique long doc id, otherwise ids are assigned as the
+    global rank over ``sort_cols`` (default: the input-hint primary key
+    (repo, path, commit)).
 
     With ``resume=True`` any stage whose manifest exists with a matching
     config hash is skipped — kill the job between stages and re-run to
     continue from the last completed stage (tested to be bit-identical).
     """
     config = config or IndexConfig()
+    sort_cols = sort_cols or ["repo", "path", "commit"]
     os.makedirs(out_dir, exist_ok=True)
 
     stage_fns = {
-        "analyzed": lambda: _stage_analyze(spark, corpus_df, out_dir, config),
+        "analyzed": lambda: _stage_analyze(
+            spark, corpus_df, out_dir, config, text_col, id_col, sort_cols
+        ),
         "segments": lambda: _stage_segments(spark, out_dir, config),
         "term_dict": lambda: _stage_term_dict(spark, out_dir, config),
         "blocks": lambda: _stage_blocks(spark, out_dir, config),

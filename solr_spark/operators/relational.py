@@ -1,0 +1,246 @@
+"""Relational / analytics operator surface.
+
+Spark-first re-expression of the reference's three analytics layers:
+
+- **facets** (classic + JSON Facet API, ``search/facet/*``,
+  ``request/SimpleFacets.java:107``): field/range/pivot facets with the
+  agg set of ``search/facet/{Count,Sum,Avg,MinMax,Percentile,...}Agg.java``
+  → ``groupBy().agg()`` forms. Distributed partial+refine
+  (``FacetFieldMerger.java``) is Catalyst's partial/final aggregation —
+  free, no code to write.
+- **search components** (``handler/component/``): StatsComponent
+  (``StatsValuesFactory.java:52``), CollapsingQParser
+  (``CollapsingQParserPlugin.java:122``), ExpandComponent, grouping
+  (``search/Grouping.java:73``), TermsComponent (``TermsComponent.java:76``),
+  Reciprocal Rank Fusion (``combine/ReciprocalRankFusion.java:37,82-83``).
+- **streaming expressions** (``solrj-streaming/.../io/stream/*``,
+  registry ``io/Lang.java:338+``): rollup/hashRollup, innerJoin/hashJoin,
+  merge, unique, top, having, intersect, complement, cartesianProduct,
+  fetch, timeseries, significantTerms, random — each is a documented thin
+  composition over DataFrame ops (Solr implements these as pull-based
+  TupleStreams because it lacks a dataflow engine; Spark IS one, so the
+  right engineering move is delegation, not reimplementation).
+
+Every function returns a lazy DataFrame — Catalyst fuses these into the
+surrounding plan (pushdown/pruning/partial agg apply as usual).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "facet_field",
+    "facet_range",
+    "facet_pivot",
+    "stats_numeric",
+    "collapse",
+    "expand",
+    "group_topn",
+    "top",
+    "unique",
+    "merge_sorted",
+    "rollup",
+    "having",
+    "intersect_keys",
+    "complement_keys",
+    "cartesian_product",
+    "fetch",
+    "timeseries",
+    "random_sample",
+    "rrf_fuse",
+    "significant_terms_stats",
+]
+
+
+# ---------------------------------------------------------------------------
+# facets (SimpleFacets / JSON Facet API analogs)
+# ---------------------------------------------------------------------------
+
+
+def facet_field(
+    df: DataFrame,
+    field: str,
+    limit: int = 100,
+    mincount: int = 1,
+    sort_by_count: bool = True,
+) -> DataFrame:
+    """facet.field → (field, count); Solr default sort count desc, index asc
+    tie-break (FacetComponent)."""
+    out = df.groupBy(field).agg(F.count("*").alias("count"))
+    if mincount > 0:
+        out = out.where(F.col("count") >= mincount)
+    order = [F.desc("count"), F.asc(field)] if sort_by_count else [F.asc(field)]
+    return out.orderBy(*order).limit(limit)
+
+
+def facet_range(
+    df: DataFrame, field: str, start: float, end: float, gap: float
+) -> DataFrame:
+    """facet.range (FacetRangeProcessor.java analog): fixed-width buckets
+    over [start, end); returns (bucket_start, count) for non-empty buckets."""
+    c = F.col(field)
+    bucket = (F.floor((c - F.lit(start)) / F.lit(gap)) * F.lit(gap) + F.lit(start))
+    return (
+        df.where((c >= start) & (c < end))
+        .groupBy(bucket.alias("bucket_start"))
+        .agg(F.count("*").alias("count"))
+        .orderBy("bucket_start")
+    )
+
+
+def facet_pivot(df: DataFrame, fields: list[str], limit: int = 1000) -> DataFrame:
+    """facet.pivot (PivotFacetProcessor analog): multi-level counts as a
+    flat rollup over the field list, ordered by the field tuple."""
+    return (
+        df.groupBy(*fields)
+        .agg(F.count("*").alias("count"))
+        .orderBy(*[F.asc(f) for f in fields])
+        .limit(limit)
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats / collapse / grouping components
+# ---------------------------------------------------------------------------
+
+
+def stats_numeric(df: DataFrame, field: str) -> DataFrame:
+    """StatsComponent (StatsValuesFactory.java:173): min/max/sum/count/
+    missing/mean/stddev + approx cardinality (HLL analog)."""
+    c = F.col(field)
+    return df.agg(
+        F.count(c).alias("count"),
+        F.count(F.when(c.isNull(), 1)).alias("missing"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.sum(c).alias("sum"),
+        F.avg(c).alias("mean"),
+        F.stddev_samp(c).alias("stddev"),
+        F.approx_count_distinct(c).alias("cardinality"),
+    )
+
+
+def collapse(df: DataFrame, field: str, order_by: list[Column]) -> DataFrame:
+    """CollapsingQParserPlugin (:122): keep one group-head per field value
+    under the given sort policy."""
+    w = Window.partitionBy(field).orderBy(*order_by)
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def expand(df: DataFrame, field: str, order_by: list[Column], rows: int = 5) -> DataFrame:
+    """ExpandComponent (ExpandComponent.java:110): rows 2..n+1 per group —
+    the docs hidden by collapse."""
+    w = Window.partitionBy(field).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") > 1) & (F.col("_rn") <= rows + 1))
+        .drop("_rn")
+    )
+
+
+def group_topn(df: DataFrame, field: str, order_by: list[Column], n: int = 2) -> DataFrame:
+    """Result grouping (search/Grouping.java:73): top-N docs per group."""
+    w = Window.partitionBy(field).orderBy(*order_by)
+    return df.withColumn("group_rank", F.row_number().over(w)).where(F.col("group_rank") <= n)
+
+
+# ---------------------------------------------------------------------------
+# streaming-expression analogs (io/stream/*)
+# ---------------------------------------------------------------------------
+
+
+def top(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
+    """rank/top stream (RankStream.java:47) → TakeOrderedAndProject."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def unique(df: DataFrame, keys: list[str]) -> DataFrame:
+    """unique stream (UniqueStream.java:44) — dedupe on key columns."""
+    return df.dropDuplicates(keys)
+
+
+def merge_sorted(dfs: list[DataFrame], order_by: list[Column]) -> DataFrame:
+    """merge stream (MergeStream.java:41): k-way union + global order."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out.orderBy(*order_by)
+
+
+def rollup(df: DataFrame, keys: list[str], metrics: dict[str, Column]) -> DataFrame:
+    """rollup/hashRollup streams (RollupStream.java:43): groupBy + metrics.
+    metrics: output_name → agg Column (count/sum/min/max/avg/stddev/
+    percentile_approx — the io/stream/metrics set)."""
+    return df.groupBy(*keys).agg(*[m.alias(n) for n, m in metrics.items()])
+
+
+def having(df: DataFrame, predicate: Column) -> DataFrame:
+    """having stream (HavingStream.java:41) — post-agg filter."""
+    return df.where(predicate)
+
+
+def intersect_keys(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
+    """intersect stream (IntersectStream.java:42) → left-semi join."""
+    return left.join(right.select(*on).dropDuplicates(on), on, "left_semi")
+
+
+def complement_keys(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
+    """complement stream (ComplementStream.java:42) → left-anti join."""
+    return left.join(right.select(*on).dropDuplicates(on), on, "left_anti")
+
+
+def cartesian_product(df: DataFrame, array_col: str, out_col: str) -> DataFrame:
+    """cartesianProduct stream (CartesianProductStream.java:47) → explode."""
+    return df.withColumn(out_col, F.explode(F.col(array_col)))
+
+
+def fetch(stream: DataFrame, lookup: DataFrame, on: list[str]) -> DataFrame:
+    """fetch stream (FetchStream.java:52): enrich by key — broadcast join."""
+    return stream.join(F.broadcast(lookup), on, "left")
+
+
+def timeseries(
+    df: DataFrame, ts_col: str, unit: str, metrics: dict[str, Column]
+) -> DataFrame:
+    """timeseries stream (TimeSeriesStream.java:52): date-bucketed aggs.
+    unit: 'day' | 'hour' | 'week' | 'month'."""
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    return df.groupBy(bucket).agg(*[m.alias(n) for n, m in metrics.items()]).orderBy("bucket")
+
+
+def random_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """random stream (RandomStream.java) — seeded sample."""
+    return df.sample(fraction=fraction, seed=seed)
+
+
+def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id", k: int = 60, topn: int = 10) -> DataFrame:
+    """Reciprocal Rank Fusion (combine/ReciprocalRankFusion.java:82-83):
+    each input must have (id_col, rank); fused score = Σ 1/(k + rank)."""
+    out = rankings[0].select(id_col, "rank")
+    for r in rankings[1:]:
+        out = out.unionByName(r.select(id_col, "rank"))
+    return (
+        out.groupBy(id_col)
+        .agg(F.sum(1.0 / (F.lit(k) + F.col("rank"))).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(topn)
+    )
+
+
+def significant_terms_stats(
+    fg_terms: DataFrame, bg_terms: DataFrame, term_col: str = "term", min_df: int = 2
+) -> DataFrame:
+    """significantTerms stream (SignificantTermsStream.java:55): terms
+    over-represented in the foreground doc set vs the corpus background.
+    Inputs: (term, df) frames; score = fg_df/bg_df weighted by fg_df."""
+    fg = fg_terms.withColumnRenamed("df", "fg_df")
+    bg = bg_terms.withColumnRenamed("df", "bg_df")
+    return (
+        fg.join(bg, term_col)
+        .where(F.col("fg_df") >= min_df)
+        .withColumn("score", F.col("fg_df") * F.col("fg_df") / F.col("bg_df"))
+        .orderBy(F.desc("score"), F.asc(term_col))
+    )

@@ -291,8 +291,9 @@ class SearchEngine:
         """Phase-2 analog: join winners back to the doc registry."""
         hits = self.topk(query_text, k=k, mode=mode)
         docs = self.index.docs
+        meta = [c for c in docs.columns if c != "doc_id"]
         return (
             docs.join(F.broadcast(hits), "doc_id")
-            .select("doc_id", "score", "repo", "path", "commit", "lang", "doc_len")
+            .select("doc_id", "score", *meta)
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
