@@ -1,0 +1,124 @@
+"""Benchmark harness: index-build throughput + BM25 query latency.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Workloads (the reference's JMH templates, solr/benchmark/src/java/org/
+apache/solr/bench/{index/CloudIndexing,search/SimpleSearch}.java, restated):
+- index build over a deterministic synthetic code corpus
+  (SPARK_GRAFT_BENCH_DOCS docs, default 20k) → docs/sec
+- index build over the driver's documents table at the SF dir
+- BM25 top-10 queries (hot single-term, AND, OR) + term-dict and facet
+  queries, per-query wall seconds
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_synth = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from solr_spark.corpus import synth_corpus
+    from solr_spark.index.build import IndexConfig, build_index
+    from solr_spark.operators import facet_field
+    from solr_spark.query.engine import SearchEngine
+    from solr_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    queries: dict[str, float] = {}
+    t_total = time.time()
+
+    # --- warmup (JMH-style): a small untimed build amortizes JVM JIT,
+    # whole-stage-codegen compilation and Python worker spawn
+    warm_out = "/tmp/solr_spark_bench_warmup"
+    shutil.rmtree(warm_out, ignore_errors=True)
+    build_index(spark, synth_corpus(spark, 2000), warm_out, IndexConfig(), resume=False)
+    shutil.rmtree(warm_out, ignore_errors=True)
+
+    # --- workload 1: synthetic code-corpus index build (CloudIndexing analog)
+    synth_out = f"/tmp/solr_spark_bench_synth_{n_synth}"
+    shutil.rmtree(synth_out, ignore_errors=True)
+    corpus = synth_corpus(spark, n_synth).persist()
+    n = corpus.count()  # materialize datagen outside the timed window
+    t0 = time.time()
+    cfg = IndexConfig(hot_df_threshold=max(1000, n // 4), n_salts=8)
+    idx = build_index(spark, corpus, synth_out, cfg, resume=False)
+    build_synth_sec = time.time() - t0
+    corpus.unpersist()
+    queries["index_build_synth"] = round(build_synth_sec, 3)
+    docs_per_sec = n / build_synth_sec
+
+    # --- workload 2: documents-table index build + BM25 queries
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    doc_engine = None
+    if os.path.exists(docs_path):
+        docs = spark.read.parquet(docs_path)
+        out = f"/tmp/solr_spark_bench_docs_{sf}"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        dcfg = IndexConfig(block_size=64, hot_df_threshold=1000, n_salts=4, n_term_buckets=8)
+        didx = build_index(spark, docs, out, dcfg, text_col="text", id_col="doc_id")
+        queries["index_build_documents"] = round(time.time() - t0, 3)
+        doc_engine = SearchEngine(didx)
+
+    # --- workload 3: query latency (SimpleSearch analog) on the synth index
+    eng = SearchEngine(idx)
+    for qname, (qtext, mode) in {
+        "q_bm25_hot": ("import", "OR"),
+        "q_bm25_and": ("server client", "AND"),
+        "q_bm25_or": ("parse json http", "OR"),
+        "q_bm25_camel": ("getUserName", "OR"),
+    }.items():
+        t0 = time.time()
+        eng.topk(qtext, k=10, mode=mode).collect()
+        queries[qname] = round(time.time() - t0, 3)
+
+    if doc_engine is not None:
+        for qname, (qtext, mode) in {
+            "q_docs_bm25_or": ("spark merge data", "OR"),
+            "q_docs_bm25_and": ("vector customer", "AND"),
+        }.items():
+            t0 = time.time()
+            doc_engine.topk(qtext, k=10, mode=mode).collect()
+            queries[qname] = round(time.time() - t0, 3)
+
+    # --- workload 4: facet/agg (JsonFaceting analog)
+    t0 = time.time()
+    facet_field(idx.docs, "lang").collect()
+    queries["q_facet_lang"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    idx.term_dict.orderBy(F.desc("df")).limit(20).collect()
+    queries["q_terms_top20"] = round(time.time() - t0, 3)
+
+    total = time.time() - t_total
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "indexing_docs_per_sec": round(docs_per_sec, 1),
+                "synth_docs": n,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -162,12 +162,15 @@ def _clear_stage(out_dir: str, stage: str) -> None:
 def assign_doc_ids(df: DataFrame, sort_cols: list[str], partitions: int | None = None) -> DataFrame:
     """Deterministic global doc_id = rank over ``sort_cols`` (a unique key).
 
-    Scalable two-phase ranking (no single-partition global window):
-    range-repartition + in-partition sort, per-partition local row
-    numbers via a streaming mapInPandas counter, then add per-partition
-    offsets (tiny driver-side cumulative sum, broadcast-joined back).
+    Scalable two-phase ranking (no single-partition global window).
     doc_id is invariant to the partition count because it equals the
     global rank of a unique sort key.
+
+    Entirely JVM-side (no Python round-trip of the corpus): local row
+    numbers come from ``monotonically_increasing_id()`` evaluated AFTER the
+    in-partition sort (Catalyst does not push nondeterministic projections
+    through sorts), normalized per partition by its min id; global offsets
+    are a tiny driver-side cumulative sum broadcast-joined back.
     """
     spark = df.sparkSession
     if partitions is None:
@@ -177,32 +180,24 @@ def assign_doc_ids(df: DataFrame, sort_cols: list[str], partitions: int | None =
         df.repartitionByRange(partitions, *sort_cols)
         .sortWithinPartitions(*sort_cols)
         .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
         .persist()
     )
-    counts = {r["_pid"]: r["cnt"] for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_df = spark.createDataFrame(
-        [(int(pid), int(off)) for pid, off in offsets.items()], "_pid int, _offset long"
+    stats = (
+        part.groupBy("_pid")
+        .agg(F.count("*").alias("cnt"), F.min("_mid").alias("min_mid"))
+        .collect()
     )
+    acc, rows = 0, []
+    for r in sorted(stats, key=lambda r: r["_pid"]):
+        rows.append((int(r["_pid"]), int(acc), int(r["min_mid"])))
+        acc += r["cnt"]
+    off_df = spark.createDataFrame(rows, "_pid int, _offset long, _min_mid long")
 
-    fields = part.schema.fields
-    out_schema = T.StructType(list(fields) + [T.StructField("_rn", T.LongType(), False)])
-
-    def add_rn(batches):
-        seen = 0
-        for pdf in batches:
-            pdf = pdf.assign(_rn=np.arange(seen, seen + len(pdf), dtype=np.int64))
-            seen += len(pdf)
-            yield pdf
-
-    ranked = part.mapInPandas(add_rn, schema=out_schema)
     out = (
-        ranked.join(F.broadcast(off_df), "_pid")
-        .withColumn("doc_id", (F.col("_offset") + F.col("_rn")).cast("long"))
-        .drop("_pid", "_rn", "_offset")
+        part.join(F.broadcast(off_df), "_pid")
+        .withColumn("doc_id", (F.col("_offset") + F.col("_mid") - F.col("_min_mid")).cast("long"))
+        .drop("_pid", "_mid", "_offset", "_min_mid")
     )
     return out
 
