@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from solr_spark import dedup, multimodal, similarity, textops
 from solr_spark.analysis import CODE_CHAIN
 from solr_spark.index.build import IndexConfig, build_index
 from solr_spark.operators import (
@@ -26,7 +27,16 @@ from solr_spark.operators import (
     stats_numeric,
     timeseries,
 )
-from solr_spark.oracle_sql import bm25_topk_sql, term_dict_sql
+from solr_spark.oracle_sql import (
+    ann_topk_sql,
+    bm25_topk_sql,
+    embedding_neardup_sql,
+    exact_dedup_sql,
+    minhash_lsh_sql,
+    ngram_jaccard_sql,
+    simhash_pairs_sql,
+    term_dict_sql,
+)
 from solr_spark.query.engine import SearchEngine
 
 # ---------------------------------------------------------------------------
@@ -201,6 +211,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fetch_enrich_events"] = fetch_enrich
 
+    # --- training-data pipeline: text analysis ---
+    def text_analysis(s, d):
+        docs = _read(s, d, "documents").where(F.col("doc_id") < 20)
+        return textops.quality_features(docs, "text").select(
+            "doc_id",
+            textops.token_count_ws("text").alias("n_ws_tokens"),
+            textops.token_count_bpe("text").alias("n_bpe_tokens"),
+            textops.language_id("text").alias("langid"),
+            textops.fingerprint("text").alias("fingerprint"),
+            "q_n_words",
+            F.round("q_mean_word_len", 4).alias("mean_word_len"),
+            F.round("q_punct_ratio", 4).alias("punct_ratio"),
+            F.round("q_stopword_ratio", 4).alias("stopword_ratio"),
+            F.round("q_score", 4).alias("quality_score"),
+        ).orderBy("doc_id")
+
+    q["text_analysis_features"] = text_analysis
+
+    # --- training-data pipeline: dedup family ---
+    def _docs_with_clones(s, d):
+        docs = _read(s, d, "documents").select("doc_id", "text")
+        clones = docs.where(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + 10000
+        )
+        return docs.unionByName(clones)
+
+    q["dedup_exact"] = lambda s, d: dedup.exact_dup_groups(
+        _docs_with_clones(s, d), "text", "doc_id"
+    ).orderBy("canonical_id")
+
+    q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _read(s, d, "documents"), "doc_id", "text", threshold=0.5
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")).orderBy("doc_a", "doc_b")
+
+    q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_neardup_pairs(
+        _read(s, d, "documents"), "doc_id", "text", threshold=0.5
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")).orderBy("doc_a", "doc_b")
+
+    q["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(
+        dedup.simhash(_read(s, d, "documents"), "doc_id", "text"), max_hamming=4
+    ).orderBy("doc_a", "doc_b")
+
+    q["dedup_embedding_cosine"] = lambda s, d: dedup.embedding_neardup_pairs(
+        _read(s, d, "embeddings"), "vec_id", "embedding", threshold=0.45
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine")).orderBy("id_a", "id_b")
+
+    # --- training-data pipeline: similarity search ---
+    def ann_top10(s, d):
+        emb = _read(s, d, "embeddings")
+        qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        return similarity.cosine_topk(emb, "vec_id", "embedding", qv, k=10).select(
+            "id", F.round("cosine", 4).alias("cosine")
+        )
+
+    q["ann_cosine_top10"] = ann_top10
+
+    # --- training-data pipeline: multimodal plumbing ---
+    def mm_features(s, d):
+        docs = _read(s, d, "documents").where(F.col("doc_id") < 30)
+        feats = multimodal.extract_features(multimodal.synth_multimodal(docs))
+        return feats.select(
+            "doc_id", "modality", "n_bytes", "payload_sha256",
+            F.round("mean_byte", 4).alias("mean_byte"),
+        ).orderBy("doc_id")
+
+    q["multimodal_features"] = mm_features
+
     return q
 
 
@@ -280,5 +357,41 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT user_id, count(*) AS user_events
                    FROM events GROUP BY user_id) u USING (user_id)
         ORDER BY e.event_id
+    """
+
+    # --- training-data pipeline oracles ---
+    ws_sql, bpe_sql = textops.token_count_sql("text")
+    qd = textops.quality_sql("text")
+    o["text_analysis_features"] = f"""
+        SELECT doc_id,
+               {ws_sql} AS n_ws_tokens,
+               {bpe_sql} AS n_bpe_tokens,
+               {textops.language_id_sql('text')} AS langid,
+               {textops.fingerprint_sql('text')} AS fingerprint,
+               {qd['q_n_words']} AS q_n_words,
+               ROUND({qd['q_mean_word_len']}, 4) AS mean_word_len,
+               ROUND({qd['q_punct_ratio']}, 4) AS punct_ratio,
+               ROUND({qd['q_stopword_ratio']}, 4) AS stopword_ratio,
+               ROUND({qd['q_score']}, 4) AS quality_score
+        FROM documents WHERE doc_id < 20 ORDER BY doc_id
+    """
+    o["dedup_exact"] = exact_dedup_sql(clone_below=50, offset=10000)
+    o["dedup_ngram_jaccard"] = ngram_jaccard_sql(0.5)
+    o["dedup_minhash_lsh"] = minhash_lsh_sql(0.5)
+    o["dedup_simhash"] = simhash_pairs_sql(4)
+    o["dedup_embedding_cosine"] = embedding_neardup_sql(0.45)
+    o["ann_cosine_top10"] = ann_topk_sql(query_id=0, k=10)
+    o["multimodal_features"] = """
+        SELECT doc_id,
+               (['image','audio','video'])[(doc_id % 3)+1] AS modality,
+               CAST(length(text) + 4 AS BIGINT) AS n_bytes,
+               sha256(concat((['IMG0','AUD0','VID0'])[(doc_id % 3)+1], text)) AS payload_sha256,
+               ROUND(list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(
+                           string_split(concat((['IMG0','AUD0','VID0'])[(doc_id % 3)+1], text), ''),
+                           c -> CAST(ord(c) AS BIGINT))),
+                       (a, b) -> a + b) * 1.0 / (length(text) + 4), 4) AS mean_byte
+        FROM documents WHERE doc_id < 30 ORDER BY doc_id
     """
     return o

@@ -1,0 +1,426 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The dedup family a 100 TB corpus pipeline needs, each expressed as pure
+DataFrame ops (one shuffle each, JVM-side kernels — no Python in the hot
+path):
+
+- **exact**: sha256 content signature → hash group-by. The reference's
+  ``update/processor/SignatureUpdateProcessorFactory.java`` /
+  ``MD5Signature.java`` restated (SURVEY.md §2.2).
+- **MinHash + LSH**: token-shingle → 64-perm universal-hash MinHash
+  signature → banded bucket join → exact-Jaccard verification. The
+  reference exposes MinHash querying via ``MinHashQParser.java``
+  (backed by Lucene's MinHashFilter); ours is the index-build-side
+  variant used for near-dup *mining*.
+- **SimHash**: 60-bit weighted bit-majority fingerprint + pigeonhole
+  band join (LOSSLESS for a hamming radius: splitting 60 bits into
+  ``max_hamming+1`` bands guarantees any pair within the radius shares
+  at least one exact band — recall 1.0, unlike MinHash banding).
+- **exact n-gram Jaccard**: shingle-set self-join — the ground-truth
+  near-dup measure the probabilistic methods are verified against.
+- **embedding cosine near-dup**: exact pairwise above a threshold
+  (test-scale) and hyperplane-LSH bucketing (the 100 TB path).
+
+Skew/scale notes: the shingle self-join and LSH bucket joins are the
+quadratic hazards — both take a ``max_bucket`` cap that drops
+degenerate buckets (boilerplate shingles / all-zero bands), the standard
+web-dedup mitigation; AQE skew-join handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from solr_spark.analysis import CODE_CHAIN, AnalyzerChain
+from solr_spark.functions.hashing import md5_long, minhash_perm
+
+SIMHASH_BITS = 60  # md5_long yields 60 usable bits
+
+# frozen hyperplanes for embedding LSH (8 planes × 64 dims), drawn once
+_rng = np.random.default_rng([42, 2003])
+EMB_PLANES: list[list[float]] = [
+    [float(x) for x in row] for row in _rng.standard_normal((8, 64))
+]
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups by sha256(content): one hash group-by.
+
+    Returns (content_sha256, n_dups, canonical_id) for groups of ≥ 2;
+    canonical = min id (deterministic survivor pick).
+    """
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("content_sha256"))
+        .groupBy("content_sha256")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("canonical_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles (shared by MinHash / Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def shingles_expr(toks: Column, n: int) -> Column:
+    """Array of word n-gram strings over a token array (space-joined)."""
+    cnt = F.size(toks) - (n - 1)
+    return F.when(
+        cnt > 0,
+        F.transform(F.sequence(F.lit(1), cnt), lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_set(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, chain: AnalyzerChain = CODE_CHAIN
+) -> DataFrame:
+    """(doc_id, h) distinct shingle hashes per doc — one narrow exploded
+    table; h = md5_long(shingle) (cross-engine deterministic)."""
+    sh = shingles_expr(chain.tokens(text_col), n)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .select("doc_id", md5_long("shingle").alias("h"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingle_df: DataFrame, threshold: float, max_shingle_df: int | None = None
+) -> DataFrame:
+    """Exact shingle-set Jaccard over all co-shingled pairs.
+
+    ``shingle_df``: (doc_id, h) distinct. One self-join on h (the shuffle
+    key) + one group-by. ``max_shingle_df`` drops boilerplate shingles
+    shared by more than that many docs before pairing (recall-lossy but
+    required at corpus scale; None = exact).
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    """
+    sh = shingle_df
+    if max_shingle_df is not None:
+        hot = sh.groupBy("h").count().where(F.col("count") > max_shingle_df).select("h")
+        sh = sh.join(hot, "h", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    chain: AnalyzerChain = CODE_CHAIN,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (ground truth for the
+    probabilistic methods)."""
+    return jaccard_pairs(shingle_set(df, id_col, text_col, n, chain), threshold, max_shingle_df)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    n: int = 3,
+    chain: AnalyzerChain = CODE_CHAIN,
+) -> DataFrame:
+    """(doc_id, m0..m{n_hashes-1}) MinHash signature columns.
+
+    One group-by over the exploded shingle table with ``n_hashes`` min
+    aggregates — all JVM expressions, map-side partial aggregation free.
+    """
+    sh = shingle_set(df, id_col, text_col, n, chain)
+    aggs = [F.min(minhash_perm(F.col("h"), i)).alias(f"m{i}") for i in range(n_hashes)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_bands: int, rows_per_band: int, max_bucket: int | None = None
+) -> DataFrame:
+    """Banded-LSH candidate pairs: docs sharing ≥1 identical band.
+
+    Explode signatures into (band_no, band_key) rows, self-join on the
+    band key (one shuffle). ``max_bucket`` drops degenerate buckets
+    larger than the cap before the quadratic pairing step.
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bnd).alias("band_no"),
+                F.concat_ws(
+                    ":", *[F.col(f"m{bnd * rows_per_band + j}").cast("string") for j in range(rows_per_band)]
+                ).alias("band_key"),
+            )
+            for bnd in range(n_bands)
+        ]
+    )
+    ex = sigs.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band_no").alias("band_no"), F.col("bk.band_key").alias("band_key")
+    )
+    if max_bucket is not None:
+        big = (
+            ex.groupBy("band_no", "band_key").count().where(F.col("count") > max_bucket)
+            .select("band_no", "band_key")
+        )
+        ex = ex.join(big, ["band_no", "band_key"], "left_anti")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 32,
+    n_bands: int = 16,
+    n: int = 3,
+    chain: AnalyzerChain = CODE_CHAIN,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-dup mining with exact-Jaccard verification.
+
+    Candidates from banded LSH (recall < 1 by design — the tradeoff that
+    makes 100 TB dedup subquadratic), verified with exact shingle Jaccard
+    so precision is 1. Returns (doc_a, doc_b, jaccard ≥ threshold).
+    """
+    rows_per_band = n_hashes // n_bands
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, n, chain)
+    cands = lsh_candidate_pairs(sigs, n_bands, rows_per_band, max_bucket)
+    sh = shingle_set(df, id_col, text_col, n, chain)
+    verified = jaccard_pairs(sh, threshold)
+    return verified.join(cands, ["doc_a", "doc_b"], "left_semi").select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, chain: AnalyzerChain = CODE_CHAIN
+) -> DataFrame:
+    """(doc_id, simhash) — 60-bit tf-weighted bit-majority fingerprint.
+
+    For each bit j: w_j = Σ_tokens tf · (bit_j(md5_long(token)) ? +1 : -1);
+    simhash bit j = 1 iff w_j > 0. Expressed as explode(tokens) →
+    explode(bit positions) → two group-bys — all JVM; at extreme scale the
+    60× bit fan-out folds into a numpy packbits kernel instead (same
+    output), but the expression form keeps the oracle synchronized.
+    """
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(chain.tokens(text_col)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", md5_long("tok"))
+    )
+    bits = tf.select(
+        "doc_id", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j")
+    ).withColumn(
+        "w",
+        F.when(F.expr("shiftright(h, j) & 1") == 1, F.col("tf")).otherwise(-F.col("tf")),
+    )
+    return (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("w").alias("wj"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("wj") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(sim_df: DataFrame, max_hamming: int = 6, max_bucket: int | None = None) -> DataFrame:
+    """Near-dup pairs within a hamming radius — LOSSLESS pigeonhole bands.
+
+    Split the 60 bits into ``max_hamming+1`` contiguous bands; any pair
+    with hamming ≤ max_hamming must agree exactly on ≥1 band, so the band
+    join has recall 1.0 and the bit_count verification keeps precision 1.
+    Returns (doc_a, doc_b, hamming).
+    """
+    k = max_hamming + 1
+    width = SIMHASH_BITS // k
+    bands = []
+    for bnd in range(k):
+        lo = bnd * width
+        w = SIMHASH_BITS - lo if bnd == k - 1 else width
+        bands.append(
+            F.struct(
+                F.lit(bnd).alias("band_no"),
+                F.expr(f"shiftright(simhash, {lo}) & {(1 << w) - 1}").alias("band_bits"),
+            )
+        )
+    ex = sim_df.select("doc_id", "simhash", F.explode(F.array(*bands)).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band_no").alias("band_no"), F.col("bk.band_bits").alias("band_bits")
+    )
+    if max_bucket is not None:
+        big = (
+            ex.groupBy("band_no", "band_bits").count().where(F.col("count") > max_bucket)
+            .select("band_no", "band_bits")
+        )
+        ex = ex.join(big, ["band_no", "band_bits"], "left_anti")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns, double-precision
+    sequential fold (bit-stable across engines)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.45
+) -> DataFrame:
+    """Exact cosine near-dup pairs (O(n²) — the verification/test-scale
+    path; :func:`embedding_lsh_pairs` is the corpus-scale candidate
+    generator). Returns (id_a, id_b, cosine ≥ threshold)."""
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_lsh_signature(vec: Column, planes: list[list[float]] | None = None) -> Column:
+    """Hyperplane-sign LSH signature (int): bit i = sign(v · plane_i).
+
+    Frozen random hyperplanes; P(bit match) = 1 - angle/π, so near-dup
+    pairs collide with high probability. JVM fold per plane."""
+    planes = planes or EMB_PLANES
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(F.zip_with(vec, lit, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+        sig = sig + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return sig
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+    max_hamming: int = 1,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Corpus-scale near-dup: bucket by hyperplane signature (pigeonhole
+    bands for a sign-bit hamming radius), verify exact cosine within
+    candidates. Subquadratic; recall < 1 (quantified in tests vs the
+    exact path)."""
+    n_planes = len(EMB_PLANES)
+    e = emb.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("simhash", embedding_lsh_signature(F.col("v")))
+    # reuse the pigeonhole band join on the sign signature
+    k = max_hamming + 1
+    width = n_planes // k
+    bands = []
+    for bnd in range(k):
+        lo = bnd * width
+        w = n_planes - lo if bnd == k - 1 else width
+        bands.append(
+            F.struct(
+                F.lit(bnd).alias("band_no"),
+                F.expr(f"shiftright(simhash, {lo}) & {(1 << w) - 1}").alias("band_bits"),
+            )
+        )
+    ex = e.select("doc_id", "v", F.explode(F.array(*bands)).alias("bk")).select(
+        "doc_id", "v", F.col("bk.band_no").alias("band_no"), F.col("bk.band_bits").alias("band_bits")
+    )
+    if max_bucket is not None:
+        big = (
+            ex.groupBy("band_no", "band_bits").count().where(F.col("count") > max_bucket)
+            .select("band_no", "band_bits")
+        )
+        ex = ex.join(big, ["band_no", "band_bits"], "left_anti")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .distinct()
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,244 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+The document-understanding layer a 100 TB corpus pipeline needs on top of
+the index engine: token counting, language identification, quality
+scoring, and document fingerprinting. Everything is a pure JVM column
+expression (whole-stage codegen — no Python in the hot path) and each
+operator has a synchronized DuckDB SQL form for the oracle gate.
+
+Reference analogs: Solr's TextProfileSignature / update-processor ingest
+transforms (``update/processor/SignatureUpdateProcessorFactory.java``,
+``update/processor/`` chain — SURVEY.md §2.2) cover the fingerprint/dedup
+side; the quality/langid operators are the standard web-corpus curation
+set (C4/Gopher-style heuristics) restated as Spark expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from solr_spark.analysis import CODE_CHAIN, AnalyzerChain
+from solr_spark.functions.hashing import md5_long, md5_long_sql
+
+# BPE-ish word/punct segmentation (GPT-2-style coarse split: word runs or
+# single non-space punctuation). Identical regex semantics in Spark (Java
+# regex) and DuckDB (RE2) for this pattern class.
+BPE_RE = r"\w+|[^\w\s]"
+
+# frozen per-language marker-word profiles (n-gram heuristic, tiny by
+# design so the exact same sets embed into the oracle SQL). Deterministic
+# tie-break: higher hit-count wins, then language name ascending.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "for", "with", "that", "this"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "pour", "dans", "une", "que", "des"),
+    "es": ("el", "la", "los", "y", "es", "para", "en", "una", "que", "por"),
+}
+
+# fingerprint: two independent polynomial rolling hashes mod the Mersenne
+# prime 2^31-1 (so every intermediate product stays far below 2^63 in both
+# engines), combined into one 62-bit value
+FP_BASES = (1_000_003, 1_062_599)
+FP_MOD = (1 << 31) - 1
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))).cast("long")
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish segment count (word runs + punctuation marks)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_RE)).cast("long")
+
+
+def token_count_sql(text_expr: str) -> tuple[str, str]:
+    """(whitespace, bpe) count expressions — DuckDB forms."""
+    ws = rf"len(list_filter(string_split_regex({text_expr}, '\s+'), t -> t <> ''))"
+    bpe = rf"len(regexp_extract_all({text_expr}, '{BPE_RE}'))"
+    return ws, bpe
+
+
+# ---------------------------------------------------------------------------
+# language identification
+# ---------------------------------------------------------------------------
+
+
+def _hits(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(list(words))))
+
+
+def language_id(col: Column | str) -> Column:
+    """Marker-word language ID over the lowercased whitespace tokens.
+
+    Returns the argmax language ('und' when nothing matches); deterministic
+    tie-break by (hits desc, lang asc) so Spark and SQL agree exactly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(F.split(F.lower(c), r"[^a-zà-ÿ]+"), lambda t: t != F.lit(""))
+    scored = F.array(
+        *[
+            F.struct(_hits(toks, ws).alias("hits"), F.lit(lang).alias("lang"))
+            for lang, ws in sorted(LANG_PROFILES.items())
+        ]
+    )
+    # explicit reduce for the (hits desc, lang asc) argmax — struct max()
+    # would tie-break lang DESCENDING, so it is not usable here
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("lang")),
+        lambda acc, s: F.when(
+            (s["hits"] > acc["hits"])
+            | ((s["hits"] == acc["hits"]) & (s["lang"] < acc["lang"])),
+            s,
+        ).otherwise(acc),
+    )
+    return F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def language_id_sql(text_expr: str) -> str:
+    """DuckDB form of :func:`language_id` (same profiles + tie-break)."""
+    toks = rf"list_filter(string_split_regex(lower({text_expr}), '[^a-zà-ÿ]+'), t -> t <> '')"
+    structs = []
+    for lang, ws in sorted(LANG_PROFILES.items()):
+        inlist = ", ".join(f"'{w}'" for w in ws)
+        structs.append(
+            f"{{'hits': len(list_filter({toks}, t -> t IN ({inlist}))), 'lang': '{lang}'}}"
+        )
+    arr = "[" + ", ".join(structs) + "]"
+    reduced = (
+        f"list_reduce({arr}, (acc, s) -> CASE WHEN s.hits > acc.hits OR "
+        f"(s.hits = acc.hits AND s.lang < acc.lang) THEN s ELSE acc END)"
+    )
+    return f"CASE WHEN ({reduced}).hits <= 0 THEN 'und' ELSE ({reduced}).lang END"
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+QUALITY_STOPWORDS = ("the", "and", "of", "to", "in", "is", "a", "that", "for", "with")
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """C4/Gopher-style quality heuristics as appended columns.
+
+    - ``q_n_chars`` / ``q_n_words``: length signals
+    - ``q_mean_word_len``: mean whitespace-token length
+    - ``q_punct_ratio``: punctuation chars / total chars
+    - ``q_stopword_ratio``: stopword tokens / tokens (English function
+      words — a fluency proxy)
+    - ``q_score``: composite in [0,1] (documented formula below)
+
+    All ratios computed in double; q_score =
+    ``0.4*min(1, words/100) + 0.3*(1 - min(1, punct_ratio*4)) +
+    0.3*min(1, stopword_ratio*5)``.
+    """
+    c = F.col(text_col)
+    words = F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+    n_chars = F.length(c).cast("double")
+    n_words = F.size(words).cast("double")
+    mean_wl = F.when(n_words > 0,
+                     F.aggregate(words, F.lit(0.0), lambda a, w: a + F.length(w)) / n_words
+                     ).otherwise(F.lit(0.0))
+    n_punct = F.regexp_count(c, F.lit(r"[^\w\s]")).cast("double")
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    lower_words = F.transform(words, F.lower)
+    n_stop = F.size(F.filter(lower_words, lambda t: t.isin(list(QUALITY_STOPWORDS)))).cast("double")
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    score = (
+        0.4 * F.least(F.lit(1.0), n_words / 100.0)
+        + 0.3 * (1.0 - F.least(F.lit(1.0), punct_ratio * 4.0))
+        + 0.3 * F.least(F.lit(1.0), stop_ratio * 5.0)
+    )
+    return (
+        df.withColumn("q_n_chars", n_chars.cast("long"))
+        .withColumn("q_n_words", n_words.cast("long"))
+        .withColumn("q_mean_word_len", mean_wl)
+        .withColumn("q_punct_ratio", punct_ratio)
+        .withColumn("q_stopword_ratio", stop_ratio)
+        .withColumn("q_score", score)
+    )
+
+
+def quality_sql(text_expr: str) -> dict[str, str]:
+    """DuckDB forms of the quality feature columns (same names/formulas)."""
+    words = rf"list_filter(string_split_regex({text_expr}, '\s+'), t -> t <> '')"
+    n_chars = f"CAST(length({text_expr}) AS DOUBLE)"
+    n_words = f"CAST(len({words}) AS DOUBLE)"
+    word_lens = f"list_transform({words}, w -> CAST(length(w) AS DOUBLE))"
+    mean_wl = (
+        f"CASE WHEN {n_words} > 0 THEN "
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {word_lens}), (a,b) -> a+b)"
+        f" / {n_words} ELSE 0.0 END"
+    )
+    n_punct = rf"CAST(len(regexp_extract_all({text_expr}, '[^\w\s]')) AS DOUBLE)"
+    punct_ratio = f"CASE WHEN {n_chars} > 0 THEN {n_punct} / {n_chars} ELSE 0.0 END"
+    stops = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    n_stop = (
+        f"CAST(len(list_filter(list_transform({words}, w -> lower(w)), "
+        f"t -> t IN ({stops}))) AS DOUBLE)"
+    )
+    stop_ratio = f"CASE WHEN {n_words} > 0 THEN {n_stop} / {n_words} ELSE 0.0 END"
+    score = (
+        f"0.4 * least(1.0, {n_words} / 100.0)"
+        f" + 0.3 * (1.0 - least(1.0, ({punct_ratio}) * 4.0))"
+        f" + 0.3 * least(1.0, ({stop_ratio}) * 5.0)"
+    )
+    return {
+        "q_n_chars": f"CAST({n_chars} AS BIGINT)",
+        "q_n_words": f"CAST({n_words} AS BIGINT)",
+        "q_mean_word_len": mean_wl,
+        "q_punct_ratio": punct_ratio,
+        "q_stopword_ratio": stop_ratio,
+        "q_score": score,
+    }
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (rolling polynomial hash)
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(col: Column | str, chain: AnalyzerChain = CODE_CHAIN) -> Column:
+    """Order-sensitive 61-bit document fingerprint.
+
+    Polynomial rolling hash over the analyzed token stream, per base B:
+    ``fp_B = fold(tokens, 0, (acc, t) -> (acc*B + md5_long(t) % P) % P)``
+    with P = 2^31-1; result = fp_B1 * P + fp_B2 (62 bits). Order-sensitive
+    (unlike the sha256 content signature) and tokenization-invariant to
+    whitespace/case noise — the TextProfile signature analog
+    (``update/processor/TextProfileSignature.java``).
+    """
+    hashes = F.transform(chain.tokens(col), lambda t: F.pmod(md5_long(t), F.lit(FP_MOD)))
+
+    def fold(base: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: F.pmod(acc * F.lit(base) + h, F.lit(FP_MOD)),
+        )
+
+    return fold(FP_BASES[0]) * F.lit(FP_MOD) + fold(FP_BASES[1])
+
+
+def fingerprint_sql(text_expr: str, chain: AnalyzerChain = CODE_CHAIN) -> str:
+    """DuckDB form of :func:`fingerprint` (same fold, BIGINT arithmetic)."""
+    toks = chain.duckdb_tokens_expr(text_expr)
+    tok_hashes = f"list_transform({toks}, t -> ({md5_long_sql('t')}) % {FP_MOD})"
+
+    def fold(base: int) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), {tok_hashes}), "
+            f"(acc, h) -> (acc * {base} + h) % {FP_MOD})"
+        )
+
+    return f"({fold(FP_BASES[0])} * {FP_MOD} + {fold(FP_BASES[1])})"

@@ -1,0 +1,285 @@
+"""Training-data pipeline operators: dedup / similarity / textops /
+multimodal — numpy-oracle and invariant tests (the golden cross-engine
+checks run in scripts/check_entry.py against DuckDB)."""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark import dedup, multimodal, similarity, textops
+from solr_spark.analysis import CODE_CHAIN
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_finds_planted_clones(docs):
+    clones = docs.where(F.col("doc_id") < 10).withColumn("doc_id", F.col("doc_id") + 5000)
+    u = docs.select("doc_id", "text").unionByName(clones.select("doc_id", "text"))
+    groups = dedup.exact_dup_groups(u, "text", "doc_id").collect()
+    assert len(groups) == 10
+    assert all(g["n_dups"] == 2 for g in groups)
+    assert sorted(g["canonical_id"] for g in groups) == list(range(10))
+
+
+def test_jaccard_pairs_match_numpy(docs):
+    rows = docs.select("doc_id", "text").collect()
+    sets = {
+        r["doc_id"]: {
+            " ".join(toks[i : i + 3])
+            for toks in [CODE_CHAIN.tokenize_py(r["text"])]
+            for i in range(max(len(toks) - 2, 0))
+        }
+        for r in rows
+    }
+    expected = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / len(sets[a] | sets[b])
+                if j >= 0.4:
+                    expected[(a, b)] = j
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.4).collect()
+    }
+    assert set(got) == set(expected)
+    for k in got:
+        assert got[k] == pytest.approx(expected[k], abs=1e-9)
+
+
+def test_minhash_verified_subset_of_exact(docs):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_neardup_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        # banded LSH recall on high-jaccard pairs should be near-total here
+        assert len(lsh) / len(exact) >= 0.8
+
+
+def test_simhash_band_join_equals_bruteforce(docs):
+    sim = dedup.simhash(docs, "doc_id", "text").collect()
+    vals = {r["doc_id"]: r["simhash"] for r in sim}
+    expected = set()
+    ids = sorted(vals)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(vals[a] ^ vals[b]).count("1")
+            if h <= 6:
+                expected.add((a, b, h))
+    sim_df = dedup.simhash(docs, "doc_id", "text")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_pairs(sim_df, max_hamming=6).collect()
+    }
+    assert got == expected  # pigeonhole banding is lossless
+
+
+def test_simhash_stable_under_partitioning(spark, docs):
+    one = {
+        (r["doc_id"], r["simhash"])
+        for r in dedup.simhash(docs.repartition(1), "doc_id", "text").collect()
+    }
+    many = {
+        (r["doc_id"], r["simhash"])
+        for r in dedup.simhash(docs.repartition(7), "doc_id", "text").collect()
+    }
+    assert one == many
+
+
+def test_embedding_neardup_numpy_oracle(emb):
+    rows = emb.collect()
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    expected = {}
+    ids = sorted(V)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            c = float(V[a] @ V[b] / (np.linalg.norm(V[a]) * np.linalg.norm(V[b])))
+            if c >= 0.4:
+                expected[(a, b)] = c
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_neardup_pairs(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    assert set(got) == set(expected)
+    for k in got:
+        assert got[k] == pytest.approx(expected[k], abs=1e-9)
+
+
+def test_embedding_lsh_subset_and_recall(emb):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_neardup_pairs(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_lsh_pairs(emb, "vec_id", "embedding", 0.4, max_hamming=2).collect()
+    }
+    assert approx <= exact  # precision 1 (verified candidates)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_topk_matches_numpy(emb):
+    rows = emb.collect()
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    qv = V[1]
+    scored = sorted(
+        ((float(V[i] @ qv / (np.linalg.norm(V[i]) * np.linalg.norm(qv))), -i) for i in V),
+        reverse=True,
+    )
+    expected = [-i for _, i in scored[:5]]
+    got = [
+        r["id"]
+        for r in similarity.cosine_topk(emb, "vec_id", "embedding", list(qv), k=5).collect()
+    ]
+    assert got == expected
+
+
+def test_lsh_topk_recall(emb):
+    rows = emb.collect()
+    qv = [float(x) for x in rows[0]["embedding"]]
+    buckets = similarity.build_lsh_buckets(emb, "vec_id", "embedding")
+    exact = {r["id"] for r in similarity.cosine_topk(emb, "vec_id", "embedding", qv, 10).collect()}
+    approx = {r["id"] for r in similarity.cosine_topk_lsh(buckets, qv, 10, probe_hamming=2).collect()}
+    # self-match must always be found (hamming 0 probe includes own bucket)
+    assert rows[0]["vec_id"] in approx
+    assert len(approx & exact) >= 2  # partial recall at toy scale, quantified
+
+
+# ---------------------------------------------------------------------------
+# textops
+# ---------------------------------------------------------------------------
+
+
+def test_token_counts_python_oracle(docs):
+    import re
+
+    got = docs.select(
+        "doc_id",
+        textops.token_count_ws("text").alias("ws"),
+        textops.token_count_bpe("text").alias("bpe"),
+    ).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for r in got:
+        t = texts[r["doc_id"]]
+        assert r["ws"] == len([w for w in re.split(r"\s+", t) if w])
+        assert r["bpe"] == len(re.findall(r"\w+|[^\w\s]", t))
+
+
+def test_language_id_detects_profiles(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and that is fine"),
+            (2, "der hund ist nicht mit der katze und das ist gut"),
+            (3, "le chat est dans la maison pour les amis"),
+            (4, "el perro es para la casa y es una buena idea"),
+            (5, "zzz qqq xxx"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["lang"] for r in df.select("id", textops.language_id("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_fingerprint_properties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),       # same tokens → same fp
+            (3, "Alpha  BETA gamma"),      # case/whitespace noise → same fp
+            (4, "gamma beta alpha"),       # order-sensitive → different fp
+        ],
+        "id long, text string",
+    )
+    fps = {r["id"]: r["fp"] for r in df.select("id", textops.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2] == fps[3]
+    assert fps[1] != fps[4]
+
+
+def test_quality_score_bounds(docs):
+    rows = textops.quality_features(docs, "text").select("q_score").collect()
+    assert all(0.0 <= r["q_score"] <= 1.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_schema_and_payloads(docs):
+    mm = multimodal.synth_multimodal(docs.where(F.col("doc_id") < 12))
+    rows = mm.collect()
+    # names and types must match the declared schema (nullability flags
+    # differ for derived expression columns — that is fine)
+    assert [(f.name, f.dataType) for f in mm.schema.fields] == [
+        (f.name, f.dataType) for f in multimodal.MULTIMODAL_SCHEMA.fields
+    ]
+    texts = {r["doc_id"]: r["text"] for r in docs.where(F.col("doc_id") < 12).collect()}
+    for r in rows:
+        header = {"image": b"IMG0", "audio": b"AUD0", "video": b"VID0"}[r["modality"]]
+        assert bytes(r["data"]) == header + texts[r["doc_id"]].encode()
+        if r["modality"] == "image":
+            assert r["meta"]["width"] is not None and r["meta"]["height"] is not None
+        if r["modality"] == "audio":
+            assert r["meta"]["sample_rate"] == 16000
+
+
+def test_multimodal_features_numpy_oracle(docs):
+    mm = multimodal.synth_multimodal(docs.where(F.col("doc_id") < 12))
+    payloads = {r["doc_id"]: bytes(r["data"]) for r in mm.collect()}
+    feats = multimodal.extract_features(mm).collect()
+    assert len(feats) == len(payloads)
+    for r in feats:
+        buf = np.frombuffer(payloads[r["doc_id"]], dtype=np.uint8)
+        assert r["n_bytes"] == len(buf)
+        assert r["payload_sha256"] == hashlib.sha256(payloads[r["doc_id"]]).hexdigest()
+        assert r["mean_byte"] == pytest.approx(float(buf.mean()), abs=1e-9)
+        hist = np.bincount(buf, minlength=256) / len(buf)
+        nz = hist[hist > 0]
+        assert r["byte_entropy"] == pytest.approx(float(-(nz * np.log2(nz)).sum()), abs=1e-9)
+        assert len(r["feature"]) == 8
+        assert sum(r["feature"]) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_frame_sample_shapes(docs):
+    mm = multimodal.synth_multimodal(docs.where(F.col("doc_id") < 30))
+    frames = multimodal.frame_sample(mm, every_n=4, frame_bytes=32).collect()
+    assert frames, "expected at least one video frame"
+    for r in frames:
+        assert r["frame_no"] % 4 == 0
+        assert 1 <= len(bytes(r["frame"])) <= 32
+
+
+def test_decode_image_is_gated_stub(docs):
+    mm = multimodal.synth_multimodal(docs.where(F.col("doc_id") < 3))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(mm)
