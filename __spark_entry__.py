@@ -29,14 +29,27 @@ from solr_spark.operators import (
 )
 from solr_spark.oracle_sql import (
     ann_topk_sql,
+    bm25_mm_sql,
     bm25_topk_sql,
+    boost_recip_nchars_sql,
+    dismax_sql,
     embedding_neardup_sql,
     exact_dedup_sql,
+    fuzzy_topk_sql,
+    highlight_sql,
     minhash_lsh_sql,
+    mlt_topk_sql,
     ngram_jaccard_sql,
+    prefix_topk_sql,
+    rerank_sql,
+    rrf_sql,
+    significant_terms_sql,
     simhash_pairs_sql,
+    spellcheck_sql,
+    suggest_sql,
     term_dict_sql,
 )
+from solr_spark.query import extras as qx
 from solr_spark.query.engine import SearchEngine
 
 # ---------------------------------------------------------------------------
@@ -63,6 +76,29 @@ def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+_field_engines: dict[tuple[str, str], SearchEngine] = {}
+
+
+def _engine_field(spark: SparkSession, sf_dir: str, field: str) -> SearchEngine:
+    """Per-field index over documents (Lucene's per-field postings model);
+    used by the multi-field dismax entry."""
+    key = (sf_dir, field)
+    if key not in _field_engines:
+        docs = _read(spark, sf_dir, "documents")
+        out = (
+            f"/tmp/solr_spark_entry_{os.path.basename(os.path.normpath(sf_dir))}_f_{field}"
+        )
+        idx = build_index(
+            spark, docs, out, _ENTRY_CONFIG, resume=True, text_col=field, id_col="doc_id"
+        )
+        _field_engines[key] = SearchEngine(idx)
+    return _field_engines[key]
+
+
+def _rounded(df: DataFrame, col: str = "score") -> DataFrame:
+    return df.withColumn(col, F.round(F.col(col).cast("double"), 4))
 
 
 def _bm25(spark: SparkSession, sf_dir: str, query: str, mode: str, k: int = 10) -> DataFrame:
@@ -211,6 +247,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fetch_enrich_events"] = fetch_enrich
 
+    # --- wider query surface (QParser / SearchComponent analogs) ---
+    q["bm25_mm_2of3"] = lambda s, d: _rounded(qx.mm_topk(_engine(s, d), "spark merge window", mm=2))
+    q["query_prefix"] = lambda s, d: _rounded(qx.prefix_topk(_engine(s, d), "s"))
+    q["query_fuzzy"] = lambda s, d: _rounded(qx.fuzzy_topk(_engine(s, d), "sprk"))
+    q["mlt_doc42"] = lambda s, d: _rounded(qx.mlt_topk(_engine(s, d), seed_doc_id=42))
+    q["rerank_weighted"] = lambda s, d: _rounded(
+        qx.rerank_topk(_engine(s, d), "table row", "merge", k=10, rerank_docs=50, weight=2.0)
+    )
+    q["boost_by_recip_nchars"] = lambda s, d: _rounded(
+        qx.boost_topk(
+            _engine(s, d),
+            "table",
+            _read(s, d, "documents").select(
+                "doc_id", (F.lit(1.0) / (F.lit(1.0) + 0.001 * F.col("n_chars"))).alias("boost")
+            ),
+            "boost",
+        )
+    )
+    q["dismax_text_source"] = lambda s, d: _rounded(
+        qx.dismax_topk(
+            {"text": _engine(s, d), "source": _engine_field(s, d, "source")},
+            "src3 spark", tie=0.1,
+        )
+    )
+    q["rrf_two_queries"] = lambda s, d: qx.rrf_topk(
+        _engine(s, d), ["spark merge", "table row"], k=10, depth=20
+    ).withColumn("rrf_score", F.round("rrf_score", 6))
+    q["spellcheck_sparkk"] = lambda s, d: qx.spellcheck(_engine(s, d), "sparkk")
+    q["suggest_prefix_s"] = lambda s, d: qx.suggest(_engine(s, d), "s")
+    q["highlight_merge"] = lambda s, d: _rounded(
+        qx.highlight_topk(_engine(s, d), "merge", _read(s, d, "documents"))
+    )
+    q["significant_terms_spark"] = lambda s, d: qx.significant_terms(
+        _engine(s, d), "spark"
+    ).withColumn("score", F.round("score", 6))
+
     # --- training-data pipeline: text analysis ---
     def text_analysis(s, d):
         docs = _read(s, d, "documents").where(F.col("doc_id") < 20)
@@ -358,6 +430,26 @@ def oracle_sql() -> dict[str, str]:
                    FROM events GROUP BY user_id) u USING (user_id)
         ORDER BY e.event_id
     """
+
+    # --- wider query surface oracles ---
+    o["bm25_mm_2of3"] = bm25_mm_sql(tok.tokenize_py("spark merge window"), mm=2)
+    o["query_prefix"] = prefix_topk_sql("s")
+    o["query_fuzzy"] = fuzzy_topk_sql("sprk")
+    o["mlt_doc42"] = mlt_topk_sql(42)
+    o["rerank_weighted"] = rerank_sql(
+        tok.tokenize_py("table row"), tok.tokenize_py("merge"), k=10, rerank_docs=50, weight=2.0
+    )
+    o["boost_by_recip_nchars"] = boost_recip_nchars_sql(tok.tokenize_py("table"))
+    o["dismax_text_source"] = dismax_sql(
+        tok.tokenize_py("src3 spark"), tok.tokenize_py("src3 spark"), tie=0.1
+    )
+    o["rrf_two_queries"] = rrf_sql(
+        tok.tokenize_py("spark merge"), tok.tokenize_py("table row"), k=10, depth=20
+    )
+    o["spellcheck_sparkk"] = spellcheck_sql("sparkk")
+    o["suggest_prefix_s"] = suggest_sql("s")
+    o["highlight_merge"] = highlight_sql("merge")
+    o["significant_terms_spark"] = significant_terms_sql("spark")
 
     # --- training-data pipeline oracles ---
     ws_sql, bpe_sql = textops.token_count_sql("text")

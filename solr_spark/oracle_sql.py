@@ -262,3 +262,211 @@ ORDER BY list_dot_product(e.v, q.qv) /
          e.vec_id ASC
 LIMIT {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# composed query-operator oracles (prefix/fuzzy/MLT/rerank/dismax/RRF/...)
+# ---------------------------------------------------------------------------
+
+
+def _prelude(chain: AnalyzerChain = CODE_CHAIN, table: str = "documents",
+             id_col: str = "doc_id", text_col: str = "text", p: str = "") -> str:
+    """Shared CTEs (token explode, doc lengths, corpus stats), with an
+    optional name prefix ``p`` so two preludes can coexist (dismax)."""
+    toks = chain.duckdb_tokens_select(table, id_col, text_col)
+    return f"""{p}toks AS (SELECT {id_col} AS doc_id, tok FROM {toks} t),
+{p}dl AS (SELECT doc_id, count(*) AS dl FROM {p}toks GROUP BY doc_id),
+{p}stats AS (SELECT (SELECT count(*) FROM {table}) AS n_docs,
+  (SELECT count(*) FROM {p}toks) * 1.0 / (SELECT count(*) FROM {table}) AS avgdl)"""
+
+
+def _scored(name: str, term_src: str, p: str = "") -> str:
+    """BM25-scored CTE (doc_id, score_raw, nt) for terms from
+    ``term_src`` (an IN-list ``('a','b')`` or ``(SELECT tok FROM exp)``)."""
+    return f"""{name}_tf AS (SELECT doc_id, tok, count(*) AS tf FROM {p}toks
+  WHERE tok IN {term_src} GROUP BY 1, 2),
+{name}_df AS (SELECT tok, count(*) AS df FROM {name}_tf GROUP BY tok),
+{name} AS (
+  SELECT t.doc_id,
+         SUM( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf / (t.tf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl)) ) AS score_raw,
+         COUNT(*) AS nt
+  FROM {name}_tf t JOIN {name}_df d USING (tok)
+  JOIN {p}dl l USING (doc_id) CROSS JOIN {p}stats s
+  GROUP BY t.doc_id)"""
+
+
+def _inlist(terms: list[str]) -> str:
+    return "(" + ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms))) + ")"
+
+
+_RANKED = """SELECT doc_id, ROUND(CAST(CAST(score_raw AS REAL) AS DOUBLE), 4) AS score
+FROM {src} {flt}
+ORDER BY CAST(score_raw AS REAL) DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def bm25_mm_sql(terms: list[str], mm: int, k: int = 10,
+                chain: AnalyzerChain = CODE_CHAIN) -> str:
+    """edismax min-should-match: OR with ≥ mm distinct matching terms."""
+    return (
+        f"WITH {_prelude(chain)},\n{_scored('sc', _inlist(terms))}\n"
+        + _RANKED.format(src="sc", flt=f"WHERE nt >= {mm}", k=k)
+    )
+
+
+def expansion_topk_sql(pred: str, cap: int = 50, k: int = 10,
+                       chain: AnalyzerChain = CODE_CHAIN) -> str:
+    """Prefix/fuzzy rewrite: top ``cap`` matching terms by (df desc, term
+    asc), scored as an OR. ``pred`` is a SQL predicate over ``tok``/df."""
+    return f"""WITH {_prelude(chain)},
+alldf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+exp AS (SELECT tok FROM alldf WHERE {pred} ORDER BY df DESC, tok ASC LIMIT {cap}),
+{_scored('sc', '(SELECT tok FROM exp)')}
+""" + _RANKED.format(src="sc", flt="", k=k)
+
+
+def prefix_topk_sql(prefix: str, cap: int = 50, k: int = 10) -> str:
+    esc = prefix.replace("'", "''")
+    return expansion_topk_sql(f"tok LIKE '{esc}%'", cap, k)
+
+
+def fuzzy_topk_sql(word: str, max_edits: int = 2, cap: int = 50, k: int = 10) -> str:
+    esc = word.replace("'", "''")
+    return expansion_topk_sql(
+        f"abs(length(tok) - {len(word)}) <= {max_edits} "
+        f"AND levenshtein(tok, '{esc}') <= {max_edits}",
+        cap, k,
+    )
+
+
+def mlt_topk_sql(seed_doc_id: int, max_terms: int = 10, k: int = 10,
+                 chain: AnalyzerChain = CODE_CHAIN) -> str:
+    return f"""WITH {_prelude(chain)},
+alldf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+seedtf AS (SELECT tok, count(*) AS tf FROM toks WHERE doc_id = {seed_doc_id} GROUP BY tok),
+seedterms AS (
+  SELECT st.tok FROM seedtf st JOIN alldf a USING (tok) CROSS JOIN stats s
+  ORDER BY st.tf * ln(1.0 + (s.n_docs - a.df + 0.5) / (a.df + 0.5)) DESC, st.tok ASC
+  LIMIT {max_terms}),
+{_scored('sc', '(SELECT tok FROM seedterms)')}
+""" + _RANKED.format(src="sc", flt=f"WHERE doc_id <> {seed_doc_id}", k=k)
+
+
+def rerank_sql(terms1: list[str], terms2: list[str], k: int = 10,
+               rerank_docs: int = 50, weight: float = 2.0,
+               chain: AnalyzerChain = CODE_CHAIN) -> str:
+    return f"""WITH {_prelude(chain)},
+{_scored('s1', _inlist(terms1))},
+{_scored('s2', _inlist(terms2))},
+first AS (
+  SELECT doc_id, CAST(score_raw AS REAL) AS sa FROM s1
+  ORDER BY CAST(score_raw AS REAL) DESC, doc_id ASC LIMIT {rerank_docs}),
+comb AS (
+  SELECT f.doc_id,
+         CAST(CAST(f.sa AS DOUBLE)
+              + {weight} * COALESCE(CAST(CAST(s2.score_raw AS REAL) AS DOUBLE), 0.0)
+              AS REAL) AS sc
+  FROM first f LEFT JOIN s2 ON f.doc_id = s2.doc_id)
+SELECT doc_id, ROUND(CAST(sc AS DOUBLE), 4) AS score
+FROM comb ORDER BY sc DESC, doc_id ASC LIMIT {k}"""
+
+
+def boost_recip_nchars_sql(terms: list[str], k: int = 10,
+                           chain: AnalyzerChain = CODE_CHAIN) -> str:
+    """Boost query: score × recip(n_chars, 0.001, 1, 1)."""
+    boosted = ("CAST(CAST(CAST(score_raw AS REAL) AS DOUBLE)"
+               " * (1.0 / (1.0 + 0.001 * n_chars)) AS REAL)")
+    return f"""WITH {_prelude(chain)},
+{_scored('sc', _inlist(terms))}
+SELECT sc.doc_id, ROUND(CAST({boosted} AS DOUBLE), 4) AS score
+FROM sc JOIN documents USING (doc_id)
+ORDER BY {boosted} DESC, sc.doc_id ASC LIMIT {k}"""
+
+
+def dismax_sql(terms_text: list[str], terms_src: list[str], tie: float = 0.1,
+               k: int = 10, chain: AnalyzerChain = CODE_CHAIN) -> str:
+    """DisMax over the ``text`` and ``source`` fields of documents."""
+    return f"""WITH {_prelude(chain, text_col='text', p='t1_')},
+{_prelude(chain, text_col='source', p='t2_')},
+{_scored('sx', _inlist(terms_text), p='t1_')},
+{_scored('sy', _inlist(terms_src), p='t2_')},
+comb AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(CAST(CAST(a.score_raw AS REAL) AS DOUBLE), 0.0) AS sa,
+         COALESCE(CAST(CAST(b.score_raw AS REAL) AS DOUBLE), 0.0) AS sb
+  FROM sx a FULL OUTER JOIN sy b ON a.doc_id = b.doc_id)
+SELECT doc_id,
+       ROUND(CAST(CAST(greatest(sa, sb) + {tie} * (sa + sb - greatest(sa, sb)) AS REAL) AS DOUBLE), 4) AS score
+FROM comb
+ORDER BY CAST(greatest(sa, sb) + {tie} * (sa + sb - greatest(sa, sb)) AS REAL) DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def rrf_sql(terms1: list[str], terms2: list[str], k: int = 10, depth: int = 20,
+            c: int = 60, chain: AnalyzerChain = CODE_CHAIN) -> str:
+    return f"""WITH {_prelude(chain)},
+{_scored('s1', _inlist(terms1))},
+{_scored('s2', _inlist(terms2))},
+r1 AS (SELECT doc_id, row_number() OVER (ORDER BY CAST(score_raw AS REAL) DESC, doc_id ASC) AS rank
+       FROM s1 QUALIFY rank <= {depth}),
+r2 AS (SELECT doc_id, row_number() OVER (ORDER BY CAST(score_raw AS REAL) DESC, doc_id ASC) AS rank
+       FROM s2 QUALIFY rank <= {depth}),
+u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+SELECT doc_id, ROUND(SUM(1.0 / ({c} + rank)), 6) AS rrf_score
+FROM u GROUP BY doc_id
+ORDER BY SUM(1.0 / ({c} + rank)) DESC, doc_id ASC LIMIT {k}"""
+
+
+def spellcheck_sql(word: str, max_edits: int = 2, n: int = 5,
+                   chain: AnalyzerChain = CODE_CHAIN) -> str:
+    esc = word.replace("'", "''")
+    return f"""WITH {_prelude(chain)},
+alldf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
+SELECT tok AS term, df, levenshtein(tok, '{esc}') AS dist
+FROM alldf
+WHERE abs(length(tok) - {len(word)}) <= {max_edits}
+  AND levenshtein(tok, '{esc}') <= {max_edits}
+ORDER BY dist ASC, df DESC, tok ASC LIMIT {n}"""
+
+
+def suggest_sql(prefix: str, n: int = 10, chain: AnalyzerChain = CODE_CHAIN) -> str:
+    esc = prefix.replace("'", "''")
+    return f"""WITH {_prelude(chain)},
+alldf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
+SELECT tok AS term, df FROM alldf
+WHERE tok LIKE '{esc}%'
+ORDER BY df DESC, tok ASC LIMIT {n}"""
+
+
+def highlight_sql(term: str, k: int = 10, before: int = 30, width: int = 80,
+                  chain: AnalyzerChain = CODE_CHAIN) -> str:
+    tok = chain.tokenize_py(term)
+    needle = (tok[0] if tok else term.lower()).replace("'", "''")
+    pos = f"strpos(lower(d.text), '{needle}')"
+    return f"""WITH {_prelude(chain)},
+{_scored('sc', _inlist([needle]))},
+hits AS (SELECT doc_id, CAST(score_raw AS REAL) AS score FROM sc
+         ORDER BY CAST(score_raw AS REAL) DESC, doc_id ASC LIMIT {k})
+SELECT h.doc_id, ROUND(CAST(h.score AS DOUBLE), 4) AS score,
+       CASE WHEN {pos} > 0
+            THEN substr(d.text, greatest(1, {pos} - {before}), {width}) END AS snippet
+FROM hits h JOIN documents d USING (doc_id)
+ORDER BY h.score DESC, h.doc_id ASC"""
+
+
+def significant_terms_sql(fg_term: str, min_fg_df: int = 2, n: int = 10,
+                          chain: AnalyzerChain = CODE_CHAIN) -> str:
+    tok = chain.tokenize_py(fg_term)
+    esc = (tok[0] if tok else fg_term).replace("'", "''")
+    return f"""WITH {_prelude(chain)},
+fg AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{esc}'),
+fgdf AS (
+  SELECT tok, count(DISTINCT doc_id) AS fg_df FROM toks
+  WHERE doc_id IN (SELECT doc_id FROM fg)
+  GROUP BY tok HAVING count(DISTINCT doc_id) >= {min_fg_df}),
+bgdf AS (SELECT tok, count(DISTINCT doc_id) AS bg_df FROM toks GROUP BY tok)
+SELECT f.tok AS term, f.fg_df, b.bg_df,
+       ROUND(f.fg_df * f.fg_df / b.bg_df, 6) AS score
+FROM fgdf f JOIN bgdf b ON f.tok = b.tok
+ORDER BY f.fg_df * f.fg_df / b.bg_df DESC, f.tok ASC LIMIT {n}"""

@@ -176,6 +176,26 @@ class SearchEngine:
             stats, k=k, mode=mode, prune=prune, n_query_terms=len(set(terms))
         )
 
+    def score_all(self, stats: list[TermStats], blocks: DataFrame | None = None) -> DataFrame:
+        """Unlimited per-doc scores: (doc_id, score_raw double, n_terms).
+
+        The building block for composed ranking (dismax, rerank, RRF):
+        decode (optionally pre-pruned) blocks, sum per-doc contributions.
+        """
+        if not stats:  # no known terms → no scored docs
+            return self.spark.createDataFrame(
+                [], "doc_id long, score_raw double, n_terms long"
+            )
+        if blocks is None:
+            blocks = self._blocks_for([s.term for s in stats])
+        decoded = blocks.select("term", "doc_ids_enc", "tfs_enc", "dls_enc").mapInPandas(
+            _decode_blocks_udf(), schema=_DECODED_SCHEMA
+        )
+        scored = self._score_decoded(decoded, stats)
+        return scored.groupBy("doc_id").agg(
+            F.sum("contrib").alias("score_raw"), F.count("*").alias("n_terms")
+        )
+
     def topk_from_stats(
         self,
         stats: list[TermStats],
@@ -183,9 +203,19 @@ class SearchEngine:
         mode: str = "OR",
         prune: bool = True,
         n_query_terms: int | None = None,
+        min_match: int = 1,
+        exclude_doc: int | None = None,
     ) -> DataFrame:
+        """Ranked top-k from term stats.
+
+        ``min_match`` is the edismax ``mm`` analog (OR mode: require ≥ mm
+        distinct matching terms, ``ExtendedDismaxQParser.java:144-165``);
+        ``exclude_doc`` drops one doc pre-limit (the MLT seed-doc filter,
+        ``MoreLikeThisComponent``).
+        """
         empty = self.spark.createDataFrame([], "doc_id long, score float")
         n_required = len(stats)
+        min_match = min(min_match, n_required) if n_required else min_match
         if n_query_terms is None:
             n_query_terms = n_required
         # conjunction over a term absent from the index matches nothing
@@ -193,20 +223,18 @@ class SearchEngine:
             return empty
         if mode == "AND" and prune and n_required > 1:
             blocks = self._and_pruned_blocks(stats, k)
-        elif prune and n_required == 1:
+        elif prune and n_required == 1 and min_match <= 1 and exclude_doc is None:
             blocks = self._single_term_pruned_blocks(stats[0], k)
         else:
             blocks = self._blocks_for([s.term for s in stats])
 
-        decoded = blocks.select("term", "doc_ids_enc", "tfs_enc", "dls_enc").mapInPandas(
-            _decode_blocks_udf(), schema=_DECODED_SCHEMA
-        )
-        scored = self._score_decoded(decoded, stats)
-        agg = scored.groupBy("doc_id").agg(
-            F.sum("contrib").alias("score_raw"), F.count("*").alias("n_terms")
-        )
+        agg = self.score_all(stats, blocks=blocks)
         if mode == "AND":
             agg = agg.where(F.col("n_terms") == F.lit(n_required))
+        elif min_match > 1:
+            agg = agg.where(F.col("n_terms") >= F.lit(min_match))
+        if exclude_doc is not None:
+            agg = agg.where(F.col("doc_id") != F.lit(exclude_doc))
         return (
             agg.select("doc_id", F.col("score_raw").cast("float").alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))

@@ -1,0 +1,300 @@
+"""Composed query operators over the BM25 engine — the wider QParser /
+SearchComponent surface (SURVEY.md §2.3-2.4).
+
+Each function re-expresses one reference operator as a composition of the
+engine's primitives (term-dict expansion, ``score_all``, ranked limit)
+plus stock DataFrame ops. Frozen semantics are documented per function —
+the DuckDB oracles in ``oracle_sql.py`` mirror them exactly.
+
+Reference anchors:
+- prefix/wildcard/fuzzy: ``PrefixQParserPlugin.java``, ``FuzzyQParserPlugin
+  .java`` (Lucene MultiTermQuery rewrite; our frozen rewrite = scoring
+  boolean OR over the top ``max_expansions`` terms by (df desc, term asc),
+  the analog of Lucene's TopTermsScoringBooleanQueryRewrite)
+- MLT: ``MLTQParserPlugin.java`` / ``MoreLikeThisComponent.java:63``
+- rerank: ``ReRankQParserPlugin.java`` (score = first + weight·second)
+- dismax: ``DisMaxQParser.java`` / ``ExtendedDismaxQParser.java:93-96``
+  (per-field max + tie·(sum-max))
+- boost: ``BoostQParserPlugin.java`` (score × function query)
+- spellcheck/suggest: ``SpellCheckComponent.java:90``,
+  ``SuggestComponent.java:70`` — edit-distance / prefix top-k over the
+  term dictionary
+- highlight: ``HighlightComponent.java:55`` — snippet window around the
+  first match
+- significantTerms: ``SignificantTermsStream.java:55``
+- RRF: ``combine/ReciprocalRankFusion.java:37,82-83``
+
+Scale notes: expansions and spell candidates scan ``term_dict`` (a
+filtered columnar read, tiny next to postings); dismax/rerank join
+score tables keyed by doc_id (one shuffle, AQE-sized); nothing here
+decodes more posting blocks than the underlying queries require.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from solr_spark.query.engine import SearchEngine, TermStats
+
+
+# ---------------------------------------------------------------------------
+# term-dict expansions: prefix / fuzzy
+# ---------------------------------------------------------------------------
+
+
+def _expansion_stats(engine: SearchEngine, cond, max_expansions: int) -> list[TermStats]:
+    """Top ``max_expansions`` matching terms by (df desc, term asc) — the
+    frozen MultiTermQuery rewrite. A filtered read of the sorted
+    term_dict; collected stats are O(max_expansions)."""
+    rows = (
+        engine.index.term_dict.where(cond)
+        .select("term", "df", "idf")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return [TermStats(r["term"], r["df"], r["idf"], 1.0) for r in rows]
+
+
+def prefix_topk(
+    engine: SearchEngine, prefix: str, k: int = 10, max_expansions: int = 50
+) -> DataFrame:
+    """``field:pre*`` → scoring OR over the expanded terms."""
+    stats = _expansion_stats(engine, F.col("term").startswith(prefix), max_expansions)
+    return engine.topk_from_stats(stats, k=k, mode="OR", prune=False)
+
+
+def fuzzy_topk(
+    engine: SearchEngine, word: str, max_edits: int = 2, k: int = 10, max_expansions: int = 50
+) -> DataFrame:
+    """``term~2`` → OR over terms within ``max_edits`` Levenshtein.
+
+    Length-band prefilter (||t|-|w|| ≤ max_edits) bounds the candidate
+    scan; Lucene uses a Levenshtein automaton for the same pruning.
+    """
+    cond = (
+        (F.abs(F.length("term") - F.lit(len(word))) <= max_edits)
+        & (F.levenshtein(F.col("term"), F.lit(word)) <= max_edits)
+    )
+    stats = _expansion_stats(engine, cond, max_expansions)
+    return engine.topk_from_stats(stats, k=k, mode="OR", prune=False)
+
+
+def mm_topk(engine: SearchEngine, query: str, mm: int, k: int = 10) -> DataFrame:
+    """edismax min-should-match: OR requiring ≥ mm distinct matched terms."""
+    stats = engine._term_stats(engine.analyze_query(query))
+    return engine.topk_from_stats(stats, k=k, mode="OR", prune=False, min_match=mm)
+
+
+# ---------------------------------------------------------------------------
+# More-Like-This
+# ---------------------------------------------------------------------------
+
+
+def mlt_topk(engine: SearchEngine, seed_doc_id: int, k: int = 10, max_terms: int = 10) -> DataFrame:
+    """MLT: OR query over the seed doc's top tf·idf terms, seed excluded.
+
+    Interesting-term selection frozen as: rank the seed's terms by
+    (tf·idf desc, term asc), take ``max_terms``, weight 1 each
+    (Solr MLT ``boost=false`` default).
+    """
+    seed_tf = (
+        engine.index.segments.where(F.col("doc_id") == seed_doc_id)
+        .select("term", "tf")
+        .collect()
+    )
+    tf_by_term = {r["term"]: r["tf"] for r in seed_tf}
+    stats = engine._term_stats(list(tf_by_term))
+    ranked = sorted(stats, key=lambda s: (-tf_by_term[s.term] * s.idf, s.term))[:max_terms]
+    return engine.topk_from_stats(
+        [TermStats(s.term, s.df, s.idf, 1.0) for s in ranked],
+        k=k, mode="OR", prune=False, exclude_doc=seed_doc_id,
+    )
+
+
+# ---------------------------------------------------------------------------
+# rerank / boost / dismax / RRF — composed rankers
+# ---------------------------------------------------------------------------
+
+
+def _f32(c: Column) -> Column:
+    return c.cast("float").cast("double")
+
+
+def rerank_topk(
+    engine: SearchEngine,
+    query: str,
+    rerank_query: str,
+    k: int = 10,
+    rerank_docs: int = 50,
+    weight: float = 2.0,
+) -> DataFrame:
+    """ReRank: first-pass OR top ``rerank_docs``, combined score =
+    f32(first) + weight·f32(second), re-ranked (f32(combined) desc,
+    doc_id asc)."""
+    s1 = engine.score_all(engine._term_stats(engine.analyze_query(query)))
+    first = (
+        s1.select("doc_id", F.col("score_raw").cast("float").alias("s1"))
+        .orderBy(F.desc("s1"), F.asc("doc_id"))
+        .limit(rerank_docs)
+    )
+    s2 = engine.score_all(engine._term_stats(engine.analyze_query(rerank_query))).select(
+        "doc_id", F.col("score_raw").cast("float").alias("s2")
+    )
+    combined = (
+        first.join(s2, "doc_id", "left")
+        .withColumn(
+            "score",
+            (_f32(F.col("s1")) + F.lit(weight) * F.coalesce(_f32(F.col("s2")), F.lit(0.0))).cast("float"),
+        )
+    )
+    return (
+        combined.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def boost_topk(
+    engine: SearchEngine,
+    query: str,
+    boost_df: DataFrame,
+    boost_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Boost-by-function: score × boost(doc). ``boost_df`` carries
+    (doc_id, <boost_col> double); final = f32(f32(bm25) · boost)."""
+    scores = engine.score_all(engine._term_stats(engine.analyze_query(query)))
+    return (
+        scores.join(boost_df, "doc_id")
+        .withColumn("score", (_f32(F.col("score_raw").cast("float")) * F.col(boost_col)).cast("float"))
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def dismax_topk(
+    engines: dict[str, SearchEngine], query: str, tie: float = 0.1, k: int = 10
+) -> DataFrame:
+    """DisMax across fields: score = max_f + tie·(Σ_f − max_f) over the
+    per-field f32 BM25 scores; each field analyzed by its own chain."""
+    per_field = []
+    for fname, eng in engines.items():
+        s = eng.score_all(eng._term_stats(eng.analyze_query(query)))
+        per_field.append(
+            s.select("doc_id", F.col("score_raw").cast("float").alias(f"s_{fname}"))
+        )
+    joined = per_field[0]
+    for s in per_field[1:]:
+        joined = joined.join(s, "doc_id", "full_outer")
+    cols = [F.coalesce(_f32(F.col(f"s_{f}")), F.lit(0.0)) for f in engines]
+    mx = F.greatest(*cols) if len(cols) > 1 else cols[0]
+    total = cols[0]
+    for c in cols[1:]:
+        total = total + c
+    return (
+        joined.withColumn("score", (mx + F.lit(tie) * (total - mx)).cast("float"))
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def rrf_topk(
+    engine: SearchEngine, queries: list[str], k: int = 10, depth: int = 20, c: int = 60
+) -> DataFrame:
+    """Reciprocal Rank Fusion of N queries' top-``depth`` rankings:
+    fused = Σ 1/(c + rank); ranked (fused desc, doc_id asc)."""
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = [
+        engine.topk(q, k=depth, mode="OR").withColumn("rank", F.row_number().over(w)).select("doc_id", "rank")
+        for q in queries
+    ]
+    out = ranked[0]
+    for r in ranked[1:]:
+        out = out.unionByName(r)
+    return (
+        out.groupBy("doc_id")
+        .agg(F.sum(1.0 / (F.lit(c) + F.col("rank"))).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# spellcheck / suggest / highlight / significant terms
+# ---------------------------------------------------------------------------
+
+
+def spellcheck(engine: SearchEngine, word: str, max_edits: int = 2, n: int = 5) -> DataFrame:
+    """Correction candidates from the term dictionary, ranked
+    (distance asc, df desc, term asc)."""
+    td = engine.index.term_dict
+    return (
+        td.where(F.abs(F.length("term") - F.lit(len(word))) <= max_edits)
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(word)))
+        .where(F.col("dist") <= max_edits)
+        .select("term", "df", "dist")
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def suggest(engine: SearchEngine, prefix: str, n: int = 10) -> DataFrame:
+    """Autocomplete: prefix top-N by (df desc, term asc) — the
+    SuggestComponent's FST lookup restated over the sorted term_dict."""
+    return (
+        engine.index.term_dict.where(F.col("term").startswith(prefix))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def highlight_topk(
+    engine: SearchEngine, term: str, corpus: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", k: int = 10, before: int = 30, width: int = 80,
+) -> DataFrame:
+    """Single-term search with snippet: window of ``width`` chars starting
+    ``before`` chars left of the first case-insensitive occurrence.
+    Phase-2 style: snippets only for the k winners (broadcast join)."""
+    hits = engine.topk(term, k=k, mode="OR")
+    toks = engine.analyze_query(term)
+    needle = toks[0] if toks else term.lower()
+    pos = F.locate(needle, F.lower(F.col(text_col)))
+    snippet = F.when(
+        pos > 0, F.substring(F.col(text_col), F.greatest(F.lit(1), pos - before), width)
+    ).otherwise(F.lit(None))
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .join(F.broadcast(hits), "doc_id")
+        .select("doc_id", "score", snippet.alias("snippet"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def significant_terms(
+    engine: SearchEngine, fg_term: str, min_fg_df: int = 2, n: int = 10
+) -> DataFrame:
+    """Terms over-represented in the docs matching ``fg_term`` vs the
+    corpus: score = fg_df²/bg_df, ranked (score desc, term asc)."""
+    toks = engine.analyze_query(fg_term)
+    seg = engine.index.segments
+    fg_docs = seg.where(F.col("term") == (toks[0] if toks else fg_term)).select("doc_id")
+    fg_df = (
+        seg.join(F.broadcast(fg_docs), "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("fg_df"))
+        .where(F.col("fg_df") >= min_fg_df)
+    )
+    bg = engine.index.term_dict.select("term", F.col("df").alias("bg_df"))
+    return (
+        fg_df.join(bg, "term")
+        .withColumn("score", F.col("fg_df") * F.col("fg_df") / F.col("bg_df"))
+        .select("term", "fg_df", "bg_df", "score")
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(n)
+    )

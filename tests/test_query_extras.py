@@ -1,0 +1,97 @@
+"""Composed query operators (prefix/fuzzy/MLT/rerank/dismax/RRF/...) —
+invariant tests over the synth-corpus index (cross-engine goldens run in
+scripts/check_entry.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.query import extras as qx
+from solr_spark.query.engine import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def engine(index):
+    return SearchEngine(index)
+
+
+def test_prefix_expansion_only_matching_terms(engine):
+    stats = qx._expansion_stats(engine, F.col("term").startswith("ser"), 50)
+    assert stats and all(s.term.startswith("ser") for s in stats)
+    hits = qx.prefix_topk(engine, "ser", k=10).collect()
+    assert len(hits) > 0
+
+
+def test_fuzzy_includes_exact_word(engine):
+    # "server" is in the corpus vocabulary; fuzzy on itself must rank docs
+    exact = {r["doc_id"] for r in engine.topk("server", k=50).collect()}
+    fuzz = {r["doc_id"] for r in qx.fuzzy_topk(engine, "server", max_edits=1, k=50).collect()}
+    assert exact & fuzz
+
+
+def test_mlt_excludes_seed_and_returns_similar(engine):
+    hits = qx.mlt_topk(engine, seed_doc_id=7, k=10).collect()
+    assert hits
+    assert all(r["doc_id"] != 7 for r in hits)
+
+
+def test_mm_monotone(engine):
+    q = "server client parse"
+    big = 100_000  # no truncation: supersets must be genuine supersets
+    r1 = {r["doc_id"] for r in qx.mm_topk(engine, q, mm=1, k=big).collect()}
+    r2 = {r["doc_id"] for r in qx.mm_topk(engine, q, mm=2, k=big).collect()}
+    r3 = {r["doc_id"] for r in qx.mm_topk(engine, q, mm=3, k=big).collect()}
+    assert r3 <= r2 <= r1
+    and_hits = {r["doc_id"] for r in engine.topk(q, k=big, mode="AND").collect()}
+    assert r3 == and_hits  # mm == n_terms is conjunction
+
+
+def test_rerank_weight_zero_is_first_pass(engine):
+    base = [(r["doc_id"], r["score"]) for r in engine.topk("server client", k=10).collect()]
+    rr = [
+        (r["doc_id"], r["score"])
+        for r in qx.rerank_topk(engine, "server client", "parse", k=10, weight=0.0).collect()
+    ]
+    assert [d for d, _ in base] == [d for d, _ in rr]
+    for (_, a), (_, b) in zip(base, rr):
+        assert a == pytest.approx(b, abs=1e-6)
+
+
+def test_dismax_single_field_matches_engine(engine):
+    one = [(r["doc_id"], r["score"]) for r in qx.dismax_topk({"text": engine}, "server", k=10).collect()]
+    base = [(r["doc_id"], r["score"]) for r in engine.topk("server", k=10).collect()]
+    assert [d for d, _ in one] == [d for d, _ in base]
+
+
+def test_rrf_scores_bounded(engine):
+    hits = qx.rrf_topk(engine, ["server", "client"], k=10, depth=20).collect()
+    assert hits
+    for r in hits:
+        # max possible: rank 1 in both rankings
+        assert 0 < r["rrf_score"] <= 2 / 61 + 1e-12
+
+
+def test_spellcheck_exact_word_first(engine):
+    rows = qx.spellcheck(engine, "server", max_edits=2).collect()
+    assert rows and rows[0]["term"] == "server" and rows[0]["dist"] == 0
+
+
+def test_suggest_orders_by_df(engine):
+    rows = qx.suggest(engine, "s", n=10).collect()
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+
+
+def test_highlight_snippet_contains_term(spark, engine, oracle_corpus):
+    corpus = spark.createDataFrame(oracle_corpus[["doc_id", "content"]])
+    rows = qx.highlight_topk(engine, "server", corpus, text_col="content", k=5).collect()
+    assert rows
+    for r in rows:
+        assert r["snippet"] is not None and "server" in r["snippet"].lower()
+
+
+def test_significant_terms_self_is_significant(engine):
+    rows = qx.significant_terms(engine, "server", n=10).collect()
+    terms = [r["term"] for r in rows]
+    assert "server" in terms  # fg term is maximally over-represented
+    for r in rows:
+        assert r["fg_df"] <= r["bg_df"]
