@@ -27,6 +27,17 @@ from solr_spark.operators import (
     stats_numeric,
     timeseries,
 )
+from solr_spark.operators.relational import (
+    atomic_update,
+    cursor_page,
+    export_sorted,
+    facet_heatmap,
+    facet_pivot,
+    frange_filter,
+    graph_traverse,
+    join_filter,
+    realtime_get,
+)
 from solr_spark.oracle_sql import (
     ann_topk_sql,
     bm25_mm_sql,
@@ -49,8 +60,12 @@ from solr_spark.oracle_sql import (
     suggest_sql,
     term_dict_sql,
 )
+from solr_spark.oracle_sql import phrase_topk_sql
+from solr_spark.plans import execute_query
 from solr_spark.query import extras as qx
 from solr_spark.query.engine import SearchEngine
+from solr_spark.query.phrase import phrase_topk
+from solr_spark.streaming import IncrementalIndexer
 
 # ---------------------------------------------------------------------------
 # shared index over the driver's `documents` table (built once per sf_dir,
@@ -248,6 +263,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fetch_enrich_events"] = fetch_enrich
 
     # --- wider query surface (QParser / SearchComponent analogs) ---
+    q["phrase_batch_stream"] = lambda s, d: _rounded(
+        phrase_topk(_engine(s, d), "batch stream", k=10)
+    )
+    # lucene-syntax compiled queries: fq filter + prohibited clause; AND
+    q["lucene_filter_prohibit"] = lambda s, d: _rounded(
+        execute_query(_engine(s, d), "lang:en spark merge -batch", k=10)
+    )
+    q["lucene_and_filter"] = lambda s, d: _rounded(
+        execute_query(_engine(s, d), "customer AND vector lang:de", k=10)
+    )
+
+    def nrt_incremental(s, d):
+        """Incremental (2-batch append + commit) build must be
+        query-identical to the batch oracle over the full table."""
+        import shutil
+
+        docs = _read(s, d, "documents")
+        out = f"/tmp/solr_spark_entry_nrt_{os.path.basename(os.path.normpath(d))}"
+        shutil.rmtree(out, ignore_errors=True)
+        inc = IncrementalIndexer(s, out, _ENTRY_CONFIG)
+        inc.append_batch(docs.where(F.col("doc_id") % 2 == 0), text_col="text", id_col="doc_id")
+        inc.append_batch(docs.where(F.col("doc_id") % 2 == 1), text_col="text", id_col="doc_id")
+        idx = inc.commit()
+        hits = SearchEngine(idx).topk(_Q_OR, k=10, mode="OR")
+        return hits.select(
+            "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+        )
+
+    q["nrt_incremental_bm25"] = nrt_incremental
     q["bm25_mm_2of3"] = lambda s, d: _rounded(qx.mm_topk(_engine(s, d), "spark merge window", mm=2))
     q["query_prefix"] = lambda s, d: _rounded(qx.prefix_topk(_engine(s, d), "s"))
     q["query_fuzzy"] = lambda s, d: _rounded(qx.fuzzy_topk(_engine(s, d), "sprk"))
@@ -282,6 +326,128 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["significant_terms_spark"] = lambda s, d: qx.significant_terms(
         _engine(s, d), "spark"
     ).withColumn("score", F.round("score", 6))
+
+    # --- sources/sinks + function-query scalars ---
+    def csv_roundtrip(s, d):
+        """CSV writer → CSV loader roundtrip preserves the table exactly
+        (response-writer + ingest-loader parity)."""
+        import shutil
+
+        from solr_spark.sources import load_csv_docs, write_response_csv
+
+        docs = _read(s, d, "documents").select("doc_id", "lang", "n_chars")
+        tmp = f"/tmp/solr_spark_entry_csv_{os.path.basename(os.path.normpath(d))}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_response_csv(docs, tmp)
+        back = load_csv_docs(s, tmp, schema="doc_id long, lang string, n_chars long")
+        return back.groupBy("lang").agg(
+            F.count("*").alias("n"), F.sum("n_chars").alias("total_chars")
+        ).orderBy("lang")
+
+    q["csv_roundtrip_ingest"] = csv_roundtrip
+
+    def func_scalars(s, d):
+        from solr_spark.functions import linear, map_value, recip, strdist
+
+        docs = _read(s, d, "documents").where(F.col("doc_id") < 20)
+        return docs.select(
+            "doc_id",
+            F.round(recip(F.col("n_chars").cast("double"), 0.001, 1.0, 1.0), 6).alias("recip_nchars"),
+            F.round(linear(F.col("n_chars").cast("double"), 2.0, 10.0), 4).alias("linear_nchars"),
+            map_value(F.col("n_chars").cast("double"), 0.0, 300.0, -1.0).alias("map_nchars"),
+            F.round(strdist(F.col("lang"), F.lit("python")), 6).alias("strdist_lang"),
+        ).orderBy("doc_id")
+
+    q["function_query_scalars"] = func_scalars
+
+    # --- join / graph / paging / update-path operators ---
+    def join_q(s, d):
+        orders = _read(s, d, "orders")
+        rich = _read(s, d, "customer").where(F.col("c_acctbal") > 9000)
+        return (
+            join_filter(orders, rich, "c_custkey", "o_custkey")
+            .select("o_orderkey", "o_custkey")
+            .orderBy("o_orderkey")
+            .limit(100)
+        )
+
+    q["join_orders_rich_customers"] = join_q
+
+    def graph_q(s, d):
+        li = _read(s, d, "lineitem")
+        fwd = li.select(
+            (F.col("l_orderkey") * 2).alias("src"), (F.col("l_suppkey") * 2 + 1).alias("dst")
+        )
+        edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        start_order = li.agg(F.min("l_orderkey")).collect()[0][0]
+        return graph_traverse(edges, "src", "dst", [start_order * 2], max_depth=2).orderBy(
+            "depth", "node"
+        )
+
+    q["graph_2hop_lineitem"] = graph_q
+
+    q["frange_recip_nchars"] = lambda s, d: frange_filter(
+        _read(s, d, "documents"),
+        F.lit(1.0) / (F.lit(1.0) + 0.001 * F.col("n_chars")),
+        0.6, 0.8,
+    ).select("doc_id", F.round("func_value", 6).alias("func_value")).orderBy("doc_id")
+
+    def cursor_q(s, d):
+        docs = _read(s, d, "documents")
+        sort = [("n_chars", "desc"), ("doc_id", "asc")]
+        after = None
+        page = None
+        for _ in range(3):  # walk to page 3 via cursorMark keyset chaining
+            page = cursor_page(docs, sort, page_size=20, after=after)
+            last = page.collect()[-1]
+            after = (last["n_chars"], last["doc_id"])
+        return page.select("doc_id", "n_chars")
+
+    q["cursor_page3"] = cursor_q
+
+    def atomic_q(s, d):
+        docs = _read(s, d, "documents")
+        updates = docs.where(F.col("doc_id") < 50).select(
+            "doc_id", F.lit("updated").alias("lang"), F.lit(1000).alias("n_chars")
+        )
+        return (
+            atomic_update(docs, updates, "doc_id", set_cols=["lang"], inc_cols=["n_chars"])
+            .where(F.col("doc_id") < 60)
+            .select("doc_id", "lang", "n_chars")
+            .orderBy("doc_id")
+        )
+
+    q["atomic_update_docs"] = atomic_q
+
+    q["export_sorted_documents"] = lambda s, d: export_sorted(
+        _read(s, d, "documents"),
+        [F.desc("n_chars"), F.asc("doc_id")],
+        ["doc_id", "n_chars", "lang"],
+    )
+
+    q["realtime_get_ids"] = lambda s, d: realtime_get(
+        _read(s, d, "documents"), "doc_id", [5, 17, 123]
+    ).select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+    q["facet_pivot_lang_source"] = lambda s, d: facet_pivot(
+        _read(s, d, "documents"), ["lang", "source"]
+    )
+
+    q["facet_heatmap_events"] = lambda s, d: facet_heatmap(
+        _read(s, d, "events").withColumn("hour", F.hour("ts").cast("double")),
+        "value", "hour", 0.0, 500.0, 50.0, 0.0, 24.0, 6.0,
+    ).select(
+        F.col("x_bucket").cast("double").alias("x_bucket"),
+        F.col("y_bucket").cast("double").alias("y_bucket"),
+        "count",
+    )
+
+    q["stats_percentiles_price"] = lambda s, d: _read(s, d, "orders").agg(
+        F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.75), 4).alias("p75"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
 
     # --- training-data pipeline: text analysis ---
     def text_analysis(s, d):
@@ -431,7 +597,113 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY e.event_id
     """
 
+    # --- sources/sinks + scalar oracles ---
+    o["csv_roundtrip_ingest"] = """
+        SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """
+    o["function_query_scalars"] = """
+        SELECT doc_id,
+               ROUND(1.0 / (0.001 * n_chars + 1.0), 6) AS recip_nchars,
+               ROUND(2.0 * n_chars + 10.0, 4) AS linear_nchars,
+               CASE WHEN n_chars BETWEEN 0 AND 300 THEN -1.0
+                    ELSE CAST(n_chars AS DOUBLE) END AS map_nchars,
+               ROUND(CASE WHEN greatest(length(lang), 6) = 0 THEN 1.0
+                     ELSE 1.0 - CAST(levenshtein(lang, 'python') AS DOUBLE)
+                          / greatest(length(lang), 6) END, 6) AS strdist_lang
+        FROM documents WHERE doc_id < 20 ORDER BY doc_id
+    """
+
+    # --- join / graph / paging / update-path oracles ---
+    o["join_orders_rich_customers"] = """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        ORDER BY o_orderkey LIMIT 100
+    """
+    o["graph_2hop_lineitem"] = """
+        WITH RECURSIVE edges AS (
+          SELECT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+          UNION
+          SELECT l_suppkey * 2 + 1 AS src, l_orderkey * 2 AS dst FROM lineitem
+        ),
+        bfs AS (
+          SELECT (SELECT min(l_orderkey) * 2 FROM lineitem) AS node, 0 AS depth
+          UNION
+          SELECT e.dst AS node, b.depth + 1 AS depth
+          FROM bfs b JOIN edges e ON e.src = b.node
+          WHERE b.depth < 2
+        )
+        SELECT node, CAST(min(depth) AS INT) AS depth FROM bfs GROUP BY node
+        ORDER BY depth, node
+    """
+    o["frange_recip_nchars"] = """
+        SELECT doc_id, ROUND(1.0 / (1.0 + 0.001 * n_chars), 6) AS func_value
+        FROM documents
+        WHERE 1.0 / (1.0 + 0.001 * n_chars) BETWEEN 0.6 AND 0.8
+        ORDER BY doc_id
+    """
+    o["cursor_page3"] = """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 20 OFFSET 40
+    """
+    o["atomic_update_docs"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id < 50 THEN 'updated' ELSE lang END AS lang,
+               n_chars + CASE WHEN doc_id < 50 THEN 1000 ELSE 0 END AS n_chars
+        FROM documents WHERE doc_id < 60 ORDER BY doc_id
+    """
+    o["export_sorted_documents"] = """
+        SELECT doc_id, n_chars, lang FROM documents
+        ORDER BY n_chars DESC, doc_id ASC
+    """
+    o["realtime_get_ids"] = """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id IN (5, 17, 123) ORDER BY doc_id
+    """
+    o["facet_pivot_lang_source"] = """
+        SELECT lang, source, count(*) AS count FROM documents
+        GROUP BY lang, source ORDER BY lang, source LIMIT 1000
+    """
+    o["facet_heatmap_events"] = """
+        SELECT CAST(floor(value / 50.0) * 50.0 AS DOUBLE) AS x_bucket,
+               CAST(floor(extract(hour FROM ts) / 6.0) * 6.0 AS DOUBLE) AS y_bucket,
+               count(*) AS count
+        FROM events
+        WHERE value >= 0 AND value < 500
+          AND extract(hour FROM ts) >= 0 AND extract(hour FROM ts) < 24
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    o["stats_percentiles_price"] = """
+        SELECT ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+               count(DISTINCT o_custkey) AS n_customers
+        FROM orders
+    """
+
     # --- wider query surface oracles ---
+    o["phrase_batch_stream"] = phrase_topk_sql("batch stream")
+    from solr_spark.oracle_sql import _prelude, _scored
+
+    o["lucene_filter_prohibit"] = f"""
+WITH {_prelude()},
+{_scored('sc', "('merge', 'spark')")},
+bad AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'batch')
+SELECT sc.doc_id, ROUND(CAST(CAST(score_raw AS REAL) AS DOUBLE), 4) AS score
+FROM sc JOIN documents d USING (doc_id)
+WHERE d.lang = 'en' AND sc.doc_id NOT IN (SELECT doc_id FROM bad)
+ORDER BY CAST(score_raw AS REAL) DESC, sc.doc_id ASC LIMIT 10
+"""
+    o["lucene_and_filter"] = f"""
+WITH {_prelude()},
+{_scored('sc', "('customer', 'vector')")}
+SELECT sc.doc_id, ROUND(CAST(CAST(score_raw AS REAL) AS DOUBLE), 4) AS score
+FROM sc JOIN documents d USING (doc_id)
+WHERE d.lang = 'de' AND sc.nt = 2
+ORDER BY CAST(score_raw AS REAL) DESC, sc.doc_id ASC LIMIT 10
+"""
+    # incremental build == batch build == the same SQL oracle
+    o["nrt_incremental_bm25"] = bm25_topk_sql(tok.tokenize_py(_Q_OR), "OR")
     o["bm25_mm_2of3"] = bm25_mm_sql(tok.tokenize_py("spark merge window"), mm=2)
     o["query_prefix"] = prefix_topk_sql("s")
     o["query_fuzzy"] = fuzzy_topk_sql("sprk")

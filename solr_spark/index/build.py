@@ -61,7 +61,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from solr_spark.analysis import CODE_CHAIN, TEXT_CHAIN, AnalyzerChain
-from solr_spark.index.codec import delta_varint_encode, varint_encode
+from solr_spark.index.codec import delta_varint_encode, positions_encode, varint_encode
 
 CHAINS: dict[str, AnalyzerChain] = {"code": CODE_CHAIN, "text_general": TEXT_CHAIN}
 
@@ -77,6 +77,7 @@ class IndexConfig:
     k1: float = 1.2                 # BM25SimilarityFactory.java:48
     b: float = 0.75                 # BM25SimilarityFactory.java:49
     analyzer: str = "code"
+    with_positions: bool = True     # store positions (phrase queries)
 
     def chain(self) -> AnalyzerChain:
         return CHAINS[self.analyzer]
@@ -236,11 +237,27 @@ def _stage_analyze(
 
 def _stage_segments(spark: SparkSession, out_dir: str, config: IndexConfig) -> None:
     analyzed = spark.read.parquet(_stage_dir(out_dir, "analyzed")).select("doc_id", "doc_len", "tokens")
-    postings = (
-        analyzed.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count("*").cast("int").alias("tf"), F.first("doc_len").alias("doc_len"))
-    )
+    if config.with_positions:
+        # position = index in the surviving-token stream (frozen choice:
+        # no position gaps at removed stopwords — documented deviation
+        # from Lucene's StopFilter increment, identical on the oracle side)
+        postings = (
+            analyzed.select(
+                "doc_id", "doc_len", F.posexplode("tokens").alias("pos", "term")
+            )
+            .groupBy("term", "doc_id")
+            .agg(
+                F.count("*").cast("int").alias("tf"),
+                F.first("doc_len").alias("doc_len"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
+        )
+    else:
+        postings = (
+            analyzed.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").cast("int").alias("tf"), F.first("doc_len").alias("doc_len"))
+        )
     postings.write.mode("overwrite").parquet(_stage_dir(out_dir, "segments"))
 
 
@@ -297,21 +314,39 @@ _BLOCK_SCHEMA = T.StructType(
         T.StructField("doc_ids_enc", T.BinaryType(), False),
         T.StructField("tfs_enc", T.BinaryType(), False),
         T.StructField("dls_enc", T.BinaryType(), False),
+        T.StructField("pos_enc", T.BinaryType(), True),
     ]
 )
 
 
-def _encode_blocks_udf():
-    """Grouped-block encoder: arrays → delta+varint binaries (numpy)."""
+def _encode_blocks_udf(with_positions: bool):
+    """Grouped-block encoder: arrays → delta+varint binaries (numpy).
+
+    ``pos_enc`` holds the per-doc delta-coded position runs (lengths =
+    the tf array, so decode needs no extra framing); NULL when the index
+    is built without positions.
+    """
 
     def enc(batches):
         for pdf in batches:
             rows = []
-            for term, salt, block_no, block_max, doc_ids, tfs, dls in zip(
+            has_pos = with_positions and "positions" in pdf.columns
+            pos_col = pdf["positions"] if has_pos else [None] * len(pdf)
+            for term, salt, block_no, block_max, doc_ids, tfs, dls, poss in zip(
                 pdf["term"], pdf["salt"], pdf["block_no"], pdf["block_max"],
-                pdf["doc_ids"], pdf["tfs"], pdf["dls"],
+                pdf["doc_ids"], pdf["tfs"], pdf["dls"], pos_col,
             ):
                 doc_ids = np.asarray(doc_ids, dtype=np.int64)
+                tfs_arr = np.asarray(tfs, dtype=np.int64)
+                if has_pos:
+                    flat = (
+                        np.concatenate([np.asarray(p, dtype=np.int64) for p in poss])
+                        if len(poss)
+                        else np.empty(0, dtype=np.int64)
+                    )
+                    pos_enc = positions_encode(flat, tfs_arr)
+                else:
+                    pos_enc = None
                 rows.append(
                     (
                         term,
@@ -322,8 +357,9 @@ def _encode_blocks_udf():
                         int(doc_ids[-1]),
                         float(block_max),
                         delta_varint_encode(doc_ids),
-                        varint_encode(np.asarray(tfs, dtype=np.int64)),
+                        varint_encode(tfs_arr),
                         varint_encode(np.asarray(dls, dtype=np.int64)),
+                        pos_enc,
                     )
                 )
             yield pd.DataFrame(
@@ -359,24 +395,26 @@ def _stage_blocks(spark: SparkSession, out_dir: str, config: IndexConfig) -> Non
     w = Window.partitionBy("term", "salt").orderBy("doc_id")
     p = p.withColumn("block_no", ((F.row_number().over(w) - 1) / F.lit(config.block_size)).cast("int"))
 
+    posting_fields = [F.col("doc_id"), F.col("tf"), F.col("doc_len").alias("dl")]
+    unzip = [
+        F.col("postings.doc_id").alias("doc_ids"),
+        F.col("postings.tf").alias("tfs"),
+        F.col("postings.dl").alias("dls"),
+    ]
+    if config.with_positions:
+        posting_fields.append(F.col("positions"))
+        unzip.append(F.col("postings.positions").alias("positions"))
     grouped = (
         p.groupBy("term", "salt", "block_no")
         .agg(
             F.max("impact").alias("block_max"),
-            F.sort_array(
-                F.collect_list(F.struct(F.col("doc_id"), F.col("tf"), F.col("doc_len").alias("dl")))
-            ).alias("postings"),
+            F.sort_array(F.collect_list(F.struct(*posting_fields))).alias("postings"),
         )
         # unzip the sorted struct array into aligned primitive arrays
         # JVM-side so the encoder UDF sees numpy arrays, not dict rows
-        .select(
-            "term", "salt", "block_no", "block_max",
-            F.col("postings.doc_id").alias("doc_ids"),
-            F.col("postings.tf").alias("tfs"),
-            F.col("postings.dl").alias("dls"),
-        )
+        .select("term", "salt", "block_no", "block_max", *unzip)
     )
-    blocks = grouped.mapInPandas(_encode_blocks_udf(), schema=_BLOCK_SCHEMA)
+    blocks = grouped.mapInPandas(_encode_blocks_udf(config.with_positions), schema=_BLOCK_SCHEMA)
     blocks = blocks.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(config.n_term_buckets)).cast("int")
     )

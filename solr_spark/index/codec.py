@@ -96,3 +96,43 @@ def delta_varint_decode(buf: bytes) -> np.ndarray:
     if len(deltas) == 0:
         return deltas
     return np.cumsum(deltas, dtype=np.uint64)
+
+
+def positions_encode(flat: np.ndarray, lens: np.ndarray) -> bytes:
+    """Encode concatenated per-doc position lists (Lucene ``.prx``-style).
+
+    ``flat`` = positions of doc0 ++ doc1 ++ …, each run ascending;
+    ``lens`` = run lengths (the tf array — the same array the block
+    already stores, so no extra length prefix is needed). Each run is
+    delta-coded independently (first position absolute), then the whole
+    stream is varint-packed. Fully vectorized (segmented delta).
+    """
+    flat = np.asarray(flat, dtype=np.uint64)
+    lens = np.asarray(lens, dtype=np.int64)
+    if len(flat) == 0:
+        return b""
+    deltas = np.empty(len(flat), dtype=np.uint64)
+    deltas[0] = flat[0]
+    np.subtract(flat[1:], flat[:-1], out=deltas[1:])
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    starts = starts[lens > 0]
+    deltas[starts] = flat[starts]  # run starts are absolute
+    return varint_encode(deltas)
+
+
+def positions_decode(buf: bytes, lens: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`positions_encode` → the flat position array
+    (segmented cumsum; split by the caller with ``lens``)."""
+    deltas = varint_decode(buf)
+    if len(deltas) == 0:
+        return deltas
+    lens = np.asarray(lens, dtype=np.int64)
+    total = np.cumsum(deltas, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    starts = starts[lens > 0]
+    # subtract, from every element of run g, the running total just
+    # before the run (the absolute first element already includes it)
+    base = np.zeros(len(deltas), dtype=np.uint64)
+    base[starts[1:]] = total[starts[1:] - 1]
+    np.maximum.accumulate(base, out=base)
+    return total - base

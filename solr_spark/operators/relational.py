@@ -244,3 +244,149 @@ def significant_terms_stats(
         .withColumn("score", F.col("fg_df") * F.col("fg_df") / F.col("bg_df"))
         .orderBy(F.desc("score"), F.asc(term_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# query-parser analogs: join / graph / frange / cursor / realtime-get
+# ---------------------------------------------------------------------------
+
+
+def join_filter(docs: DataFrame, other: DataFrame, from_col: str, to_col: str) -> DataFrame:
+    """``{!join from=.. to=..}`` (JoinQParserPlugin.java / JoinQuery.java):
+    keep docs whose ``to_col`` appears among the other set's ``from_col``
+    values — a left-semi join (no score join in v1)."""
+    keys = other.select(F.col(from_col).alias(to_col)).dropDuplicates([to_col])
+    return docs.join(keys, to_col, "left_semi")
+
+
+def graph_traverse(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    start_nodes: list[int],
+    max_depth: int,
+) -> DataFrame:
+    """``{!graph}`` BFS (GraphQParserPlugin.java / GraphQuery.java):
+    iterative frontier expansion, returns (node, depth) at FIRST visit
+    (min depth), start nodes at depth 0.
+
+    Each hop is one hash join + anti-join against the visited set —
+    the standard iterative-join BFS (GraphFrames-style). Frontiers are
+    persisted per level so lineage stays shallow.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).dropDuplicates()
+    visited = spark.createDataFrame(
+        [(int(n), 0) for n in start_nodes], "node long, depth int"
+    ).persist()
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node"))
+            .dropDuplicates(["node"])
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(depth))
+            .persist()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).persist()
+        frontier = nxt
+    return visited
+
+
+def frange_filter(df: DataFrame, func: Column, lower: float, upper: float,
+                  out_col: str = "func_value") -> DataFrame:
+    """``{!frange l=.. u=..}`` (FunctionRangeQParserPlugin): filter rows by
+    a computed function value, keeping the value as a column."""
+    return df.withColumn(out_col, func).where(
+        (F.col(out_col) >= lower) & (F.col(out_col) <= upper)
+    )
+
+
+def cursor_page(
+    df: DataFrame, sort_cols: list[tuple[str, str]], page_size: int,
+    after: tuple | None = None,
+) -> DataFrame:
+    """cursorMark deep paging (search/CursorMark.java:42-54): keyset
+    pagination on a total order (last sort key must be unique — Solr
+    enforces the uniqueKey tiebreak). ``sort_cols``: [(col, 'asc'|'desc')];
+    ``after``: the last row's sort values from the previous page."""
+    if after is not None:
+        # lexicographic "row > after" predicate over the sort tuple
+        clauses = []
+        for i in range(len(sort_cols)):
+            conj = []
+            for j in range(i):
+                conj.append(F.col(sort_cols[j][0]) == F.lit(after[j]))
+            c, d = sort_cols[i]
+            conj.append(F.col(c) < F.lit(after[i]) if d == "desc" else F.col(c) > F.lit(after[i]))
+            clause = conj[0]
+            for x in conj[1:]:
+                clause = clause & x
+            clauses.append(clause)
+        pred = clauses[0]
+        for x in clauses[1:]:
+            pred = pred | x
+        df = df.where(pred)
+    order = [F.desc(c) if d == "desc" else F.asc(c) for c, d in sort_cols]
+    return df.orderBy(*order).limit(page_size)
+
+
+def realtime_get(df: DataFrame, id_col: str, ids: list) -> DataFrame:
+    """RealTimeGetComponent analog (batch side): point lookup by ids —
+    a pushed-down IN filter (at scale: partition + row-group pruning)."""
+    return df.where(F.col(id_col).isin(ids))
+
+
+def atomic_update(
+    current: DataFrame, updates: DataFrame, key: str,
+    set_cols: list[str] | None = None, inc_cols: list[str] | None = None,
+) -> DataFrame:
+    """Atomic-update merge (update/processor/AtomicUpdateDocumentMerger
+    .java): per-key ``set`` (overwrite when an update row exists) and
+    ``inc`` (add delta) semantics — the batch restatement of MERGE INTO.
+    ``updates`` carries (key, [set_cols...], [inc_cols...])."""
+    set_cols = set_cols or []
+    inc_cols = inc_cols or []
+    u = updates.select(
+        F.col(key),
+        *[F.col(c).alias(f"_set_{c}") for c in set_cols],
+        *[F.col(c).alias(f"_inc_{c}") for c in inc_cols],
+    )
+    out = current.join(u, key, "left")
+    for c in set_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"_set_{c}"), F.col(c))).drop(f"_set_{c}")
+    for c in inc_cols:
+        out = out.withColumn(
+            c, F.col(c) + F.coalesce(F.col(f"_inc_{c}"), F.lit(0))
+        ).drop(f"_inc_{c}")
+    return out
+
+
+def export_sorted(df: DataFrame, sort_cols: list[Column], fl: list[str]) -> DataFrame:
+    """/export handler (handler/export/ExportWriter.java:92-146): stream
+    the ENTIRE result set fully sorted, projecting only requested fields
+    (docValues-only in Solr → pure column pruning here). In Spark this is
+    a sort + write — range-partitioned total sort, no driver collect."""
+    return df.select(*fl).orderBy(*sort_cols)
+
+
+def facet_heatmap(
+    df: DataFrame, x: str, y: str,
+    x_start: float, x_end: float, x_gap: float,
+    y_start: float, y_end: float, y_gap: float,
+) -> DataFrame:
+    """facet.heatmap (search/facet/FacetHeatmap.java): 2-D binned counts
+    over two numeric columns — one grid group-by (Solr grids geodetic
+    space; ours is the generic numeric form)."""
+    cx, cy = F.col(x), F.col(y)
+    bx = (F.floor((cx - F.lit(x_start)) / F.lit(x_gap)) * F.lit(x_gap) + F.lit(x_start))
+    by = (F.floor((cy - F.lit(y_start)) / F.lit(y_gap)) * F.lit(y_gap) + F.lit(y_start))
+    return (
+        df.where((cx >= x_start) & (cx < x_end) & (cy >= y_start) & (cy < y_end))
+        .groupBy(bx.alias("x_bucket"), by.alias("y_bucket"))
+        .agg(F.count("*").alias("count"))
+        .orderBy("x_bucket", "y_bucket")
+    )

@@ -470,3 +470,38 @@ SELECT f.tok AS term, f.fg_df, b.bg_df,
        ROUND(f.fg_df * f.fg_df / b.bg_df, 6) AS score
 FROM fgdf f JOIN bgdf b ON f.tok = b.tok
 ORDER BY f.fg_df * f.fg_df / b.bg_df DESC, f.tok ASC LIMIT {n}"""
+
+
+def phrase_topk_sql(phrase: str, k: int = 10, chain: AnalyzerChain = CODE_CHAIN) -> str:
+    """Exact-phrase (slop=0) BM25 oracle: positions = 1-based index in the
+    surviving-token stream (relative adjacency matches the engine's
+    0-based positions); idf summed per term INSTANCE; tf := phrase freq."""
+    terms = chain.tokenize_py(phrase)
+    esc = [t.replace("'", "''") for t in terms]
+    joins = "\n".join(
+        f"  JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i} "
+        f"AND p{i}.tok = '{esc[i]}'"
+        for i in range(1, len(terms))
+    )
+    idf_parts = " + ".join(
+        f"ln(1.0 + (s.n_docs - (SELECT count(DISTINCT doc_id) FROM toks WHERE tok = '{t}') + 0.5)"
+        f" / ((SELECT count(DISTINCT doc_id) FROM toks WHERE tok = '{t}') + 0.5))"
+        for t in esc
+    )
+    return f"""WITH {_prelude(chain)},
+pos AS (
+  SELECT doc_id, unnest(tt) AS tok, generate_subscripts(tt, 1) AS pos
+  FROM (SELECT doc_id, {chain.duckdb_tokens_expr('text')} AS tt FROM documents)),
+pf AS (
+  SELECT p0.doc_id, count(*) AS pf
+  FROM pos p0
+{joins}
+  WHERE p0.tok = '{esc[0]}'
+  GROUP BY p0.doc_id)
+SELECT pf.doc_id,
+       ROUND(CAST(CAST(({idf_parts})
+             * pf.pf / (pf.pf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl)) AS REAL) AS DOUBLE), 4) AS score
+FROM pf JOIN dl l USING (doc_id) CROSS JOIN stats s
+ORDER BY CAST(({idf_parts}) * pf.pf / (pf.pf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl)) AS REAL) DESC,
+         pf.doc_id ASC
+LIMIT {k}"""

@@ -225,6 +225,11 @@ class SearchEngine:
             blocks = self._and_pruned_blocks(stats, k)
         elif prune and n_required == 1 and min_match <= 1 and exclude_doc is None:
             blocks = self._single_term_pruned_blocks(stats[0], k)
+        elif (
+            mode == "OR" and prune and n_required > 1
+            and min_match <= 1 and exclude_doc is None
+        ):
+            blocks = self._or_pruned_blocks(stats, k)
         else:
             blocks = self._blocks_for([s.term for s in stats])
 
@@ -282,6 +287,79 @@ class SearchEngine:
                 theta = kth[-1]["sc"]
                 return blocks.where(F.col("block_max") >= F.lit(theta))
         return blocks
+
+    # max #block-metadata rows we will pull to the driver before falling
+    # back to exact full decode (at corpus scale the metadata itself is a
+    # table; a distributed variant would select seed blocks with a window)
+    _WAND_META_LIMIT = 100_000
+
+    def _or_pruned_blocks(self, stats: list[TermStats], k: int) -> DataFrame:
+        """Rank-safe Block-Max pruning for disjunctive queries (the
+        candidate/threshold half of Block-Max WAND).
+
+        1. Seed pass: decode the highest-``block_max`` blocks covering
+           ≥ k docs; θ = k-th best per-doc partial sum. θ is a lower
+           bound on the true k-th score (missing contributions only add),
+           so pruning against it is rank-safe.
+        2. Prune: block b of term t cannot put any doc into the top k if
+           ``block_max(t,b) + Σ_{t'≠t} global_max(t') < θ`` — the
+           term-level upper bound that makes classic WAND effective when
+           a rare high-idf term dominates a hot low-impact one.
+        Blocks with upper bound == θ are kept (tie-break safety).
+        """
+        blocks = self._blocks_for([s.term for s in stats])
+        meta = (
+            blocks.select("term", "salt", "block_no", "n_docs", "block_max")
+            .limit(self._WAND_META_LIMIT + 1)
+            .collect()
+        )
+        if len(meta) > self._WAND_META_LIMIT or not meta:
+            return blocks
+        weight = {s.term: s.weight for s in stats}
+        gmax: dict[str, float] = {}
+        for r in meta:
+            # query-weighted upper bound (block_max is stored unweighted)
+            gmax[r["term"]] = max(
+                gmax.get(r["term"], 0.0), r["block_max"] * weight[r["term"]]
+            )
+        total_gmax = sum(gmax.values())
+
+        ordered = sorted(meta, key=lambda r: -r["block_max"])
+        covered, seed = 0, []
+        for r in ordered:
+            seed.append((r["term"], r["salt"], r["block_no"]))
+            covered += r["n_docs"]
+            if covered >= k:
+                break
+        if covered < k or len(seed) == len(meta):
+            return blocks
+        seed_keys = [f"{t}#{a}#{b}" for t, a, b in seed]
+        key_col = F.concat_ws("#", F.col("term"), F.col("salt"), F.col("block_no"))
+        seed_blocks = blocks.where(key_col.isin(seed_keys))
+        decoded = seed_blocks.select("term", "doc_ids_enc", "tfs_enc", "dls_enc").mapInPandas(
+            _decode_blocks_udf(), schema=_DECODED_SCHEMA
+        )
+        kth = (
+            self._score_decoded(decoded, stats)
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("partial"))
+            .orderBy(F.desc("partial"))
+            .limit(k)
+            .collect()
+        )
+        if len(kth) < k:
+            return blocks
+        theta = kth[-1]["partial"]
+        # per-term slack = Σ other terms' weighted global max; keep blocks
+        # whose weighted upper bound reaches θ (== kept for tie safety)
+        slack_map = F.create_map(
+            *[x for t in gmax for x in (F.lit(t), F.lit(total_gmax - gmax[t]))]
+        )
+        wmap = F.create_map(*[x for t in weight for x in (F.lit(t), F.lit(weight[t]))])
+        return blocks.where(
+            F.col("block_max") * wmap[F.col("term")] + slack_map[F.col("term")]
+            >= F.lit(theta)
+        )
 
     def _and_pruned_blocks(self, stats: list[TermStats], k: int) -> DataFrame:
         """Conjunctive pruning: candidates live only in the rarest term's

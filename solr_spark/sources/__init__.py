@@ -1,0 +1,13 @@
+from solr_spark.sources.loaders import (
+    load_csv_docs,
+    load_json_docs,
+    write_response_csv,
+    write_response_json,
+)
+
+__all__ = [
+    "load_json_docs",
+    "load_csv_docs",
+    "write_response_json",
+    "write_response_csv",
+]

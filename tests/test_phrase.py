@@ -1,0 +1,76 @@
+"""Positional phrase queries: numpy-oracle rank identity + invariants
+(the DuckDB golden runs in scripts/check_entry.py)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.analysis import CODE_CHAIN
+from solr_spark.query.engine import SearchEngine
+from solr_spark.query.phrase import phrase_topk
+
+
+@pytest.fixture(scope="module")
+def engine(index):
+    return SearchEngine(index)
+
+
+def _python_phrase_topk(corpus_pdf, phrase, k1, b, k=10):
+    """Brute-force phrase scorer over the analyzed corpus (same frozen
+    semantics as the engine)."""
+    terms = CODE_CHAIN.tokenize_py(phrase)
+    docs = {}
+    dls = {}
+    for _, row in corpus_pdf.iterrows():
+        toks = CODE_CHAIN.tokenize_py(row["content"])
+        docs[row["doc_id"]] = toks
+        dls[row["doc_id"]] = len(toks)
+    n_docs = len(docs)
+    avgdl = sum(dls.values()) / n_docs
+    dfs = {t: sum(1 for toks in docs.values() if t in set(toks)) for t in set(terms)}
+    if any(dfs[t] == 0 for t in set(terms)):
+        return []
+    idf_total = sum(math.log1p((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in terms)
+    out = []
+    for d, toks in docs.items():
+        pos = {t: [i for i, x in enumerate(toks) if x == t] for t in set(terms)}
+        cand = np.array(pos[terms[0]], dtype=np.int64)
+        for i in range(1, len(terms)):
+            cand = cand[np.isin(cand + i, pos[terms[i]])]
+        pf = len(cand)
+        if pf:
+            s = idf_total * pf / (pf + k1 * (1 - b + b * dls[d] / avgdl))
+            out.append((d, np.float32(s)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def test_phrase_rank_identity_vs_python_oracle(engine, oracle_corpus):
+    got = [(r["doc_id"], r["score"]) for r in phrase_topk(engine, "import os", k=10).collect()]
+    exp = _python_phrase_topk(oracle_corpus, "import os", engine.k1, engine.b, k=10)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, a), (_, b_) in zip(got, exp):
+        assert a == pytest.approx(float(b_), rel=1e-6)
+
+
+def test_single_term_phrase_equals_term_query(engine):
+    ph = [(r["doc_id"], r["score"]) for r in phrase_topk(engine, "server", k=10).collect()]
+    tq = [(r["doc_id"], r["score"]) for r in engine.topk("server", k=10).collect()]
+    assert [d for d, _ in ph] == [d for d, _ in tq]
+    for (_, a), (_, b) in zip(ph, tq):
+        assert a == pytest.approx(b, rel=1e-6)
+
+
+def test_phrase_absent_term_is_empty(engine):
+    assert phrase_topk(engine, "zzznope import", k=10).count() == 0
+
+
+def test_phrase_requires_adjacency(engine, oracle_corpus):
+    # reversed phrase should not match wherever only the forward order exists
+    fwd = {r["doc_id"] for r in phrase_topk(engine, "import os", k=1000).collect()}
+    rev = {r["doc_id"] for r in phrase_topk(engine, "os import", k=1000).collect()}
+    exp_rev = {d for d, _ in _python_phrase_topk(oracle_corpus, "os import", engine.k1, engine.b, k=10**6)}
+    assert rev == exp_rev
+    assert fwd  # the corpus plants "import os" lines in python docs

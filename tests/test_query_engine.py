@@ -73,7 +73,10 @@ def test_full_query_set_rank_identity(engine, oracle, index):
 def test_pruning_matches_exact(engine, oracle):
     """Block-max pruned results must equal unpruned (rank-safety proof)."""
     for q, mode in [("import", "OR"), ("config", "OR"), ("server client", "AND"),
-                    ("parse json http", "AND")]:
+                    ("parse json http", "AND"),
+                    # OR-mode Block-Max WAND: rare+hot mixes where pruning bites
+                    ("import config", "OR"), ("server client parse", "OR"),
+                    ("import import config", "OR")]:  # duplicate-term weights
         pruned = [(r["doc_id"], r["score"]) for r in engine.topk(q, 10, mode, prune=True).collect()]
         exact = [(r["doc_id"], r["score"]) for r in engine.topk(q, 10, mode, prune=False).collect()]
         assert pruned == exact, q

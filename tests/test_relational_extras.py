@@ -1,0 +1,80 @@
+"""join / graph / cursor / atomic / export operators — invariant tests
+(cross-engine goldens run in scripts/check_entry.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.operators.relational import (
+    atomic_update,
+    cursor_page,
+    export_sorted,
+    frange_filter,
+    graph_traverse,
+    join_filter,
+    realtime_get,
+)
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [(i, f"p{i}", i % 5, float(i * 10)) for i in range(50)],
+        "id long, name string, grp long, val double",
+    )
+
+
+def test_join_filter_semi_semantics(spark, people):
+    other = spark.createDataFrame([(0,), (1,), (0,)], "g long")
+    out = join_filter(people, other, "g", "grp").collect()
+    assert {r["grp"] for r in out} == {0, 1}
+    assert len(out) == 20  # no row duplication from duplicate keys (semi join)
+
+
+def test_graph_traverse_bfs_depths(spark):
+    # path graph 1→2→3→4 plus a shortcut 1→3: depth(3) must be 1 (min)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3)], "src long, dst long"
+    )
+    got = {r["node"]: r["depth"] for r in graph_traverse(edges, "src", "dst", [1], 3).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_graph_traverse_depth_cap(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(10)], "src long, dst long")
+    got = graph_traverse(edges, "src", "dst", [0], 2).collect()
+    assert {r["node"] for r in got} == {0, 1, 2}
+
+
+def test_cursor_pages_partition_the_result(people):
+    sort = [("val", "desc"), ("id", "asc")]
+    seen, after = [], None
+    for _ in range(5):
+        page = cursor_page(people, sort, page_size=10, after=after).collect()
+        seen.extend((r["id"]) for r in page)
+        last = page[-1]
+        after = (last["val"], last["id"])
+    full = [r["id"] for r in people.orderBy(F.desc("val"), F.asc("id")).collect()]
+    assert seen == full  # pages concatenate to the full sorted stream
+
+
+def test_atomic_update_set_and_inc(spark, people):
+    updates = spark.createDataFrame([(1, "X", 5.0), (3, "Y", -2.0)], "id long, name string, val double")
+    out = {r["id"]: r for r in atomic_update(people, updates, "id", ["name"], ["val"]).collect()}
+    assert out[1]["name"] == "X" and out[1]["val"] == 15.0
+    assert out[3]["name"] == "Y" and out[3]["val"] == 28.0
+    assert out[2]["name"] == "p2" and out[2]["val"] == 20.0  # untouched
+
+
+def test_frange_and_realtime_get(people):
+    fr = frange_filter(people, F.col("val") / 100.0, 0.1, 0.2).collect()
+    assert {r["id"] for r in fr} == {1, 2}
+    rg = realtime_get(people, "id", [7, 9]).collect()
+    assert {r["id"] for r in rg} == {7, 9}
+
+
+def test_export_sorted_is_total_order(people):
+    rows = export_sorted(people, [F.desc("val"), F.asc("id")], ["id", "val"]).collect()
+    vals = [r["val"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    assert len(rows) == 50
+    assert rows[0].asDict().keys() == {"id", "val"}  # column pruning honored
