@@ -37,7 +37,8 @@ def main() -> None:
     from solr_spark.query.engine import SearchEngine
     from solr_spark.session import get_spark
 
-    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    # shuffle partitions sized by data (AQE coalesces excess), not cores
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(64, cpus))
     queries: dict[str, float] = {}
     t_total = time.time()
 

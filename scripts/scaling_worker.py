@@ -36,7 +36,12 @@ def main() -> None:
     from solr_spark.index.build import IndexConfig, build_index
     from solr_spark.session import get_spark
 
-    spark = get_spark(f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    # shuffle partitions are sized by DATA, not by core count — few huge
+    # partitions at low parallelism force spill-heavy sorts (measured
+    # superlinear blowup at 160k docs with 2 partitions); AQE coalesces
+    # any excess, so the same count works at every width
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64"))
+    spark = get_spark(f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=shuffle)
     out = f"/tmp/solr_spark_scaling_{cpus}"
 
     # untimed warmup: two builds so JIT/codegen/Python-worker costs are

@@ -30,17 +30,20 @@ hash"; kill the build between stages and re-running yields a
 bit-identical index (tested).
 
 Scale notes (100 TB / 10^12 docs):
-- every stage is shuffle-minimal: analyze is map-only after one range
-  repartition; segments is one shuffle (term, doc_id); term_dict is a
-  partial-agg rollup of segments; blocks is one shuffle keyed
-  (term, salt) — the window sort and the subsequent groupBy share that
-  single exchange (hash partitioning on (term,salt) satisfies the
-  clustered distribution of the (term,salt,block_no) aggregation).
+- ONE wide shuffle in the whole build: analyze is map-only after one
+  range repartition; segments is MAP-ONLY (postings of a doc depend only
+  on that doc — extracted with a vectorized numpy kernel per Arrow
+  batch, no posexplode→groupBy shuffle); term_dict is a partial-agg
+  rollup of segments; blocks is the one shuffle, keyed term_bucket, with
+  an in-partition sort and a single streaming Arrow encode pass (no
+  window function, no collect_list).
 - the term_dict↔segments join is keyed on term: Catalyst/AQE broadcasts
-  it when small, else it folds into the same (term) exchange.
+  it when small, else it folds into the same exchange.
 - blocks land partitioned by ``term_bucket = pmod(xxhash64(term), B)``
   and sorted by term within files → query-side term lookups do
-  directory-level partition pruning + Parquet row-group pruning.
+  directory-level partition pruning + Parquet row-group pruning. At
+  cluster scale B is set to a few × total cores (bucket skew is bounded
+  because hot terms are salted before bucketing).
 """
 
 from __future__ import annotations
@@ -58,7 +61,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window
 
 from solr_spark.analysis import CODE_CHAIN, TEXT_CHAIN, AnalyzerChain
 from solr_spark.index.codec import delta_varint_encode, positions_encode, varint_encode
@@ -203,15 +205,15 @@ def assign_doc_ids(df: DataFrame, sort_cols: list[str], partitions: int | None =
     return out
 
 
-def _stage_analyze(
-    spark: SparkSession,
+def analyze_docs(
     corpus_df: DataFrame,
-    out_dir: str,
     config: IndexConfig,
     text_col: str,
     id_col: str | None,
     sort_cols: list[str],
-) -> None:
+) -> DataFrame:
+    """(doc_id, meta…, content_sha256, doc_len, tokens) — the analyzed
+    form of the corpus (lazy plan)."""
     chain = config.chain()
     if id_col is not None:
         with_ids = corpus_df.withColumn("doc_id", F.col(id_col).cast("long"))
@@ -220,13 +222,35 @@ def _stage_analyze(
     else:
         with_ids = assign_doc_ids(corpus_df, sort_cols)
     meta_cols = [c for c in with_ids.columns if c not in (text_col, "doc_id")]
-    analyzed = (
+    return (
         with_ids.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
         .withColumn("tokens", chain.tokens(text_col))
         .withColumn("doc_len", F.size("tokens").cast("int"))
         .select("doc_id", *meta_cols, "content_sha256", "doc_len", "tokens")
     )
-    analyzed.write.mode("overwrite").parquet(_stage_dir(out_dir, "analyzed"))
+
+
+def _stage_analyze_and_segments(
+    spark: SparkSession,
+    corpus_df: DataFrame,
+    out_dir: str,
+    config: IndexConfig,
+    text_col: str,
+    id_col: str | None,
+    sort_cols: list[str],
+) -> None:
+    """Fused analyze+segments: ONE pass over the corpus feeds both the
+    doc registry (tokens dropped — nothing downstream reads them from
+    disk) and the per-doc postings. Fusing removes the write+read round
+    trip of the tokens column — the build's largest intermediate — which
+    is pure I/O that does not parallelize with cores (it was the dominant
+    fixed cost in the N→4N scaling measurements)."""
+    analyzed = analyze_docs(corpus_df, config, text_col, id_col, sort_cols).persist()
+    analyzed.drop("tokens").write.mode("overwrite").parquet(_stage_dir(out_dir, "analyzed"))
+    build_postings(analyzed, config).write.mode("overwrite").parquet(
+        _stage_dir(out_dir, "segments")
+    )
+    analyzed.unpersist()
     spark.catalog.clearCache()  # release the doc-id assignment persist
 
 
@@ -235,30 +259,69 @@ def _stage_analyze(
 # ---------------------------------------------------------------------------
 
 
-def _stage_segments(spark: SparkSession, out_dir: str, config: IndexConfig) -> None:
-    analyzed = spark.read.parquet(_stage_dir(out_dir, "analyzed")).select("doc_id", "doc_len", "tokens")
-    if config.with_positions:
-        # position = index in the surviving-token stream (frozen choice:
-        # no position gaps at removed stopwords — documented deviation
-        # from Lucene's StopFilter increment, identical on the oracle side)
-        postings = (
-            analyzed.select(
-                "doc_id", "doc_len", F.posexplode("tokens").alias("pos", "term")
-            )
-            .groupBy("term", "doc_id")
-            .agg(
-                F.count("*").cast("int").alias("tf"),
-                F.first("doc_len").alias("doc_len"),
-                F.sort_array(F.collect_list("pos")).alias("positions"),
-            )
-        )
-    else:
-        postings = (
-            analyzed.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
-            .groupBy("term", "doc_id")
-            .agg(F.count("*").cast("int").alias("tf"), F.first("doc_len").alias("doc_len"))
-        )
-    postings.write.mode("overwrite").parquet(_stage_dir(out_dir, "segments"))
+_SEGMENT_SCHEMA_POS = (
+    "term string, doc_id long, tf int, doc_len int, positions array<int>"
+)
+_SEGMENT_SCHEMA = "term string, doc_id long, tf int, doc_len int"
+
+
+def _doc_postings_udf(with_positions: bool):
+    """MAP-ONLY per-doc posting extraction (the Lucene in-memory-segment
+    analog): postings of a doc depend only on that doc, so no shuffle is
+    needed — the naive ``posexplode → groupBy(term, doc_id)`` formulation
+    shuffles every token occurrence and goes superlinear at scale
+    (measured). Fully numpy-vectorized over each Arrow batch: one
+    np.unique for the term dictionary of the batch and one lexsort for
+    (doc, term, position) grouping — no per-token Python."""
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lens = np.fromiter((len(t) for t in pdf["tokens"]), dtype=np.int64, count=len(pdf))
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            nonempty = [np.asarray(t, dtype=object) for t in pdf["tokens"] if len(t)]
+            flat = np.concatenate(nonempty)
+            doc_idx = np.repeat(np.arange(len(pdf)), lens)
+            starts_per_doc = np.cumsum(lens) - lens
+            pos_in_doc = (np.arange(total) - np.repeat(starts_per_doc, lens)).astype(np.int32)
+            uniq, codes = np.unique(flat, return_inverse=True)
+            order = np.lexsort((pos_in_doc, codes, doc_idx))
+            d, c, p = doc_idx[order], codes[order], pos_in_doc[order]
+            change = np.empty(len(d), dtype=bool)
+            change[0] = True
+            change[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+            g_starts = np.flatnonzero(change)
+            tf = np.diff(np.append(g_starts, len(d))).astype(np.int32)
+            doc_ids = pdf["doc_id"].to_numpy()[d[g_starts]]
+            doc_lens = pdf["doc_len"].to_numpy()[d[g_starts]].astype(np.int32)
+            out = {
+                "term": uniq[c[g_starts]],
+                "doc_id": doc_ids,
+                "tf": tf,
+                "doc_len": doc_lens,
+            }
+            if with_positions:
+                out["positions"] = np.split(p, g_starts[1:])
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+def build_postings(analyzed: DataFrame, config: IndexConfig) -> DataFrame:
+    """(term, doc_id, tf, doc_len[, positions]) from analyzed docs —
+    map-only (no shuffle). Position = index in the surviving-token stream
+    (frozen choice: no position gaps at removed stopwords — documented
+    deviation from Lucene's StopFilter increment, identical on the
+    oracle side)."""
+    schema = _SEGMENT_SCHEMA_POS if config.with_positions else _SEGMENT_SCHEMA
+    return analyzed.select("doc_id", "doc_len", "tokens").mapInPandas(
+        _doc_postings_udf(config.with_positions), schema=schema
+    )
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -319,53 +382,84 @@ _BLOCK_SCHEMA = T.StructType(
 )
 
 
-def _encode_blocks_udf(with_positions: bool):
-    """Grouped-block encoder: arrays → delta+varint binaries (numpy).
+_BLOCK_COLS = [f.name for f in _BLOCK_SCHEMA.fields]
+
+
+def _encode_group_rows(pdf: pd.DataFrame, block_size: int, with_positions: bool) -> pd.DataFrame:
+    """Encode a run of (term, salt, doc_id)-sorted postings into blocks.
 
     ``pos_enc`` holds the per-doc delta-coded position runs (lengths =
     the tf array, so decode needs no extra framing); NULL when the index
     is built without positions.
     """
+    t = pdf["term"].to_numpy()
+    s = pdf["salt"].to_numpy()
+    doc = pdf["doc_id"].to_numpy()
+    tf = pdf["tf"].to_numpy().astype(np.int64)
+    dl = pdf["doc_len"].to_numpy().astype(np.int64)
+    imp = pdf["impact"].to_numpy()
+    pos = pdf["positions"].to_numpy() if with_positions else None
+    change = np.empty(len(t), dtype=bool)
+    change[0] = True
+    change[1:] = (t[1:] != t[:-1]) | (s[1:] != s[:-1])
+    g_starts = np.flatnonzero(change)
+    g_ends = np.append(g_starts[1:], len(t))
+    rows = []
+    for gs, ge in zip(g_starts, g_ends):
+        n_blocks = (ge - gs + block_size - 1) // block_size
+        for b in range(n_blocks):
+            lo = gs + b * block_size
+            hi = min(lo + block_size, ge)
+            ids = doc[lo:hi]
+            if with_positions:
+                flat = (
+                    np.concatenate([np.asarray(p, dtype=np.int64) for p in pos[lo:hi]])
+                    if hi > lo
+                    else np.empty(0, dtype=np.int64)
+                )
+                pos_enc = positions_encode(flat, tf[lo:hi])
+            else:
+                pos_enc = None
+            rows.append(
+                (
+                    t[gs], int(s[gs]), b, hi - lo, int(ids[0]), int(ids[-1]),
+                    float(imp[lo:hi].max()),
+                    delta_varint_encode(ids),
+                    varint_encode(tf[lo:hi]),
+                    varint_encode(dl[lo:hi]),
+                    pos_enc,
+                )
+            )
+    return pd.DataFrame(rows, columns=_BLOCK_COLS)
+
+
+def _encode_stream_udf(block_size: int, with_positions: bool):
+    """Streaming block encoder over (term, salt, doc_id)-sorted partition
+    input: ONE Arrow pass, no window function, no collect_list — groups
+    that span Arrow-batch boundaries are carried forward (carry size is
+    bounded by the largest (term, salt) group, which hot-term salting
+    bounds by design)."""
 
     def enc(batches):
+        carry: pd.DataFrame | None = None
         for pdf in batches:
-            rows = []
-            has_pos = with_positions and "positions" in pdf.columns
-            pos_col = pdf["positions"] if has_pos else [None] * len(pdf)
-            for term, salt, block_no, block_max, doc_ids, tfs, dls, poss in zip(
-                pdf["term"], pdf["salt"], pdf["block_no"], pdf["block_max"],
-                pdf["doc_ids"], pdf["tfs"], pdf["dls"], pos_col,
-            ):
-                doc_ids = np.asarray(doc_ids, dtype=np.int64)
-                tfs_arr = np.asarray(tfs, dtype=np.int64)
-                if has_pos:
-                    flat = (
-                        np.concatenate([np.asarray(p, dtype=np.int64) for p in poss])
-                        if len(poss)
-                        else np.empty(0, dtype=np.int64)
-                    )
-                    pos_enc = positions_encode(flat, tfs_arr)
-                else:
-                    pos_enc = None
-                rows.append(
-                    (
-                        term,
-                        int(salt),
-                        int(block_no),
-                        len(doc_ids),
-                        int(doc_ids[0]),
-                        int(doc_ids[-1]),
-                        float(block_max),
-                        delta_varint_encode(doc_ids),
-                        varint_encode(tfs_arr),
-                        varint_encode(np.asarray(dls, dtype=np.int64)),
-                        pos_enc,
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[f.name for f in _BLOCK_SCHEMA.fields],
-            )
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            t = pdf["term"].to_numpy()
+            s = pdf["salt"].to_numpy()
+            change = (t[1:] != t[:-1]) | (s[1:] != s[:-1])
+            starts = np.flatnonzero(change)
+            if len(starts) == 0:
+                carry = pdf  # single (possibly incomplete) group
+                continue
+            last_start = int(starts[-1]) + 1
+            carry = pdf.iloc[last_start:]
+            yield _encode_group_rows(pdf.iloc[:last_start], block_size, with_positions)
+        if carry is not None and len(carry):
+            yield _encode_group_rows(carry, block_size, with_positions)
 
     return enc
 
@@ -392,36 +486,34 @@ def _stage_blocks(spark: SparkSession, out_dir: str, config: IndexConfig) -> Non
         "impact", F.col("idf") * tf / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl)))
     )
 
-    w = Window.partitionBy("term", "salt").orderBy("doc_id")
-    p = p.withColumn("block_no", ((F.row_number().over(w) - 1) / F.lit(config.block_size)).cast("int"))
-
-    posting_fields = [F.col("doc_id"), F.col("tf"), F.col("doc_len").alias("dl")]
-    unzip = [
-        F.col("postings.doc_id").alias("doc_ids"),
-        F.col("postings.tf").alias("tfs"),
-        F.col("postings.dl").alias("dls"),
-    ]
-    if config.with_positions:
-        posting_fields.append(F.col("positions"))
-        unzip.append(F.col("postings.positions").alias("positions"))
-    grouped = (
-        p.groupBy("term", "salt", "block_no")
-        .agg(
-            F.max("impact").alias("block_max"),
-            F.sort_array(F.collect_list(F.struct(*posting_fields))).alias("postings"),
-        )
-        # unzip the sorted struct array into aligned primitive arrays
-        # JVM-side so the encoder UDF sees numpy arrays, not dict rows
-        .select("term", "salt", "block_no", "block_max", *unzip)
-    )
-    blocks = grouped.mapInPandas(_encode_blocks_udf(config.with_positions), schema=_BLOCK_SCHEMA)
-    blocks = blocks.withColumn(
+    # ONE shuffle: hash-repartition by term_bucket (each write task owns
+    # whole buckets → clean directory partitioning), sort runs within
+    # partitions, stream-encode in a single Arrow pass. Replaces the
+    # previous window(row_number) + groupBy(collect_list+sort_array)
+    # formulation — same bytes out, two fewer sorts and no struct
+    # materialization. At corpus scale n_term_buckets is set to a few ×
+    # the cluster's cores; bucket skew is bounded because hot terms are
+    # already salted into sub-streams.
+    p = p.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(config.n_term_buckets)).cast("int")
     )
+    cols = ["term", "salt", "doc_id", "tf", "doc_len", "impact", "term_bucket"]
+    if config.with_positions:
+        cols.append("positions")
+    blocks = (
+        p.select(*cols)
+        .repartition(config.n_term_buckets, "term_bucket")
+        .sortWithinPartitions("term", "salt", "doc_id")
+        .mapInPandas(
+            _encode_stream_udf(config.block_size, config.with_positions),
+            schema=_BLOCK_SCHEMA,
+        )
+        .withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(config.n_term_buckets)).cast("int")
+        )
+    )
     (
-        blocks.repartition(max(1, spark.sparkContext.defaultParallelism), "term_bucket")
-        .sortWithinPartitions("term", "salt", "block_no")
-        .write.mode("overwrite")
+        blocks.write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(_stage_dir(out_dir, "blocks"))
     )
@@ -504,15 +596,28 @@ def build_index(
     sort_cols = sort_cols or ["repo", "path", "commit"]
     os.makedirs(out_dir, exist_ok=True)
 
-    stage_fns = {
-        "analyzed": lambda: _stage_analyze(
+    # fused unit: "analyzed" + "segments" are produced by ONE corpus pass
+    # (separate manifests are still written — resume treats the pair as a
+    # unit: if either is missing/stale, both are rebuilt)
+    if not (
+        resume
+        and _stage_done(out_dir, "analyzed", config)
+        and _stage_done(out_dir, "segments", config)
+    ):
+        _clear_stage(out_dir, "analyzed")
+        _clear_stage(out_dir, "segments")
+        t0 = time.time()
+        _stage_analyze_and_segments(
             spark, corpus_df, out_dir, config, text_col, id_col, sort_cols
-        ),
-        "segments": lambda: _stage_segments(spark, out_dir, config),
+        )
+        _write_manifest(out_dir, "analyzed", config, t0)
+        _write_manifest(out_dir, "segments", config, t0)
+
+    stage_fns = {
         "term_dict": lambda: _stage_term_dict(spark, out_dir, config),
         "blocks": lambda: _stage_blocks(spark, out_dir, config),
     }
-    for stage in _STAGES:
+    for stage in ("term_dict", "blocks"):
         if resume and _stage_done(out_dir, stage, config):
             continue
         _clear_stage(out_dir, stage)

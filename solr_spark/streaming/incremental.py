@@ -49,6 +49,7 @@ from solr_spark.index.build import (
     _stage_blocks,
     _write_manifest,
     assign_doc_ids,
+    build_postings,
 )
 
 
@@ -101,26 +102,12 @@ class IncrementalIndexer:
         )
         analyzed = analyzed.persist()  # one materialization feeds both writes
         n = analyzed.count()
-        analyzed.write.mode("append").parquet(_stage_dir(self.dir, "analyzed"))
+        # tokens stay in memory only (nothing reads them from disk)
+        analyzed.drop("tokens").write.mode("append").parquet(_stage_dir(self.dir, "analyzed"))
 
-        src = analyzed
-        if self.config.with_positions:
-            postings = (
-                src.select("doc_id", "doc_len", F.posexplode("tokens").alias("pos", "term"))
-                .groupBy("term", "doc_id")
-                .agg(
-                    F.count("*").cast("int").alias("tf"),
-                    F.first("doc_len").alias("doc_len"),
-                    F.sort_array(F.collect_list("pos")).alias("positions"),
-                )
-            )
-        else:
-            postings = (
-                src.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
-                .groupBy("term", "doc_id")
-                .agg(F.count("*").cast("int").alias("tf"), F.first("doc_len").alias("doc_len"))
-            )
-        postings.write.mode("append").parquet(_stage_dir(self.dir, "segments"))
+        build_postings(analyzed, self.config).write.mode("append").parquet(
+            _stage_dir(self.dir, "segments")
+        )
         analyzed.unpersist()
         self._n_docs += int(n)
         return int(n)
