@@ -189,8 +189,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stats_nchars"] = lambda s, d: stats_numeric(
         _read(s, d, "documents"), "n_chars"
     ).select(
-        "count", "missing", "min", "max", "sum",
-        F.round("mean", 4).alias("mean"), F.round("stddev", 4).alias("stddev"),
+        # frozen output types both sides: BIGINT for the integral stats,
+        # DOUBLE for mean/stddev (DuckDB sum(BIGINT) is HUGEINT otherwise)
+        F.col("count").cast("long").alias("count"),
+        F.col("missing").cast("long").alias("missing"),
+        F.col("min").cast("long").alias("min"),
+        F.col("max").cast("long").alias("max"),
+        F.col("sum").cast("long").alias("sum"),
+        F.round(F.col("mean").cast("double"), 4).alias("mean"),
+        F.round(F.col("stddev").cast("double"), 4).alias("stddev"),
     )
 
     def collapse_source(s, d):
@@ -341,7 +348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         write_response_csv(docs, tmp)
         back = load_csv_docs(s, tmp, schema="doc_id long, lang string, n_chars long")
         return back.groupBy("lang").agg(
-            F.count("*").alias("n"), F.sum("n_chars").alias("total_chars")
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
         ).orderBy("lang")
 
     q["csv_roundtrip_ingest"] = csv_roundtrip
@@ -548,12 +556,13 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1 ORDER BY 1
     """
     o["stats_nchars"] = """
-        SELECT count(n_chars) AS count,
-               count(*) - count(n_chars) AS missing,
-               min(n_chars) AS min, max(n_chars) AS max,
-               sum(n_chars) AS sum,
-               round(avg(n_chars), 4) AS mean,
-               round(stddev_samp(n_chars), 4) AS stddev
+        SELECT CAST(count(n_chars) AS BIGINT) AS count,
+               CAST(count(*) - count(n_chars) AS BIGINT) AS missing,
+               CAST(min(n_chars) AS BIGINT) AS min,
+               CAST(max(n_chars) AS BIGINT) AS max,
+               CAST(sum(n_chars) AS BIGINT) AS sum,
+               CAST(round(avg(n_chars), 4) AS DOUBLE) AS mean,
+               CAST(round(stddev_samp(n_chars), 4) AS DOUBLE) AS stddev
         FROM documents
     """
     o["collapse_by_source"] = """
@@ -599,13 +608,14 @@ def oracle_sql() -> dict[str, str]:
 
     # --- sources/sinks + scalar oracles ---
     o["csv_roundtrip_ingest"] = """
-        SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang ORDER BY lang
     """
     o["function_query_scalars"] = """
         SELECT doc_id,
                ROUND(1.0 / (0.001 * n_chars + 1.0), 6) AS recip_nchars,
-               ROUND(2.0 * n_chars + 10.0, 4) AS linear_nchars,
+               CAST(ROUND(2.0 * n_chars + 10.0, 4) AS DOUBLE) AS linear_nchars,
                CASE WHEN n_chars BETWEEN 0 AND 300 THEN -1.0
                     ELSE CAST(n_chars AS DOUBLE) END AS map_nchars,
                ROUND(CASE WHEN greatest(length(lang), 6) = 0 THEN 1.0

@@ -18,15 +18,23 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(v):
+    """Strict, type-aware normalization mirroring the driver's value hash:
+    a DuckDB Decimal (HUGEINT sums) must NOT compare equal to a Spark int,
+    and floats compare at full precision (both sides are expected to round
+    explicitly inside the query)."""
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return round(v, 6)
+        return ("f", "nan" if math.isnan(v) else v.hex())
+    if isinstance(v, int):
+        return ("i", v)
     if hasattr(v, "isoformat"):
-        return v.isoformat()[:26]
-    return v
+        return ("t", v.isoformat()[:26])
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(norm_cell(x) for x in v))
+    return (type(v).__name__, str(v))
 
 
 def norm_rows(cols, rows):

@@ -125,6 +125,45 @@ def jaccard_pairs(
     )
 
 
+def jaccard_for_pairs(
+    shingle_df: DataFrame, pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact shingle Jaccard computed ONLY for the given candidate pairs.
+
+    ``pairs``: (doc_a, doc_b). Cost is Σ_pairs |shingles(doc_a)| — linear
+    in the candidate set, NOT the all-co-shingled-pairs blowup of
+    :func:`jaccard_pairs`; this is the 100 TB verification path behind
+    LSH candidate generation. Plan: semi-join shingles down to candidate
+    docs, explode each pair through doc_a's shingles, hash-join on
+    (doc_b, h) for the intersection count, then two size joins.
+    Returns (doc_a, doc_b, jaccard ≥ threshold).
+    """
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingle_df.join(cand_docs, "doc_id", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -219,17 +258,16 @@ def minhash_neardup_pairs(
     """MinHash-LSH near-dup mining with exact-Jaccard verification.
 
     Candidates from banded LSH (recall < 1 by design — the tradeoff that
-    makes 100 TB dedup subquadratic), verified with exact shingle Jaccard
-    so precision is 1. Returns (doc_a, doc_b, jaccard ≥ threshold).
+    makes 100 TB dedup subquadratic), then exact shingle Jaccard computed
+    ONLY for the candidate pairs (:func:`jaccard_for_pairs`) so precision
+    is 1 and cost scales with |candidates|, never with the all-pairs
+    shingle self-join. Returns (doc_a, doc_b, jaccard ≥ threshold).
     """
     rows_per_band = n_hashes // n_bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, n, chain)
     cands = lsh_candidate_pairs(sigs, n_bands, rows_per_band, max_bucket)
     sh = shingle_set(df, id_col, text_col, n, chain)
-    verified = jaccard_pairs(sh, threshold)
-    return verified.join(cands, ["doc_a", "doc_b"], "left_semi").select(
-        "doc_a", "doc_b", "jaccard"
-    )
+    return jaccard_for_pairs(sh, cands, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -82,6 +82,38 @@ def test_minhash_verified_subset_of_exact(docs):
         assert len(lsh) / len(exact) >= 0.8
 
 
+def test_minhash_plan_has_no_allpairs_shingle_selfjoin(docs):
+    """The LSH candidate join must sit BELOW the exact-Jaccard
+    verification: no Join node may pair shingles on (h = h AND
+    doc_id < doc_id) — the quadratic all-co-shingled-pairs shape that
+    LSH exists to avoid. The remaining `<` join is the band-key
+    candidate join (band_key equi-keys), which is capped/bucketed."""
+    df = dedup.minhash_neardup_pairs(docs, "doc_id", "text", threshold=0.5)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "Join" in line and "doc_id" in line and "<" in line:
+            # a range self-join is only legal on band keys, never on h
+            assert "band" in line, f"all-pairs shingle self-join in plan: {line}"
+
+
+def test_jaccard_for_pairs_restricted_to_candidates(docs):
+    """jaccard_for_pairs computes Jaccard ONLY for supplied pairs: a
+    known near-dup pair left out of the candidate set must be absent."""
+    exact = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    if len(exact) < 2:
+        pytest.skip("need >=2 exact near-dup pairs at this SF")
+    spark = docs.sparkSession
+    keep = [(r["doc_a"], r["doc_b"]) for r in exact[1:]]
+    cands = spark.createDataFrame(keep, "doc_a long, doc_b long")
+    sh = dedup.shingle_set(docs, "doc_id", "text")
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.jaccard_for_pairs(sh, cands, 0.5).collect()}
+    assert set(got) == set(keep)
+    expected = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in exact}
+    for k in got:
+        assert got[k] == pytest.approx(expected[k], abs=1e-12)
+
+
 def test_simhash_band_join_equals_bruteforce(docs):
     sim = dedup.simhash(docs, "doc_id", "text").collect()
     vals = {r["doc_id"]: r["simhash"] for r in sim}
