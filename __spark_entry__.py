@@ -273,12 +273,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["phrase_batch_stream"] = lambda s, d: _rounded(
         phrase_topk(_engine(s, d), "batch stream", k=10)
     )
+    q["phrase_slop2"] = lambda s, d: _rounded(
+        phrase_topk(_engine(s, d), "batch stream", k=10, slop=2)
+    )
     # lucene-syntax compiled queries: fq filter + prohibited clause; AND
     q["lucene_filter_prohibit"] = lambda s, d: _rounded(
         execute_query(_engine(s, d), "lang:en spark merge -batch", k=10)
     )
     q["lucene_and_filter"] = lambda s, d: _rounded(
         execute_query(_engine(s, d), "customer AND vector lang:de", k=10)
+    )
+    # v2 grammar: range / wildcard / regexp / boost / parenthesized nesting
+    q["lucene_range_nchars"] = lambda s, d: _rounded(
+        execute_query(_engine(s, d), "n_chars:[100 TO 300] spark merge", k=10)
+    )
+    q["query_wildcard"] = lambda s, d: _rounded(
+        execute_query(_engine(s, d), "sp?rk*", k=10)
+    )
+    q["query_regexp"] = lambda s, d: _rounded(
+        execute_query(_engine(s, d), "/s[pt]ark/", k=10)
+    )
+    q["query_boosted_or"] = lambda s, d: _rounded(
+        execute_query(_engine(s, d), "(spark^2 OR merge) AND table", k=10)
+    )
+    q["lucene_nested_bool"] = lambda s, d: _rounded(
+        execute_query(_engine(s, d), "(batch OR stream) AND spark -merge", k=10)
+    )
+    q["term_range_text"] = lambda s, d: _rounded(
+        execute_query(_engine(s, d), "text:[spark TO sparkz]", k=10)
     )
 
     def nrt_incremental(s, d):
@@ -693,6 +715,7 @@ def oracle_sql() -> dict[str, str]:
 
     # --- wider query surface oracles ---
     o["phrase_batch_stream"] = phrase_topk_sql("batch stream")
+    o["phrase_slop2"] = phrase_topk_sql("batch stream", slop=2)
     from solr_spark.oracle_sql import _prelude, _scored
 
     o["lucene_filter_prohibit"] = f"""
@@ -712,6 +735,26 @@ FROM sc JOIN documents d USING (doc_id)
 WHERE d.lang = 'de' AND sc.nt = 2
 ORDER BY CAST(score_raw AS REAL) DESC, sc.doc_id ASC LIMIT 10
 """
+    from solr_spark.oracle_sql import boosted_bool_sql, expansion_topk_sql
+
+    o["lucene_range_nchars"] = boosted_bool_sql(
+        {"spark": 1.0, "merge": 1.0},
+        must_any=[["spark", "merge"]],
+        range_pred="n_chars BETWEEN 100 AND 300",
+    )
+    o["query_wildcard"] = expansion_topk_sql("regexp_matches(tok, '^sp.rk.*$')")
+    o["query_regexp"] = expansion_topk_sql("regexp_matches(tok, '^(?:s[pt]ark)$')")
+    o["query_boosted_or"] = boosted_bool_sql(
+        {"spark": 2.0, "merge": 1.0, "table": 1.0},
+        must_any=[["spark", "merge"], ["table"]],
+    )
+    o["lucene_nested_bool"] = boosted_bool_sql(
+        {"batch": 1.0, "stream": 1.0, "spark": 1.0},
+        must_any=[["batch", "stream"], ["spark"]],
+        not_terms=["merge"],
+    )
+    o["term_range_text"] = expansion_topk_sql("tok >= 'spark' AND tok <= 'sparkz'")
+
     # incremental build == batch build == the same SQL oracle
     o["nrt_incremental_bm25"] = bm25_topk_sql(tok.tokenize_py(_Q_OR), "OR")
     o["bm25_mm_2of3"] = bm25_mm_sql(tok.tokenize_py("spark merge window"), mm=2)

@@ -315,6 +315,57 @@ def bm25_mm_sql(terms: list[str], mm: int, k: int = 10,
     )
 
 
+def boosted_bool_sql(
+    weights: dict[str, float],
+    must_any: list[list[str]] | None = None,
+    not_terms: list[str] | None = None,
+    range_pred: str | None = None,
+    k: int = 10,
+    chain: AnalyzerChain = CODE_CHAIN,
+) -> str:
+    """Boolean query oracle with per-term boosts (lucene ``term^2`` /
+    parenthesized nesting / metadata range).
+
+    ``weights``: analyzed term → boost (score = Σ boost·idf·bm25_tf over
+    matching terms). ``must_any``: conjunction of groups, each group
+    satisfied by ≥1 contained term (``(a OR b) AND c`` ⇒
+    ``[['a','b'], ['c']]``). ``not_terms``: prohibited. ``range_pred``:
+    extra SQL predicate over the ``documents`` row (fq analog).
+    """
+    inlist = _inlist(list(weights))
+    vals = ", ".join(
+        f"('{t.replace(chr(39), chr(39) * 2)}', {float(w)!r})" for t, w in sorted(weights.items())
+    )
+    conds = []
+    for group in must_any or []:
+        conds.append(f"sc.doc_id IN (SELECT doc_id FROM sc_tf WHERE tok IN {_inlist(group)})")
+    for t in not_terms or []:
+        esc = t.replace("'", "''")
+        conds.append(
+            f"sc.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE tok = '{esc}')"
+        )
+    if range_pred:
+        conds.append(f"sc.doc_id IN (SELECT doc_id FROM documents WHERE {range_pred})")
+    where = ("WHERE " + "\n  AND ".join(conds)) if conds else ""
+    return f"""WITH {_prelude(chain)},
+w(tok, wt) AS (VALUES {vals}),
+sc_tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN {inlist} GROUP BY 1, 2),
+sc_df AS (SELECT tok, count(*) AS df FROM sc_tf GROUP BY tok),
+sc AS (
+  SELECT t.doc_id,
+         SUM( w.wt * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf / (t.tf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl)) ) AS score_raw
+  FROM sc_tf t JOIN sc_df d USING (tok) JOIN w USING (tok)
+  JOIN dl l USING (doc_id) CROSS JOIN stats s
+  GROUP BY t.doc_id)
+SELECT sc.doc_id, ROUND(CAST(CAST(score_raw AS REAL) AS DOUBLE), 4) AS score
+FROM sc
+{where}
+ORDER BY CAST(score_raw AS REAL) DESC, sc.doc_id ASC
+LIMIT {k}"""
+
+
 def expansion_topk_sql(pred: str, cap: int = 50, k: int = 10,
                        chain: AnalyzerChain = CODE_CHAIN) -> str:
     """Prefix/fuzzy rewrite: top ``cap`` matching terms by (df desc, term
@@ -472,16 +523,20 @@ FROM fgdf f JOIN bgdf b ON f.tok = b.tok
 ORDER BY f.fg_df * f.fg_df / b.bg_df DESC, f.tok ASC LIMIT {n}"""
 
 
-def phrase_topk_sql(phrase: str, k: int = 10, chain: AnalyzerChain = CODE_CHAIN) -> str:
-    """Exact-phrase (slop=0) BM25 oracle: positions = 1-based index in the
-    surviving-token stream (relative adjacency matches the engine's
-    0-based positions); idf summed per term INSTANCE; tf := phrase freq."""
+def phrase_topk_sql(
+    phrase: str, k: int = 10, chain: AnalyzerChain = CODE_CHAIN, slop: int = 0
+) -> str:
+    """Phrase BM25 oracle ``"…"~slop``: positions = 1-based index in the
+    surviving-token stream (relative offsets match the engine's 0-based
+    positions); match = ordered chain with span ≤ n-1+slop; pf = count of
+    DISTINCT chain starts; idf summed per term INSTANCE; tf := pf."""
     terms = chain.tokenize_py(phrase)
+    n = len(terms)
     esc = [t.replace("'", "''") for t in terms]
     joins = "\n".join(
-        f"  JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i} "
-        f"AND p{i}.tok = '{esc[i]}'"
-        for i in range(1, len(terms))
+        f"  JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos > p{i - 1}.pos "
+        f"AND p{i}.pos <= p0.pos + {i + slop} AND p{i}.tok = '{esc[i]}'"
+        for i in range(1, n)
     )
     idf_parts = " + ".join(
         f"ln(1.0 + (s.n_docs - (SELECT count(DISTINCT doc_id) FROM toks WHERE tok = '{t}') + 0.5)"
@@ -493,7 +548,7 @@ pos AS (
   SELECT doc_id, unnest(tt) AS tok, generate_subscripts(tt, 1) AS pos
   FROM (SELECT doc_id, {chain.duckdb_tokens_expr('text')} AS tt FROM documents)),
 pf AS (
-  SELECT p0.doc_id, count(*) AS pf
+  SELECT p0.doc_id, count(DISTINCT p0.pos) AS pf
   FROM pos p0
 {joins}
   WHERE p0.tok = '{esc[0]}'

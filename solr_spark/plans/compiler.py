@@ -1,43 +1,239 @@
-"""Query compiler: ParsedQuery → executable DataFrame plan.
+"""Query compiler: lucene AST → one-aggregation DataFrame plan.
 
 The analog of Solr's QParser → Lucene Query → SolrIndexSearcher chain
 (``search/QParserPlugin.java`` → ``SolrIndexSearcher.getDocListC``,
-SURVEY.md §3.1): the mini ``lucene``-syntax parser's output is compiled
-into posting-set algebra over the block index:
+SURVEY.md §3.1). The boolean AST from :func:`parser.parse_lucene` is
+compiled into ONE distributed plan:
 
-- should/must terms → BM25-scored block decode (``score_all``)
-- ``AND``/``+`` → conjunction (n_matched == n_terms)
-- ``-term`` / ``NOT term`` → anti-join against the prohibited terms'
-  doc sets (Solr's prohibited clauses / filter-query exclusion)
-- ``field:value`` metadata filters → broadcast-friendly filter on the
-  doc registry, applied as a SEMI-join before ranking — the ``fq``
-  filter-DocSet intersection (``SolrIndexSearcher.java:1017``): cheap
-  column predicates restrict the scored set, never touch scoring
-- ``prefix*`` → term-dict expansion (MultiTermQuery rewrite, weight 1)
+1. every scoring leaf (term / expanded wildcard / regexp / fuzzy /
+   prefix / term-range) contributes rows of a small broadcast mapping
+   ``(term, leaf_id, wfactor = idf·boost)``; the pruned posting-block
+   decode runs ONCE for all distinct terms and joins that mapping;
+2. phrase leaves run the positional verifier
+   (:func:`query.phrase.phrase_match_pf`) and emit
+   ``(doc_id, leaf_id, contrib)`` — phrases are first-class positional
+   clauses, not bag-of-words (fixes the v1 degradation);
+3. metadata leaves (``lang:python``, ``n_chars:[100 TO 300]``) emit
+   zero-contribution rows from a column-pruned doc-registry scan — the
+   ``fq`` filter-DocSet analog (``SolrIndexSearcher.java:1017``);
+4. one union → ONE ``groupBy(doc_id)`` computes the summed score and
+   the matched-leaf flag set (``collect_set(leaf_id)``); the boolean
+   tree evaluates as a pure JVM column expression over the flags
+   (whole-stage codegen — no joins per clause, no driver loops);
+5. ``orderBy(score desc, doc_id asc).limit(k)`` = TakeOrderedAndProject.
 
-Filter ordering mirrors Solr's cost model (SURVEY.md §4): metadata
-filters and prohibitions are doc-set restrictions applied after the
-(already pruned) posting decode but before the global top-k, so the
-expensive sort sees the smallest candidate set.
+Occur semantics (Lucene BooleanQuery): MUST clauses all required;
+SHOULD required (≥1) only when no MUST exists; MUST_NOT excludes.
+Metadata field clauses in SHOULD position are treated as filters
+(Solr's fq lives outside q) — they restrict but don't lift the
+≥1-scoring-should requirement. Scores sum contributions of every
+matching scoring leaf, × all enclosing group boosts.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from solr_spark.query.engine import SearchEngine
+from solr_spark.query.engine import SearchEngine, _DECODED_SCHEMA, _decode_blocks_udf
 from solr_spark.query.extras import _expansion_stats
-from solr_spark.query.parser import ParsedQuery, parse_query
+from solr_spark.query.parser import (
+    BoolQ,
+    FuzzyQ,
+    ParsedQuery,
+    PhraseQ,
+    RangeQ,
+    RegexQ,
+    TermQ,
+    WildQ,
+    parse_lucene,
+)
+
+# condition spec mini-algebra (evaluated over the matched-leaf flag set)
+_TRUE = ("true",)
+_FALSE = ("false",)
 
 
-def _match_set(engine: SearchEngine, terms: list[str]) -> DataFrame | None:
-    """Distinct doc_ids containing ANY of the given raw words (analyzed)."""
-    analyzed = [t for w in terms for t in engine.analyze_query(w)]
-    stats = engine._term_stats(analyzed)
-    if not stats:
+def _glob_to_regex(pattern: str) -> str:
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append("" if ch in "\\" else ("\\" + ch if ch in ".^$+{}[]|()" else ch))
+    return "^" + "".join(out) + "$"
+
+
+@dataclass
+class _Ctx:
+    engine: SearchEngine
+    max_expansions: int
+    term_rows: list  # (term, leaf_id, wfactor)
+    phrase_leaves: list  # (leaf_id, phrase_text, slop, boost)
+    filter_leaves: list  # (leaf_id, Column)
+    next_id: int = 0
+
+    def new_leaf(self) -> int:
+        self.next_id += 1
+        return self.next_id - 1
+
+
+def _meta_pred(engine: SearchEngine, fieldname: str, node) -> Column | None:
+    """Column predicate for a metadata field clause, or None if the
+    field is not a doc-registry column."""
+    docs = engine.index.docs
+    if fieldname not in docs.columns:
         return None
-    return engine.score_all(stats).select("doc_id")
+    dtype = dict(docs.dtypes)[fieldname]
+    numeric = dtype in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+
+    def lit(v: str):
+        return F.lit(float(v) if numeric else v)
+
+    if isinstance(node, TermQ):
+        return F.col(fieldname) == lit(node.text)
+    if isinstance(node, RangeQ):
+        cond = F.lit(True)
+        if node.lo is not None:
+            c = F.col(fieldname) >= lit(node.lo) if node.incl_lo else F.col(fieldname) > lit(node.lo)
+            cond = cond & c
+        if node.hi is not None:
+            c = F.col(fieldname) <= lit(node.hi) if node.incl_hi else F.col(fieldname) < lit(node.hi)
+            cond = cond & c
+        return cond
+    return None
+
+
+def _is_meta(engine: SearchEngine, node) -> bool:
+    return (
+        isinstance(node, (TermQ, RangeQ))
+        and getattr(node, "field", None) not in (None, "text")
+        and node.field in engine.index.docs.columns
+    )
+
+
+def _compile(ctx: _Ctx, node, boost: float):
+    """Walk the AST → condition spec; registers leaves in ctx."""
+    eng = ctx.engine
+    if node is None:
+        return _FALSE
+    if isinstance(node, BoolQ):
+        boost = boost * node.boost
+        shoulds = [c for c in node.should if not _is_meta(eng, c)]
+        filters = [c for c in node.should if _is_meta(eng, c)]
+        parts = []
+        for m in node.must:
+            parts.append(_compile(ctx, m, boost))
+        for f in filters:
+            parts.append(_compile(ctx, f, boost))
+        if shoulds:
+            sub = [_compile(ctx, s, boost) for s in shoulds]
+            if not node.must:  # Lucene: shoulds optional when a MUST exists
+                parts.append(("or", sub))
+            elif sub:  # still register leaves for scoring; no constraint
+                parts.append(_TRUE)
+        for mn in node.must_not:
+            parts.append(("not", _compile(ctx, mn, boost)))
+        if not (node.must or filters or shoulds):
+            return _FALSE  # pure-negative query matches nothing
+        return ("and", parts)
+
+    if _is_meta(eng, node):
+        pred = _meta_pred(eng, node.field, node)
+        lid = ctx.new_leaf()
+        ctx.filter_leaves.append((lid, pred))
+        return ("leaf", lid)
+
+    if isinstance(node, TermQ):
+        toks = eng.analyze_query(node.text)
+        if not toks:
+            return _FALSE
+        if len(toks) > 1:  # multi-token analyzed word → conjunction
+            return _compile(ctx, BoolQ(must=[TermQ(t, boost=node.boost) for t in toks]), boost)
+        stats = eng._term_stats(toks)
+        if not stats:
+            return _FALSE
+        lid = ctx.new_leaf()
+        s = stats[0]
+        ctx.term_rows.append((s.term, lid, s.idf * boost * node.boost))
+        return ("leaf", lid)
+
+    if isinstance(node, PhraseQ):
+        toks = eng.analyze_query(node.text)
+        if not toks:
+            return _FALSE
+        if len(toks) == 1:
+            return _compile(ctx, TermQ(toks[0], boost=node.boost), boost)
+        if not eng.config.with_positions:
+            # positionless index: documented fallback to conjunction
+            return _compile(ctx, BoolQ(must=[TermQ(t, boost=node.boost) for t in toks]), boost)
+        uniq = sorted(set(toks))
+        stats = eng._term_stats(uniq)
+        if len(stats) < len(uniq):
+            return _FALSE
+        lid = ctx.new_leaf()
+        ctx.phrase_leaves.append((lid, node.text, node.slop, boost * node.boost))
+        return ("leaf", lid)
+
+    # multi-term expansions against the term dictionary
+    if isinstance(node, (WildQ, RegexQ, FuzzyQ, RangeQ)):
+        if isinstance(node, WildQ):
+            pat = node.pattern
+            if pat.endswith("*") and "*" not in pat[:-1] and "?" not in pat:
+                cond = F.col("term").startswith(pat[:-1].lower())
+            else:
+                cond = F.col("term").rlike(_glob_to_regex(pat.lower()))
+        elif isinstance(node, RegexQ):
+            cond = F.col("term").rlike(f"^(?:{node.pattern})$")
+        elif isinstance(node, FuzzyQ):
+            w = node.text.lower()
+            cond = (F.abs(F.length("term") - F.lit(len(w))) <= node.max_edits) & (
+                F.levenshtein(F.col("term"), F.lit(w)) <= node.max_edits
+            )
+        else:  # term range over the default text field
+            cond = F.lit(True)
+            if node.lo is not None:
+                cond = cond & (
+                    F.col("term") >= node.lo.lower() if node.incl_lo else F.col("term") > node.lo.lower()
+                )
+            if node.hi is not None:
+                cond = cond & (
+                    F.col("term") <= node.hi.lower() if node.incl_hi else F.col("term") < node.hi.lower()
+                )
+        stats = _expansion_stats(ctx.engine, cond, ctx.max_expansions)
+        if not stats:
+            return _FALSE
+        lid = ctx.new_leaf()
+        b = boost * node.boost
+        for s in stats:
+            ctx.term_rows.append((s.term, lid, s.idf * b))
+        return ("leaf", lid)
+
+    raise TypeError(f"unknown AST node {type(node).__name__}")
+
+
+def _spec_to_column(spec, flags: Column) -> Column:
+    kind = spec[0]
+    if kind == "true":
+        return F.lit(True)
+    if kind == "false":
+        return F.lit(False)
+    if kind == "leaf":
+        return F.array_contains(flags, spec[1])
+    if kind == "not":
+        return ~_spec_to_column(spec[1], flags)
+    cols = [_spec_to_column(s, flags) for s in spec[1]]
+    if not cols:
+        return F.lit(True) if kind == "and" else F.lit(False)
+    out = cols[0]
+    for c in cols[1:]:
+        out = (out & c) if kind == "and" else (out | c)
+    return out
 
 
 def execute_query(
@@ -47,55 +243,85 @@ def execute_query(
     default_mode: str = "OR",
     max_expansions: int = 50,
 ) -> DataFrame:
-    """Compile and run a mini-language query. Returns (doc_id, score f32)
+    """Compile and run a lucene-syntax query. Returns (doc_id, score f32)
     ranked (score desc, doc_id asc), at most k rows."""
-    pq = parse_query(query, default_mode) if isinstance(query, str) else query
+    if isinstance(query, ParsedQuery):  # legacy callers: rebuild a string
+        parts = list(query.terms) + [f'"{p}"' for p in query.phrases]
+        parts += [f"-{t}" for t in query.prohibited]
+        parts += [f"{f}:{v}" for f, v in query.filters.items()]
+        parts += [f"{t}*" for t in query.prefix_terms]
+        query = (" AND " if query.mode == "AND" else " ").join(parts)
+        default_mode = "OR"
+    ast = parse_lucene(query, default_mode)
+    if not isinstance(ast, BoolQ):
+        ast = BoolQ(should=[ast])
 
-    # positive scored terms: bare terms + phrase words (conjunctive in v1)
-    words = list(pq.terms) + [w for ph in pq.phrases for w in ph.split()]
-    analyzed = [t for w in words for t in engine.analyze_query(w)]
-    stats = engine._term_stats(analyzed)
-    for pre in pq.prefix_terms:
-        stats.extend(_expansion_stats(engine, F.col("term").startswith(pre.lower()), max_expansions))
-    # dedupe stats by term (a prefix expansion may repeat a literal term)
-    seen: dict[str, object] = {}
-    for s in stats:
-        seen.setdefault(s.term, s)
-    stats = list(seen.values())
+    ctx = _Ctx(engine, max_expansions, [], [], [])
+    spec = _compile(ctx, ast, 1.0)
 
-    n_required = len(set(analyzed))
     empty = engine.spark.createDataFrame([], "doc_id long, score float")
-    if not stats:
-        return empty
-    if pq.mode == "AND" and len({s.term for s in stats if s.term in analyzed}) < n_required:
+    if spec == _FALSE and not (ctx.term_rows or ctx.phrase_leaves or ctx.filter_leaves):
         return empty
 
-    agg = engine.score_all(stats)
-    if pq.mode == "AND" and n_required > 0:
-        # conjunction over the literal (non-expansion) terms
-        lit_terms = [s.term for s in stats if s.term in analyzed]
-        lit = engine.score_all([s for s in stats if s.term in analyzed]).where(
-            F.col("n_terms") >= F.lit(len(lit_terms))
-        ).select("doc_id")
-        agg = agg.join(lit, "doc_id", "left_semi")
+    srcs: list[DataFrame] = []
+    if ctx.term_rows:
+        terms = sorted({t for t, _, _ in ctx.term_rows})
+        blocks = engine._blocks_for(terms)
+        decoded = blocks.select("term", "doc_ids_enc", "tfs_enc", "dls_enc").mapInPandas(
+            _decode_blocks_udf(), schema=_DECODED_SCHEMA
+        )
+        wmap = engine.spark.createDataFrame(
+            ctx.term_rows, "term string, leaf_id int, wfactor double"
+        )
+        tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
+        contrib = F.col("wfactor") * tf / (
+            tf
+            + F.lit(engine.k1)
+            * (F.lit(1.0 - engine.b) + F.lit(engine.b) * dl / F.lit(engine.avgdl))
+        )
+        srcs.append(
+            decoded.join(F.broadcast(wmap), "term").select(
+                "doc_id", "leaf_id", contrib.alias("contrib")
+            )
+        )
+    if ctx.phrase_leaves:
+        from solr_spark.query.phrase import phrase_match_pf
 
-    # prohibited clauses: anti-join their doc sets
-    if pq.prohibited:
-        bad = _match_set(engine, pq.prohibited)
-        if bad is not None:
-            agg = agg.join(bad, "doc_id", "left_anti")
+        for lid, text, slop, b in ctx.phrase_leaves:
+            pfd = phrase_match_pf(engine, text, slop=slop)
+            if pfd is None:
+                continue
+            toks = engine.analyze_query(text)
+            idf = {s.term: s.idf for s in engine._term_stats(sorted(set(toks)))}
+            idf_total = float(sum(idf[t] for t in toks)) * b
+            pf, dl = F.col("pf").cast("double"), F.col("dl").cast("double")
+            contrib = F.lit(idf_total) * pf / (
+                pf
+                + F.lit(engine.k1)
+                * (F.lit(1.0 - engine.b) + F.lit(engine.b) * dl / F.lit(engine.avgdl))
+            )
+            srcs.append(
+                pfd.select("doc_id", F.lit(lid).alias("leaf_id"), contrib.alias("contrib"))
+            )
+    for lid, pred in ctx.filter_leaves:
+        srcs.append(
+            engine.index.docs.where(pred).select(
+                "doc_id", F.lit(lid).alias("leaf_id"), F.lit(0.0).alias("contrib")
+            )
+        )
+    if not srcs:
+        return empty
 
-    # metadata filters (fq analog): semi-join the doc registry
-    if pq.filters:
-        docs = engine.index.docs
-        cond_df = docs
-        for fname, fval in pq.filters.items():
-            if fname in docs.columns:
-                cond_df = cond_df.where(F.col(fname) == fval)
-        agg = agg.join(cond_df.select("doc_id"), "doc_id", "left_semi")
-
+    allrows = srcs[0]
+    for s in srcs[1:]:
+        allrows = allrows.unionByName(s)
+    agg = allrows.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score_raw"), F.collect_set("leaf_id").alias("flags")
+    )
+    cond = _spec_to_column(spec, F.col("flags"))
     return (
-        agg.select("doc_id", F.col("score_raw").cast("float").alias("score"))
+        agg.where(cond)
+        .select("doc_id", F.col("score_raw").cast("float").alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

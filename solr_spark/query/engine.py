@@ -22,14 +22,25 @@ tie-break (score desc, doc_id asc) — the analog of Solr's docid/shard
 tie-break (``ShardFieldSortedHitQueue.java:104-107``) — so ranking is
 deterministic and independent of float summation order.
 
-Exactness and pruning: Solr's default is EXACT top-k (Block-Max WAND is
-opt-in via minExactCount, ``QueryComponent.java:448``). We mirror that:
-exact by default, with rank-safe block-max pruning applied when it is
-provably lossless — single-term queries (two-pass threshold pruning) and
-conjunctive queries (doc-range block skipping driven by the rarest
-term, plus upper-bound pruning vs the sum of the other terms' max
-impacts). Disjunctive queries stay exact-full-decode in v1 (matching
-Solr's default); the candidate-rescore BMW variant is v2.
+Exactness and pruning: results are always EXACT top-k; pruning is only
+applied where provably rank-safe (Solr's Block-Max WAND is opt-in via
+minExactCount, ``QueryComponent.java:448`` — we keep exactness and use
+block-max metadata purely to skip blocks that cannot reach the top k):
+
+- single-term queries: two-pass threshold pruning
+  (:meth:`SearchEngine._single_term_pruned_blocks`);
+- conjunctive (AND) queries: doc-range block skipping driven by the
+  rarest term (:meth:`SearchEngine._and_pruned_blocks`);
+- disjunctive (OR) multi-term queries: rank-safe block-max pruning — a
+  seed pass establishes θ (a lower bound on the k-th score) and blocks
+  whose weighted upper bound ``block_max·w + Σ other terms' global max``
+  falls below θ are skipped (:meth:`SearchEngine._or_pruned_blocks`).
+
+All three paths pull block METADATA (not postings) to the driver to pick
+seed blocks; each is guarded by ``_WAND_META_LIMIT`` — past that many
+metadata rows (a pathological hot term at corpus scale) the engine falls
+back to exact full decode rather than materializing the metadata table
+driver-side.
 """
 
 from __future__ import annotations
@@ -255,11 +266,16 @@ class SearchEngine:
         Pass 1: take the blocks with highest block_max covering ≥ k docs,
         score them exactly, θ = k-th best score. Pass 2: keep only blocks
         with block_max ≥ θ. Rank-safe: a block with block_max < θ cannot
-        contain a doc scoring ≥ θ.
+        contain a doc scoring ≥ θ. Metadata collect is capped at
+        ``_WAND_META_LIMIT`` rows — beyond that, exact full decode.
         """
         blocks = self._blocks_for([s.term])
-        meta = blocks.select("salt", "block_no", "n_docs", "block_max").collect()
-        if not meta:
+        meta = (
+            blocks.select("salt", "block_no", "n_docs", "block_max")
+            .limit(self._WAND_META_LIMIT + 1)
+            .collect()
+        )
+        if not meta or len(meta) > self._WAND_META_LIMIT:
             return blocks
         meta.sort(key=lambda r: -r["block_max"])
         covered, seed = 0, []
@@ -371,7 +387,15 @@ class SearchEngine:
         rare = min(stats, key=lambda s: s.df)
         others = [s for s in stats if s.term != rare.term]
         rare_blocks = self._blocks_for([rare.term])
-        ranges = rare_blocks.select("min_doc_id", "max_doc_id").collect()
+        ranges = (
+            rare_blocks.select("min_doc_id", "max_doc_id")
+            .limit(self._WAND_META_LIMIT + 1)
+            .collect()
+        )
+        if len(ranges) > self._WAND_META_LIMIT:
+            # even the RAREST term has too many blocks to range-collect —
+            # fall back to the exact unpruned scan of all terms
+            return self._blocks_for([s.term for s in stats])
         if not ranges:
             # rare term empty → AND result empty; return empty block scan
             return rare_blocks

@@ -1,21 +1,34 @@
-"""Mini query parser — a pragmatic subset of the reference's `lucene` syntax.
+"""Lucene-style query parser → boolean AST.
 
-The reference's full grammar lives in ``solr/core/src/java/org/apache/solr/
-parser/QueryParser.jj`` + ``parser/SolrQueryParserBase.java`` (45 registered
-QParsers, ``search/QParserPlugin.java:45-93``). v1 covers the subset the
-engine executes natively:
+The reference's grammar lives in ``solr/core/src/java/org/apache/solr/
+parser/QueryParser.jj`` + ``parser/SolrQueryParserBase.java`` (45
+registered QParsers, ``search/QParserPlugin.java:45-93``). This module
+covers the core ``lucene`` surface:
 
-- bare terms (analyzed by the query-time chain), implicit OR (``q.op=OR``)
-- ``AND`` / ``OR`` / ``NOT`` connectives and ``+must`` / ``-prohibit``
-- field-qualified metadata filters ``lang:python`` ``repo:org1/repo5``
-  (fq analog — cheap column predicates applied before scoring)
-- quoted phrases ``"exact phrase"`` — parsed; executed as conjunction in
-  v1 (positional verification is the v2 positional-index path)
-- prefix ``term*`` — expanded against the term dictionary at execution
+- bare terms (analyzed by the query-time chain), implicit OR (``q.op``)
+- ``AND``/``&&``, ``OR``/``||``, ``NOT``/``!`` with precedence
+  NOT > AND > OR, and ``+must`` / ``-prohibit`` clause prefixes
+- parenthesized nesting ``(a OR b) AND c`` (QueryParser.jj clause
+  recursion)
+- quoted phrases ``"a b"`` with slop ``"a b"~2``
+  (SolrQueryParserBase.java:546)
+- ranges ``field:[a TO b]`` / ``{a TO b}`` with open ends ``*``
+  (SolrQueryParserBase.java:1074, tests TestRangeQuery.java)
+- wildcard ``te*t`` / ``te?t`` (:843), regexp ``/re/`` (:1237-1339),
+  fuzzy ``term~1``, prefix ``term*``
+- per-clause boost ``^2`` on any atom or group (:1339)
+- field-qualified clauses ``lang:python``, ``n_chars:[100 TO 300]`` —
+  metadata fields compile to fq-style column predicates
 
-Compilation target is a :class:`ParsedQuery`, executed by
-``SearchEngine``/``operators`` as posting intersections/unions + column
-filters (SURVEY.md §2.3 mapping table).
+Documented deviations from Lucene's (famously irregular) operator
+handling: we use a conventional precedence grammar (NOT > AND > OR,
+implicit operator = q.op), and a multi-token analyzed word compiles to a
+conjunction of its tokens (autoGeneratePhraseQueries=false analog).
+
+Two entry points: :func:`parse_lucene` (full AST, executed by
+``plans.compiler.execute_query``) and the legacy flat
+:func:`parse_query` → :class:`ParsedQuery` (kept for the simple
+dismax-ish callers and tests).
 """
 
 from __future__ import annotations
@@ -96,3 +109,286 @@ def _add_word(out: ParsedQuery, w: str, negated: bool) -> None:
         out.prefix_terms.append(w[:-1])
     else:
         out.terms.append(w)
+
+
+# ===========================================================================
+# v2: full boolean AST (see module docstring)
+# ===========================================================================
+
+
+@dataclass
+class TermQ:
+    text: str
+    field: str | None = None
+    boost: float = 1.0
+
+
+@dataclass
+class PhraseQ:
+    text: str
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass
+class WildQ:  # glob pattern with * / ? (PrefixQuery is the trailing-* case)
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass
+class RegexQ:
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass
+class FuzzyQ:
+    text: str
+    max_edits: int = 2
+    boost: float = 1.0
+
+
+@dataclass
+class RangeQ:
+    field: str | None  # None = default text field (term range)
+    lo: str | None     # None = open end (*)
+    hi: str | None
+    incl_lo: bool = True
+    incl_hi: bool = True
+    boost: float = 1.0
+
+
+@dataclass
+class BoolQ:
+    should: list = field(default_factory=list)
+    must: list = field(default_factory=list)
+    must_not: list = field(default_factory=list)
+    boost: float = 1.0
+
+
+_LEX = re.compile(
+    r"""
+    \s*(?:
+        (?P<lparen>\()
+      | (?P<rparen>\))
+      | (?P<and>AND\b|&&)
+      | (?P<or>OR\b|\|\|)
+      | (?P<not>NOT\b|!)
+      | (?P<plus>\+)
+      | (?P<minus>-)
+      | (?P<quoted>"[^"]*"(?:~\d+)?(?:\^[0-9.]+)?)
+      | (?P<regex>/(?:[^/\\]|\\.)+/(?:\^[0-9.]+)?)
+      | (?P<range>[\[{][^\]}]*?\sTO\s[^\]}]*?[\]}](?:\^[0-9.]+)?)
+      | (?P<fieldname>[A-Za-z_][A-Za-z0-9_]*:)
+      | (?P<word>[^\s()"]+)
+    )
+    """,
+    re.VERBOSE,
+)
+
+_BOOST_RE = re.compile(r"\^([0-9.]+)$")
+_FUZZ_RE = re.compile(r"~(\d*)$")
+
+
+def _lex(q: str) -> list[tuple[str, str]]:
+    toks, pos = [], 0
+    while pos < len(q):
+        m = _LEX.match(q, pos)
+        if not m or m.end() == pos:
+            pos += 1
+            continue
+        pos = m.end()
+        for name, val in m.groupdict().items():
+            if val is not None:
+                toks.append((name, val))
+                break
+    return toks
+
+
+def _strip_boost(s: str) -> tuple[str, float]:
+    m = _BOOST_RE.search(s)
+    if m:
+        return s[: m.start()], float(m.group(1))
+    return s, 1.0
+
+
+def _word_node(w: str, boost: float, fieldname: str | None):
+    m = _FUZZ_RE.search(w)
+    if m and m.start() > 0:  # fuzzy term~  /  term~1
+        base = w[: m.start()]
+        edits = int(m.group(1)) if m.group(1) else 2
+        return FuzzyQ(base, max_edits=edits, boost=boost)
+    if "*" in w or "?" in w:
+        return WildQ(w, boost=boost)
+    return TermQ(w, field=fieldname, boost=boost)
+
+
+def _range_node(body: str, boost: float, fieldname: str | None) -> RangeQ:
+    incl_lo = body[0] == "["
+    incl_hi = body[-1] == "]"
+    inner = body[1:-1]
+    lo_s, _, hi_s = inner.partition(" TO ")
+    lo = lo_s.strip() or "*"
+    hi = hi_s.strip() or "*"
+    return RangeQ(
+        fieldname,
+        None if lo == "*" else lo,
+        None if hi == "*" else hi,
+        incl_lo,
+        incl_hi,
+        boost,
+    )
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]], default_op: str):
+        self.toks = toks
+        self.i = 0
+        self.default_op = default_op
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    # query := clause (op clause)*  — implicit op between adjacent clauses
+    def parse_or(self):
+        clauses: list[tuple[str, object]] = []  # (occur, node)
+        occur_next: str | None = None
+        while True:
+            t = self.peek()
+            if t is None or t[0] == "rparen":
+                break
+            kind, _ = t
+            if kind == "or":
+                self.next()
+                continue
+            if kind == "and":
+                self.next()
+                # bind previous clause and the next unary into a MUST group
+                node = self.parse_unary()
+                if clauses:
+                    prev_occ, prev = clauses.pop()
+                    grp = BoolQ(must=[prev, node])
+                    while self.peek() and self.peek()[0] == "and":
+                        self.next()
+                        grp.must.append(self.parse_unary())
+                    clauses.append((prev_occ if prev_occ != "should" else "should", grp))
+                else:
+                    clauses.append(("should", node))
+                continue
+            if kind in ("not", "minus"):
+                self.next()
+                occur_next = "must_not"
+                continue
+            if kind == "plus":
+                self.next()
+                occur_next = "must"
+                continue
+            node = self.parse_unary()
+            occ = occur_next or ("must" if self.default_op == "AND" else "should")
+            occur_next = None
+            clauses.append((occ, node))
+        return self._build_bool(clauses)
+
+    def parse_unary(self):
+        t = self.peek()
+        if t is None:
+            return None
+        kind, val = t
+        if kind in ("not", "minus"):
+            self.next()
+            inner = self.parse_unary()
+            return BoolQ(must_not=[inner])
+        return self.parse_primary()
+
+    def parse_primary(self):
+        kind, val = self.next()
+        if kind == "lparen":
+            node = self.parse_or()
+            if self.peek() and self.peek()[0] == "rparen":
+                self.next()
+            # group boost: `(a b)^2` — lexed as a word `^2` won't appear;
+            # peek a word starting with ^
+            t = self.peek()
+            if t and t[0] == "word" and t[1].startswith("^"):
+                self.next()
+                try:
+                    node.boost = float(t[1][1:])
+                except ValueError:
+                    pass
+            return node
+        if kind == "quoted":
+            body, boost = _strip_boost(val)
+            slop = 0
+            m = re.search(r'"~(\d+)$', body)
+            if m:
+                slop = int(m.group(1))
+                body = body[: m.start() + 1]
+            return PhraseQ(body.strip('"'), slop=slop, boost=boost)
+        if kind == "regex":
+            body, boost = _strip_boost(val)
+            return RegexQ(body[1:-1], boost=boost)
+        if kind == "range":
+            body, boost = _strip_boost(val)
+            return _range_node(body, boost, None)
+        if kind == "fieldname":
+            fname = val[:-1]
+            t = self.peek()
+            if t is None:
+                return TermQ(fname)
+            nkind, nval = t
+            if nkind == "range":
+                self.next()
+                body, boost = _strip_boost(nval)
+                return _range_node(body, boost, fname)
+            if nkind == "quoted":
+                self.next()
+                body, boost = _strip_boost(nval)
+                return TermQ(body.strip('"'), field=fname, boost=boost)
+            if nkind == "word":
+                self.next()
+                w, boost = _strip_boost(nval)
+                return _word_node(w, boost, fname)
+            return TermQ(fname)
+        if kind == "word":
+            w, boost = _strip_boost(val)
+            return _word_node(w, boost, None)
+        # operators in primary position — treat their text as a term
+        return TermQ(val)
+
+    @staticmethod
+    def _build_bool(clauses):
+        if len(clauses) == 1 and clauses[0][0] == "should":
+            return clauses[0][1]
+        b = BoolQ()
+        for occ, node in clauses:
+            if node is None:
+                continue
+            if occ == "must_not" or (
+                isinstance(node, BoolQ)
+                and node.must_not
+                and not (node.must or node.should)
+            ):
+                # flatten unary-NOT wrappers
+                inner = (
+                    node.must_not
+                    if isinstance(node, BoolQ) and not (node.must or node.should)
+                    else [node]
+                )
+                b.must_not.extend(inner)
+            elif occ == "must":
+                b.must.append(node)
+            else:
+                b.should.append(node)
+        return b
+
+
+def parse_lucene(q: str, default_op: str = "OR"):
+    """Parse a lucene-syntax query string into the boolean AST."""
+    node = _Parser(_lex(q), default_op).parse_or()
+    return node if node is not None else BoolQ()

@@ -10,20 +10,36 @@ Frozen semantics (mirrored by ``oracle_sql.phrase_topk_sql``):
 - position = index in the SURVIVING analyzed-token stream (no position
   gaps at removed stopwords — a documented deviation from Lucene's
   StopFilter position-increment; both engine and oracle agree).
-- match: exact adjacency (slop=0) — term i of the phrase at position
-  p+i for each i.
+- match (slop = N): an ordered chain p_0 < p_1 < … < p_{n-1}, one
+  position per phrase term in order, with total span
+  ``p_{n-1} - p_0 ≤ n - 1 + N``; ``pf`` = number of distinct start
+  positions p_0 admitting such a chain. N = 0 degenerates to exact
+  adjacency (span forces every gap to 1).
 - score: Lucene PhraseQuery shape — BM25 with tf := phrase frequency
   and idf := Σ idf(term instance) (duplicate phrase terms counted each
   occurrence): ``score = idf_total · pf / (pf + k1·(1-b+b·dl/avgdl))``,
   float32-quantized, ranked (score desc, doc_id asc).
 
-Execution (one shuffle): prune the block scan to the phrase terms,
-decode postings WITH positions (Arrow UDF, segmented-varint kernel),
-shuffle by doc_id into per-doc groups, verify adjacency with numpy
-set-intersections inside ``applyInPandas``, score JVM-side.
+Execution (one shuffle, no per-row/per-doc Python):
+
+1. prune the block scan to the phrase terms' buckets;
+2. decode postings WITH positions into a FLAT occurrence table
+   (term, doc_id, pos, dl) — numpy ``repeat``/segmented-varint kernels
+   inside one Arrow ``mapInPandas``, one row per occurrence;
+3. hash-repartition by doc_id (the single shuffle — co-locates every
+   occurrence of a doc);
+4. verify chains for ALL docs of a partition at once inside one
+   ``mapInPandas``: occurrences become sorted int64 keys
+   ``doc_id·SHIFT + pos``; the earliest-next-occurrence chain per start
+   is found with ``np.searchsorted`` per phrase ordinal (greedy minimal
+   chain — optimal for ordered-span matching), then starts are counted
+   per doc with ``np.unique``. No ``applyInPandas`` per-doc groups, no
+   Python loops over postings.
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -34,13 +50,20 @@ from pyspark.sql import types as T
 from solr_spark.index.codec import delta_varint_decode, positions_decode, varint_decode
 from solr_spark.query.engine import SearchEngine
 
-_DECODED_POS_SCHEMA = T.StructType(
+_POS_FLAT_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
         T.StructField("doc_id", T.LongType(), False),
-        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("pos", T.LongType(), False),
         T.StructField("dl", T.IntegerType(), False),
-        T.StructField("positions", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+_PF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("pf", T.IntegerType(), False),
+        T.StructField("dl", T.IntegerType(), False),
     ]
 )
 
@@ -52,80 +75,125 @@ _EMPTY_PF = pd.DataFrame(
     }
 )
 
-_PF_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("pf", T.IntegerType(), False),
-        T.StructField("dl", T.IntegerType(), False),
-    ]
-)
 
+def _decode_pos_flat_udf():
+    """Block decoder → flat occurrence rows (term, doc_id, pos, dl).
 
-def _decode_blocks_pos_udf():
-    """Block decoder including the positions stream."""
+    All-numpy: per block the docID/tf/dl streams decode vectorized and
+    fan out to one row per position via ``np.repeat`` — no per-posting
+    Python objects (the round-1 decoder built a Python tuple per
+    posting; VERDICT.md "What's wrong #4").
+    """
 
-    def dec(batches):
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            rows = []
+            terms, docs, poss, dls = [], [], [], []
             for term, de, te, le, pe in zip(
                 pdf["term"], pdf["doc_ids_enc"], pdf["tfs_enc"], pdf["dls_enc"], pdf["pos_enc"]
             ):
                 doc_ids = delta_varint_decode(bytes(de)).astype(np.int64)
                 tfs = varint_decode(bytes(te)).astype(np.int64)
-                dls = varint_decode(bytes(le)).astype(np.int64)
+                dl = varint_decode(bytes(le)).astype(np.int64)
                 flat = positions_decode(bytes(pe), tfs).astype(np.int64)
-                bounds = np.cumsum(tfs)
-                start = 0
-                for i, d in enumerate(doc_ids):
-                    rows.append(
-                        (term, int(d), int(tfs[i]), int(dls[i]), flat[start : bounds[i]].tolist())
-                    )
-                    start = bounds[i]
-            yield pd.DataFrame(rows, columns=[f.name for f in _DECODED_POS_SCHEMA.fields])
+                docs.append(np.repeat(doc_ids, tfs))
+                dls.append(np.repeat(dl, tfs))
+                poss.append(flat)
+                terms.append(np.full(int(tfs.sum()), term, dtype=object))
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(docs),
+                    "pos": np.concatenate(poss),
+                    "dl": np.concatenate(dls).astype(np.int32),
+                }
+            )
 
     return dec
 
 
-def phrase_topk(engine: SearchEngine, phrase: str, k: int = 10) -> DataFrame:
-    """Top-k for an exact phrase (slop=0). See module docstring for the
-    frozen scoring semantics."""
+def _make_verify(terms: list[str], slop: int) -> Callable:
+    """Partition-level chain verifier (see module docstring step 4)."""
+    n = len(terms)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            yield _EMPTY_PF
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        doc = pdf["doc_id"].to_numpy(np.int64)
+        pos = pdf["pos"].to_numpy(np.int64)
+        tok = pdf["term"].to_numpy()
+        shift = int(pos.max()) + 2  # pos < shift, strictly
+        assert doc.max() < (2**62) // shift, "doc_id·shift would overflow int64"
+        key = doc * shift + pos
+        # per-ordinal sorted key arrays (repeated phrase terms share one)
+        by_term = {t: np.sort(key[tok == t]) for t in set(terms)}
+        start = by_term[terms[0]]
+        valid = np.ones(len(start), dtype=bool)
+        end = start.copy()
+        for i in range(1, n):
+            keys_i = by_term[terms[i]]
+            idx = np.searchsorted(keys_i, end, side="right")
+            ok = idx < len(keys_i)
+            nxt = keys_i[np.minimum(idx, len(keys_i) - 1)]
+            ok &= (nxt // shift) == (start // shift)  # same doc
+            valid &= ok
+            end = np.where(ok, nxt, end)
+        valid &= (end - start) <= (n - 1 + slop)
+        hits = start[valid]
+        if len(hits) == 0:
+            yield _EMPTY_PF
+            return
+        docs_u, counts = np.unique(hits // shift, return_counts=True)
+        out = pd.DataFrame({"doc_id": docs_u, "pf": counts.astype(np.int32)})
+        dl_map = pdf.drop_duplicates("doc_id")[["doc_id", "dl"]]
+        yield out.merge(dl_map, on="doc_id", how="left").astype(
+            {"doc_id": "int64", "pf": "int32", "dl": "int32"}
+        )
+
+    return verify
+
+
+def phrase_match_pf(engine: SearchEngine, phrase: str, slop: int = 0) -> DataFrame | None:
+    """(doc_id, pf, dl) for every doc matching the phrase within ``slop``.
+
+    Returns None when a phrase term is absent from the index (no doc can
+    match). The building block for :func:`phrase_topk` and the edismax
+    ``pf`` phrase boost.
+    """
     if not engine.config.with_positions:
         raise ValueError("index built without positions; rebuild with with_positions=True")
     terms = engine.analyze_query(phrase)
-    empty = engine.spark.createDataFrame([], "doc_id long, score float")
     if not terms:
-        return empty
+        return None
     uniq = sorted(set(terms))
     stats = engine._term_stats(uniq)
     if len(stats) < len(uniq):
-        return empty  # a phrase term absent from the index matches nothing
+        return None
+    blocks = engine._blocks_for(uniq)
+    flat = blocks.select("term", "doc_ids_enc", "tfs_enc", "dls_enc", "pos_enc").mapInPandas(
+        _decode_pos_flat_udf(), schema=_POS_FLAT_SCHEMA
+    )
+    return flat.repartition("doc_id").mapInPandas(
+        _make_verify(terms, slop), schema=_PF_SCHEMA
+    )
+
+
+def phrase_topk(engine: SearchEngine, phrase: str, k: int = 10, slop: int = 0) -> DataFrame:
+    """Top-k for a phrase query ``"…"~slop`` (slop=0: exact adjacency).
+    See module docstring for the frozen scoring semantics."""
+    empty = engine.spark.createDataFrame([], "doc_id long, score float")
+    pf_df = phrase_match_pf(engine, phrase, slop=slop)
+    if pf_df is None:
+        return empty
+    terms = engine.analyze_query(phrase)
+    stats = engine._term_stats(sorted(set(terms)))
     idf_by_term = {s.term: s.idf for s in stats}
     idf_total = float(sum(idf_by_term[t] for t in terms))  # per term INSTANCE
 
-    blocks = engine._blocks_for(uniq)
-    decoded = blocks.select("term", "doc_ids_enc", "tfs_enc", "dls_enc", "pos_enc").mapInPandas(
-        _decode_blocks_pos_udf(), schema=_DECODED_POS_SCHEMA
-    )
-
-    n_terms = len(terms)
-
-    def verify(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pos_by_term = {t: np.asarray(p, dtype=np.int64) for t, p in zip(pdf["term"], pdf["positions"])}
-        if len(pos_by_term) < len(uniq):
-            return _EMPTY_PF
-        cand = pos_by_term[terms[0]]
-        for i in range(1, n_terms):
-            if len(cand) == 0:
-                break
-            cand = cand[np.isin(cand + i, pos_by_term[terms[i]])]
-        pf = int(len(cand))
-        if pf == 0:
-            return _EMPTY_PF
-        return pd.DataFrame({"doc_id": [int(key[0])], "pf": [pf], "dl": [int(pdf["dl"].iloc[0])]})
-
-    pf_df = decoded.groupBy("doc_id").applyInPandas(verify, schema=_PF_SCHEMA)
     pf, dl = F.col("pf").cast("double"), F.col("dl").cast("double")
     score = F.lit(idf_total) * pf / (
         pf + F.lit(engine.k1) * (F.lit(1.0 - engine.b) + F.lit(engine.b) * dl / F.lit(engine.avgdl))

@@ -67,6 +67,57 @@ def test_phrase_absent_term_is_empty(engine):
     assert phrase_topk(engine, "zzznope import", k=10).count() == 0
 
 
+def _python_phrase_pf_slop(corpus_pdf, phrase, slop):
+    """Reference slop matcher: pf = #starts admitting an ordered chain
+    with span ≤ n-1+slop (greedy earliest-next is optimal)."""
+    terms = CODE_CHAIN.tokenize_py(phrase)
+    n = len(terms)
+    out = {}
+    for _, row in corpus_pdf.iterrows():
+        toks = CODE_CHAIN.tokenize_py(row["content"])
+        pos = {t: [i for i, x in enumerate(toks) if x == t] for t in set(terms)}
+        pf = 0
+        for p0 in pos[terms[0]]:
+            e = p0
+            ok = True
+            for i in range(1, n):
+                nxt = [p for p in pos[terms[i]] if p > e]
+                if not nxt:
+                    ok = False
+                    break
+                e = min(nxt)
+            if ok and e - p0 <= n - 1 + slop:
+                pf += 1
+        if pf:
+            out[row["doc_id"]] = pf
+    return out
+
+
+def test_phrase_slop_matches_python_oracle(engine, oracle_corpus):
+    from solr_spark.query.phrase import phrase_match_pf
+
+    for phrase, slop in [("import os", 2), ("def return", 3), ("import os", 0)]:
+        exp = _python_phrase_pf_slop(oracle_corpus, phrase, slop)
+        got = {r["doc_id"]: r["pf"] for r in phrase_match_pf(engine, phrase, slop=slop).collect()}
+        assert got == exp, (phrase, slop)
+
+
+def test_phrase_slop_widens_match_set(engine):
+    tight = {r["doc_id"] for r in phrase_topk(engine, "import os", k=10**6).collect()}
+    loose = {r["doc_id"] for r in phrase_topk(engine, "import os", k=10**6, slop=4).collect()}
+    assert tight <= loose
+
+
+def test_phrase_plan_has_no_per_doc_python_groups(engine):
+    """The verify stage must be a single mapInPandas over doc-partitioned
+    flat postings — no FlatMapGroupsInPandas (per-doc applyInPandas) and
+    no per-posting Python tuples (VERDICT.md What's wrong #4)."""
+    df = phrase_topk(engine, "import os", k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert plan.count("MapInPandas") >= 2  # decode + verify stages
+
+
 def test_phrase_requires_adjacency(engine, oracle_corpus):
     # reversed phrase should not match wherever only the forward order exists
     fwd = {r["doc_id"] for r in phrase_topk(engine, "import os", k=1000).collect()}

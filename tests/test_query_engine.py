@@ -6,6 +6,7 @@ import pytest
 
 from solr_spark.query.engine import SearchEngine
 from solr_spark.query.parser import parse_query
+from pyspark.sql.functions import col as F_col
 from solr_spark.queryset import make_query_set
 
 
@@ -82,6 +83,30 @@ def test_pruning_matches_exact(engine, oracle):
         assert pruned == exact, q
 
 
+def test_meta_limit_guard_falls_back_to_exact(index, engine):
+    """A term whose block count exceeds _WAND_META_LIMIT must fall back
+    to exact full decode WITHOUT collecting block metadata driver-side —
+    the pruning helpers return the unpruned scan, and results are still
+    rank-identical to the exact path (guards engine.py single-term / AND
+    / OR collects at corpus scale)."""
+    guarded = SearchEngine(index)
+    guarded._WAND_META_LIMIT = 0  # every term now "exceeds" the cap
+    for q, mode in [("import", "OR"), ("server client", "AND"),
+                    ("import config", "OR")]:
+        stats = guarded._term_stats(guarded.analyze_query(q))
+        full = guarded._blocks_for([s.term for s in stats]).count()
+        if mode == "AND" and len(stats) > 1:
+            pruned = guarded._and_pruned_blocks(stats, 10)
+        elif len(stats) == 1:
+            pruned = guarded._single_term_pruned_blocks(stats[0], 10)
+        else:
+            pruned = guarded._or_pruned_blocks(stats, 10)
+        assert pruned.count() == full  # nothing pruned == nothing collected
+        got = [(r["doc_id"], r["score"]) for r in guarded.topk(q, 10, mode).collect()]
+        exact = [(r["doc_id"], r["score"]) for r in engine.topk(q, 10, mode, prune=False).collect()]
+        assert got == exact, q
+
+
 def test_topk_with_fields(engine):
     rows = engine.topk_with_fields("import", k=5).collect()
     assert len(rows) == 5
@@ -110,3 +135,84 @@ def test_parser_basics():
     assert p.phrases == ["exact phrase"]
     assert p.prohibited == ["bad"]
     assert p.prefix_terms == ["baz"]
+
+
+# ---------------------------------------------------------------------------
+# v2 lucene grammar (AST parser + one-aggregation compiler)
+# ---------------------------------------------------------------------------
+
+from solr_spark.query.parser import (  # noqa: E402
+    BoolQ, FuzzyQ, PhraseQ, RangeQ, RegexQ, TermQ, WildQ, parse_lucene,
+)
+from solr_spark.plans import execute_query  # noqa: E402
+
+
+def test_parse_lucene_shapes():
+    ast = parse_lucene("(a OR b) AND c -d")
+    assert isinstance(ast, BoolQ) and len(ast.must_not) == 1
+    grp = ast.should[0]
+    assert isinstance(grp, BoolQ) and len(grp.must) == 2
+    inner = grp.must[0]
+    assert isinstance(inner, BoolQ) and [t.text for t in inner.should] == ["a", "b"]
+
+    r = parse_lucene("n_chars:[100 TO 300]")
+    assert isinstance(r, RangeQ) and r.lo == "100" and r.hi == "300" and r.incl_hi
+    r = parse_lucene("x:{a TO *}")
+    assert isinstance(r, RangeQ) and not r.incl_lo and r.hi is None
+
+    assert isinstance(parse_lucene("te*t"), WildQ)
+    assert isinstance(parse_lucene("/ab+c/"), RegexQ)
+    f = parse_lucene("spark~1")
+    assert isinstance(f, FuzzyQ) and f.max_edits == 1
+    ph = parse_lucene('"a b"~3^2')
+    assert isinstance(ph, PhraseQ) and ph.slop == 3 and ph.boost == 2.0
+    t = parse_lucene("spark^2.5")
+    assert isinstance(t, TermQ) and t.boost == 2.5
+
+
+def test_execute_nested_bool_matches_setalgebra(engine):
+    """(a OR b) AND c == docs(c) ∩ (docs(a) ∪ docs(b)), scored as the
+    sum of all three terms' contributions."""
+    big = 10**6
+    a = {r["doc_id"] for r in engine.topk("server", big).collect()}
+    b = {r["doc_id"] for r in engine.topk("client", big).collect()}
+    c = {r["doc_id"] for r in engine.topk("parse", big).collect()}
+    expect = (a | b) & c
+    got = {r["doc_id"] for r in
+           execute_query(engine, "(server OR client) AND parse", k=big).collect()}
+    assert got == expect
+
+
+def test_execute_boost_scales_contribution(engine):
+    base = {r["doc_id"]: r["score"] for r in execute_query(engine, "server", k=50).collect()}
+    boosted = {r["doc_id"]: r["score"] for r in execute_query(engine, "server^2", k=50).collect()}
+    for d in set(base) & set(boosted):
+        assert boosted[d] == pytest.approx(2.0 * base[d], rel=1e-5)
+
+
+def test_execute_wildcard_equals_prefix_for_trailing_star(engine):
+    from solr_spark.query import extras as qx
+    w = [(r["doc_id"], r["score"]) for r in execute_query(engine, "serv*", k=10).collect()]
+    p = [(r["doc_id"], r["score"]) for r in qx.prefix_topk(engine, "serv", k=10).collect()]
+    assert [d for d, _ in w] == [d for d, _ in p]
+
+
+def test_execute_term_range_expands_dictionary(engine, index):
+    terms = {r["term"] for r in index.term_dict
+             .where((F_col("term") >= "server") & (F_col("term") <= "set")).collect()}
+    hits = execute_query(engine, "text:[server TO set]", k=10).count()
+    assert terms and hits > 0
+
+
+def test_execute_phrase_clause_is_positional(engine):
+    """A quoted phrase inside a boolean query must use positional
+    verification, not bag-of-words (ADVICE round 1)."""
+    from solr_spark.query.phrase import phrase_topk
+    big = 10**6
+    ph = {r["doc_id"] for r in phrase_topk(engine, "import os", k=big).collect()}
+    got = {r["doc_id"] for r in execute_query(engine, '"import os"', k=big).collect()}
+    assert got == ph
+
+
+def test_execute_pure_negative_is_empty(engine):
+    assert execute_query(engine, "-server", k=10).count() == 0
