@@ -321,6 +321,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["nrt_incremental_bm25"] = nrt_incremental
+
+    def nrt_delete(s, d):
+        """append → commit → delete-by-query → commit must be
+        query-identical to a batch oracle over the SURVIVING docs
+        (UpdateLog.java:452 / DeleteStream.java; deletes applied at the
+        merge, second commit re-encodes only the affected term buckets)."""
+        import shutil
+
+        docs = _read(s, d, "documents")
+        out = f"/tmp/solr_spark_entry_nrtdel_{os.path.basename(os.path.normpath(d))}"
+        shutil.rmtree(out, ignore_errors=True)
+        inc = IncrementalIndexer(s, out, _ENTRY_CONFIG)
+        inc.append_batch(docs.where(F.col("doc_id") % 2 == 0), text_col="text",
+                         id_col="doc_id", batch_id=0)
+        inc.append_batch(docs.where(F.col("doc_id") % 2 == 1), text_col="text",
+                         id_col="doc_id", batch_id=1)
+        inc.commit()
+        inc.delete_by_query(F.col("doc_id") % 7 == 3)
+        idx = inc.commit()
+        hits = SearchEngine(idx).topk(_Q_OR, k=10, mode="OR")
+        return hits.select(
+            "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+        )
+
+    q["nrt_delete_bm25"] = nrt_delete
     q["bm25_mm_2of3"] = lambda s, d: _rounded(qx.mm_topk(_engine(s, d), "spark merge window", mm=2))
     q["query_prefix"] = lambda s, d: _rounded(qx.prefix_topk(_engine(s, d), "s"))
     q["query_fuzzy"] = lambda s, d: _rounded(qx.fuzzy_topk(_engine(s, d), "sprk"))
@@ -342,6 +367,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qx.dismax_topk(
             {"text": _engine(s, d), "source": _engine_field(s, d, "source")},
             "src3 spark", tie=0.1,
+        )
+    )
+    q["edismax_pf_boost"] = lambda s, d: _rounded(
+        qx.edismax_topk(
+            {"text": _engine(s, d)}, "batch stream", qf={"text": 1.0}, pf={"text": 2.0}
+        )
+    )
+    q["edismax_bq_bf"] = lambda s, d: _rounded(
+        qx.edismax_topk(
+            {"text": _engine(s, d), "source": _engine_field(s, d, "source")},
+            "src3 spark",
+            qf={"text": 1.0, "source": 0.5},
+            tie=0.1,
+            bq=[("table", 0.5)],
+            bf=_read(s, d, "documents").select(
+                "doc_id", (F.lit(1.0) / (F.lit(1.0) + 0.001 * F.col("n_chars"))).alias("bf")
+            ),
         )
     )
     q["rrf_two_queries"] = lambda s, d: qx.rrf_topk(
@@ -462,6 +504,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_pivot_lang_source"] = lambda s, d: facet_pivot(
         _read(s, d, "documents"), ["lang", "source"]
     )
+
+    def facet_nested_q(s, d):
+        from solr_spark.operators.relational import json_facet_nested
+
+        return json_facet_nested(
+            _read(s, d, "documents"),
+            "lang", "source",
+            domain_filter=F.col("n_chars") > 200,
+            agg_col="n_chars",
+        )
+
+    q["facet_lang_sub_source_stats"] = facet_nested_q
 
     q["facet_heatmap_events"] = lambda s, d: facet_heatmap(
         _read(s, d, "events").withColumn("hour", F.hour("ts").cast("double")),
@@ -696,6 +750,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, source, count(*) AS count FROM documents
         GROUP BY lang, source ORDER BY lang, source LIMIT 1000
     """
+    o["facet_lang_sub_source_stats"] = """
+        SELECT p.parent, p.parent_count, c.child, c.child_count, c.avg_n_chars
+        FROM (SELECT lang AS parent, CAST(count(*) AS BIGINT) AS parent_count
+              FROM documents GROUP BY lang) p
+        JOIN (SELECT lang AS parent, source AS child,
+                     CAST(count(*) AS BIGINT) AS child_count,
+                     CAST(ROUND(avg(n_chars), 4) AS DOUBLE) AS avg_n_chars
+              FROM documents WHERE n_chars > 200
+              GROUP BY lang, source) c USING (parent)
+        ORDER BY p.parent, c.child LIMIT 1000
+    """
     o["facet_heatmap_events"] = """
         SELECT CAST(floor(value / 50.0) * 50.0 AS DOUBLE) AS x_bucket,
                CAST(floor(extract(hour FROM ts) / 6.0) * 6.0 AS DOUBLE) AS y_bucket,
@@ -757,6 +822,11 @@ ORDER BY CAST(score_raw AS REAL) DESC, sc.doc_id ASC LIMIT 10
 
     # incremental build == batch build == the same SQL oracle
     o["nrt_incremental_bm25"] = bm25_topk_sql(tok.tokenize_py(_Q_OR), "OR")
+    # delete path: the oracle is the same BM25 over the surviving docs
+    o["nrt_delete_bm25"] = bm25_topk_sql(
+        tok.tokenize_py(_Q_OR), "OR",
+        table="(SELECT * FROM documents WHERE doc_id % 7 <> 3)",
+    )
     o["bm25_mm_2of3"] = bm25_mm_sql(tok.tokenize_py("spark merge window"), mm=2)
     o["query_prefix"] = prefix_topk_sql("s")
     o["query_fuzzy"] = fuzzy_topk_sql("sprk")
@@ -767,6 +837,17 @@ ORDER BY CAST(score_raw AS REAL) DESC, sc.doc_id ASC LIMIT 10
     o["boost_by_recip_nchars"] = boost_recip_nchars_sql(tok.tokenize_py("table"))
     o["dismax_text_source"] = dismax_sql(
         tok.tokenize_py("src3 spark"), tok.tokenize_py("src3 spark"), tie=0.1
+    )
+    from solr_spark.oracle_sql import edismax_full_sql, edismax_pf_sql
+
+    o["edismax_pf_boost"] = edismax_pf_sql(
+        tok.tokenize_py("batch stream"), "batch stream", pf_weight=2.0
+    )
+    o["edismax_bq_bf"] = edismax_full_sql(
+        tok.tokenize_py("src3 spark"),
+        tok.tokenize_py("src3 spark"),
+        qf_text=1.0, qf_src=0.5, tie=0.1,
+        bq_terms=tok.tokenize_py("table"), bq_weight=0.5,
     )
     o["rrf_two_queries"] = rrf_sql(
         tok.tokenize_py("spark merge"), tok.tokenize_py("table row"), k=10, depth=20

@@ -80,6 +80,8 @@ class IndexConfig:
     b: float = 0.75                 # BM25SimilarityFactory.java:49
     analyzer: str = "code"
     with_positions: bool = True     # store positions (phrase queries)
+    format_version: int = 2         # v2: stats-independent block metadata
+                                    # (max_tf/min_dl) + stored_text field
 
     def chain(self) -> AnalyzerChain:
         return CHAINS[self.analyzer]
@@ -226,7 +228,11 @@ def analyze_docs(
         with_ids.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
         .withColumn("tokens", chain.tokens(text_col))
         .withColumn("doc_len", F.size("tokens").cast("int"))
-        .select("doc_id", *meta_cols, "content_sha256", "doc_len", "tokens")
+        # stored_text = the stored-field store (Solr stored="true"):
+        # feeds MLT seed re-tokenization, highlighting, term vectors —
+        # O(1)-row point reads instead of posting-table scans
+        .withColumn("stored_text", F.col(text_col))
+        .select("doc_id", *meta_cols, "content_sha256", "doc_len", "stored_text", "tokens")
     )
 
 
@@ -373,7 +379,15 @@ _BLOCK_SCHEMA = T.StructType(
         T.StructField("n_docs", T.IntegerType(), False),
         T.StructField("min_doc_id", T.LongType(), False),
         T.StructField("max_doc_id", T.LongType(), False),
-        T.StructField("block_max", T.DoubleType(), False),
+        # stats-INDEPENDENT pruning metadata: the BM25 impact upper bound
+        # idf·tf/(tf+k1(1-b+b·dl/avgdl)) is monotonic in tf (up) and dl
+        # (down), so (max_tf, min_dl) bounds every posting's impact under
+        # WHATEVER the current global stats are. Storing these instead of
+        # a precomputed block_max keeps blocks immutable when N/avgdl/idf
+        # drift (incremental appends/deletes) — only buckets with changed
+        # postings ever need rewriting (TieredMergePolicy analog).
+        T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("min_dl", T.IntegerType(), False),
         T.StructField("doc_ids_enc", T.BinaryType(), False),
         T.StructField("tfs_enc", T.BinaryType(), False),
         T.StructField("dls_enc", T.BinaryType(), False),
@@ -397,7 +411,6 @@ def _encode_group_rows(pdf: pd.DataFrame, block_size: int, with_positions: bool)
     doc = pdf["doc_id"].to_numpy()
     tf = pdf["tf"].to_numpy().astype(np.int64)
     dl = pdf["doc_len"].to_numpy().astype(np.int64)
-    imp = pdf["impact"].to_numpy()
     pos = pdf["positions"].to_numpy() if with_positions else None
     change = np.empty(len(t), dtype=bool)
     change[0] = True
@@ -423,7 +436,7 @@ def _encode_group_rows(pdf: pd.DataFrame, block_size: int, with_positions: bool)
             rows.append(
                 (
                     t[gs], int(s[gs]), b, hi - lo, int(ids[0]), int(ids[-1]),
-                    float(imp[lo:hi].max()),
+                    int(tf[lo:hi].max()), int(dl[lo:hi].min()),
                     delta_varint_encode(ids),
                     varint_encode(tf[lo:hi]),
                     varint_encode(dl[lo:hi]),
@@ -464,14 +477,21 @@ def _encode_stream_udf(block_size: int, with_positions: bool):
     return enc
 
 
-def _stage_blocks(spark: SparkSession, out_dir: str, config: IndexConfig) -> None:
-    with open(os.path.join(out_dir, "meta.json")) as f:
-        meta = json.load(f)
-    avgdl = meta["avgdl"] or 1.0
-    k1, b = config.k1, config.b
-
+def _stage_blocks(
+    spark: SparkSession,
+    out_dir: str,
+    config: IndexConfig,
+    only_buckets: list[int] | None = None,
+) -> None:
+    """Encode posting blocks. ``only_buckets`` restricts the rebuild to
+    the given term_buckets (changed-bucket compaction at commit): the
+    scan filters to those buckets' terms, and the write replaces only
+    their partition directories (dynamic partition overwrite). Sound
+    because block CONTENT is stats-independent (see _BLOCK_SCHEMA): an
+    unchanged bucket's blocks are bit-identical to a full rebuild's.
+    """
     segments = spark.read.parquet(_stage_dir(out_dir, "segments"))
-    term_dict = spark.read.parquet(_stage_dir(out_dir, "term_dict")).select("term", "idf", "is_hot")
+    term_dict = spark.read.parquet(_stage_dir(out_dir, "term_dict")).select("term", "is_hot")
 
     # join keyed on term: AQE broadcasts term_dict when it is small; at
     # scale it shares the (term)-keyed exchange with the block shuffle.
@@ -479,11 +499,6 @@ def _stage_blocks(spark: SparkSession, out_dir: str, config: IndexConfig) -> Non
     p = p.withColumn(
         "salt",
         F.when(F.col("is_hot"), F.pmod(F.xxhash64("doc_id"), F.lit(config.n_salts)).cast("int")).otherwise(F.lit(0)),
-    )
-    # per-posting BM25 impact (float64) for the per-block max (BMW metadata)
-    tf, dl = F.col("tf").cast("double"), F.col("doc_len").cast("double")
-    p = p.withColumn(
-        "impact", F.col("idf") * tf / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl)))
     )
 
     # ONE shuffle: hash-repartition by term_bucket (each write task owns
@@ -497,12 +512,15 @@ def _stage_blocks(spark: SparkSession, out_dir: str, config: IndexConfig) -> Non
     p = p.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(config.n_term_buckets)).cast("int")
     )
-    cols = ["term", "salt", "doc_id", "tf", "doc_len", "impact", "term_bucket"]
+    if only_buckets is not None:
+        p = p.where(F.col("term_bucket").isin([int(x) for x in only_buckets]))
+    cols = ["term", "salt", "doc_id", "tf", "doc_len", "term_bucket"]
     if config.with_positions:
         cols.append("positions")
+    n_parts = config.n_term_buckets if only_buckets is None else max(1, len(only_buckets))
     blocks = (
         p.select(*cols)
-        .repartition(config.n_term_buckets, "term_bucket")
+        .repartition(n_parts, "term_bucket")
         .sortWithinPartitions("term", "salt", "doc_id")
         .mapInPandas(
             _encode_stream_udf(config.block_size, config.with_positions),
@@ -512,11 +530,17 @@ def _stage_blocks(spark: SparkSession, out_dir: str, config: IndexConfig) -> Non
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(config.n_term_buckets)).cast("int")
         )
     )
-    (
-        blocks.write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(_stage_dir(out_dir, "blocks"))
-    )
+    bdir = _stage_dir(out_dir, "blocks")
+    if only_buckets is None:
+        blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(bdir)
+    else:
+        # clear the changed buckets' directories first (a bucket whose
+        # postings were ALL deleted must end up empty), then append —
+        # untouched bucket directories are left exactly as committed.
+        for b in only_buckets:
+            shutil.rmtree(os.path.join(bdir, f"term_bucket={int(b)}"), ignore_errors=True)
+        if only_buckets:
+            blocks.write.mode("append").partitionBy("term_bucket").parquet(bdir)
 
 
 # ---------------------------------------------------------------------------
@@ -538,8 +562,14 @@ class InvertedIndex:
 
     @property
     def docs(self) -> DataFrame:
-        """Doc registry (no tokens — Parquet column pruning keeps it cheap)."""
-        return self.spark.read.parquet(_stage_dir(self.dir, "analyzed")).drop("tokens")
+        """Doc registry (no tokens — Parquet column pruning keeps it
+        cheap). The incremental indexer's ``batch=<id>`` partition column
+        is an ingestion detail, dropped here."""
+        return (
+            self.spark.read.parquet(_stage_dir(self.dir, "analyzed"))
+            .drop("tokens")
+            .drop("batch")
+        )
 
     @property
     def term_dict(self) -> DataFrame:

@@ -91,6 +91,48 @@ def facet_range(
     )
 
 
+def json_facet_nested(
+    df: DataFrame,
+    parent_field: str,
+    child_field: str,
+    domain_filter: Column | None = None,
+    agg_col: str | None = None,
+    limit: int = 1000,
+) -> DataFrame:
+    """JSON Facet API nested subfacet WITH a domain change
+    (``search/facet/FacetParser.java:141-225``, ``FacetRequest`` domain;
+    tests ``search/facet/TestJsonFacets.java``).
+
+    Field facet on ``parent_field``; each parent bucket carries a nested
+    subfacet on ``child_field`` whose DOMAIN is the parent bucket's docs
+    intersected with ``domain_filter`` (the ``domain: {filter: …}``
+    switch), plus per-child aggs (count + avg of ``agg_col``).
+
+    Output is the flattened bucket tree, one row per (parent, child):
+    (parent, parent_count, child, child_count[, avg_<agg_col>]).
+    Two partial-agg groupBys + one join on the parent key — no per-bucket
+    re-query (Solr computes subfacets per bucket; the single grouped pass
+    is the set-oriented equivalent).
+    """
+    parent = df.groupBy(F.col(parent_field).alias("parent")).agg(
+        F.count("*").cast("long").alias("parent_count")
+    )
+    domain = df.where(domain_filter) if domain_filter is not None else df
+    aggs = [F.count("*").cast("long").alias("child_count")]
+    if agg_col is not None:
+        aggs.append(
+            F.round(F.avg(F.col(agg_col)).cast("double"), 4).alias(f"avg_{agg_col}")
+        )
+    child = domain.groupBy(
+        F.col(parent_field).alias("parent"), F.col(child_field).alias("child")
+    ).agg(*aggs)
+    return (
+        parent.join(child, "parent")
+        .orderBy("parent", "child")
+        .limit(limit)
+    )
+
+
 def facet_pivot(df: DataFrame, fields: list[str], limit: int = 1000) -> DataFrame:
     """facet.pivot (PivotFacetProcessor analog): multi-level counts as a
     flat rollup over the field list, ordered by the field tuple."""

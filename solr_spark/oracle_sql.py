@@ -435,6 +435,93 @@ FROM sc JOIN documents USING (doc_id)
 ORDER BY {boosted} DESC, sc.doc_id ASC LIMIT {k}"""
 
 
+def edismax_pf_sql(
+    terms: list[str],
+    phrase: str,
+    pf_weight: float = 2.0,
+    k: int = 10,
+    chain: AnalyzerChain = CODE_CHAIN,
+) -> str:
+    """Single-field edismax with phrase (pf) boost: score =
+    f32(bm25_OR) + pf_weight·f32(phrase score), f32-requantized for
+    ranking (ExtendedDismaxQParser.java:93 pf handling)."""
+    ph_terms = chain.tokenize_py(phrase)
+    esc = [t.replace("'", "''") for t in ph_terms]
+    joins = "\n".join(
+        f"  JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos > p{i - 1}.pos "
+        f"AND p{i}.pos <= p0.pos + {i} AND p{i}.tok = '{esc[i]}'"
+        for i in range(1, len(ph_terms))
+    )
+    idf_parts = " + ".join(
+        f"ln(1.0 + (s.n_docs - (SELECT count(DISTINCT doc_id) FROM toks WHERE tok = '{t}') + 0.5)"
+        f" / ((SELECT count(DISTINCT doc_id) FROM toks WHERE tok = '{t}') + 0.5))"
+        for t in esc
+    )
+    return f"""WITH {_prelude(chain)},
+{_scored('sc', _inlist(terms))},
+pos AS (
+  SELECT doc_id, unnest(tt) AS tok, generate_subscripts(tt, 1) AS pos
+  FROM (SELECT doc_id, {chain.duckdb_tokens_expr('text')} AS tt FROM documents)),
+ppf AS (
+  SELECT p0.doc_id, count(DISTINCT p0.pos) AS pf
+  FROM pos p0
+{joins}
+  WHERE p0.tok = '{esc[0]}'
+  GROUP BY p0.doc_id),
+comb AS (
+  SELECT sc.doc_id,
+         CAST(CAST(sc.score_raw AS REAL) AS DOUBLE)
+         + {pf_weight} * COALESCE(CAST(CAST(({idf_parts})
+             * ppf.pf / (ppf.pf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl)) AS REAL) AS DOUBLE), 0.0)
+           AS raw
+  FROM sc LEFT JOIN ppf USING (doc_id)
+  JOIN dl l USING (doc_id) CROSS JOIN stats s)
+SELECT doc_id, ROUND(CAST(CAST(raw AS REAL) AS DOUBLE), 4) AS score
+FROM comb ORDER BY CAST(raw AS REAL) DESC, doc_id ASC LIMIT {k}"""
+
+
+def edismax_full_sql(
+    terms_text: list[str],
+    terms_src: list[str],
+    qf_text: float = 1.0,
+    qf_src: float = 0.5,
+    tie: float = 0.1,
+    bq_terms: list[str] | None = None,
+    bq_weight: float = 0.5,
+    k: int = 10,
+    chain: AnalyzerChain = CODE_CHAIN,
+) -> str:
+    """Two-field edismax with per-field qf weights, tie, additive boost
+    query (bq) on the text field, and additive boost function
+    bf = recip(n_chars, 0.001, 1, 1)."""
+    bq_cte = f",\n{_scored('sb', _inlist(bq_terms), p='t1_')}" if bq_terms else ""
+    bq_add = (
+        f" + {bq_weight} * COALESCE(CAST(CAST(sb.score_raw AS REAL) AS DOUBLE), 0.0)"
+        if bq_terms
+        else ""
+    )
+    bq_join = "LEFT JOIN sb ON ids.doc_id = sb.doc_id" if bq_terms else ""
+    w1 = f"{qf_text} * COALESCE(CAST(CAST(s1.score_raw AS REAL) AS DOUBLE), 0.0)"
+    w2 = f"{qf_src} * COALESCE(CAST(CAST(s2.score_raw AS REAL) AS DOUBLE), 0.0)"
+    return f"""WITH {_prelude(chain, text_col='text', p='t1_')},
+{_prelude(chain, text_col='source', p='t2_')},
+{_scored('s1', _inlist(terms_text), p='t1_')},
+{_scored('s2', _inlist(terms_src), p='t2_')}{bq_cte},
+ids AS (SELECT doc_id FROM s1 UNION SELECT doc_id FROM s2),
+comb AS (
+  SELECT ids.doc_id,
+         greatest({w1}, {w2})
+         + {tie} * (({w1}) + ({w2}) - greatest({w1}, {w2}))
+         {bq_add}
+         + 1.0 / (1.0 + 0.001 * d.n_chars) AS raw
+  FROM ids LEFT JOIN s1 ON ids.doc_id = s1.doc_id
+  LEFT JOIN s2 ON ids.doc_id = s2.doc_id
+  {bq_join}
+  JOIN documents d ON ids.doc_id = d.doc_id)
+SELECT doc_id, ROUND(CAST(CAST(raw AS REAL) AS DOUBLE), 4) AS score
+FROM comb ORDER BY CAST(raw AS REAL) DESC, doc_id ASC LIMIT {k}"""
+
+
 def dismax_sql(terms_text: list[str], terms_src: list[str], tie: float = 0.1,
                k: int = 10, chain: AnalyzerChain = CODE_CHAIN) -> str:
     """DisMax over the ``text`` and ``source`` fields of documents."""

@@ -259,7 +259,26 @@ class SearchEngine:
 
     # ------------------------------------------------------------------
     # rank-safe block-max pruning
+    #
+    # blocks store stats-INDEPENDENT metadata (max_tf, min_dl); the
+    # impact upper bound idf·tf/(tf+k1(1-b+b·dl/avgdl)) is monotonic in
+    # tf (up) / dl (down), so bound(max_tf, min_dl) ≥ every posting's
+    # impact under the CURRENT global stats — blocks never go stale when
+    # N/avgdl/idf drift between commits.
     # ------------------------------------------------------------------
+    def _bound_py(self, idf: float, max_tf: int, min_dl: int) -> float:
+        tf, dl = float(max_tf), float(min_dl)
+        return idf * tf / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+
+    def _bound_col(self, idf) -> "F.Column":
+        """Column form of the block impact bound (idf: Column or float)."""
+        tf = F.col("max_tf").cast("double")
+        dl = F.col("min_dl").cast("double")
+        idf_c = F.lit(idf) if isinstance(idf, float) else idf
+        return idf_c * tf / (
+            tf + F.lit(self.k1) * (F.lit(1.0 - self.b) + F.lit(self.b) * dl / F.lit(self.avgdl))
+        )
+
     def _single_term_pruned_blocks(self, s: TermStats, k: int) -> DataFrame:
         """Two-pass threshold pruning for a single-term query.
 
@@ -271,13 +290,15 @@ class SearchEngine:
         """
         blocks = self._blocks_for([s.term])
         meta = (
-            blocks.select("salt", "block_no", "n_docs", "block_max")
+            blocks.select("salt", "block_no", "n_docs", "max_tf", "min_dl")
             .limit(self._WAND_META_LIMIT + 1)
             .collect()
         )
         if not meta or len(meta) > self._WAND_META_LIMIT:
             return blocks
-        meta.sort(key=lambda r: -r["block_max"])
+        meta = [(self._bound_py(s.idf, r["max_tf"], r["min_dl"]), r) for r in meta]
+        meta.sort(key=lambda x: -x[0])
+        meta = [r for _, r in meta]
         covered, seed = 0, []
         for r in meta:
             seed.append((r["salt"], r["block_no"]))
@@ -301,7 +322,7 @@ class SearchEngine:
             )
             if len(kth) >= k:
                 theta = kth[-1]["sc"]
-                return blocks.where(F.col("block_max") >= F.lit(theta))
+                return blocks.where(self._bound_col(s.idf) >= F.lit(theta))
         return blocks
 
     # max #block-metadata rows we will pull to the driver before falling
@@ -325,22 +346,26 @@ class SearchEngine:
         """
         blocks = self._blocks_for([s.term for s in stats])
         meta = (
-            blocks.select("term", "salt", "block_no", "n_docs", "block_max")
+            blocks.select("term", "salt", "block_no", "n_docs", "max_tf", "min_dl")
             .limit(self._WAND_META_LIMIT + 1)
             .collect()
         )
         if len(meta) > self._WAND_META_LIMIT or not meta:
             return blocks
         weight = {s.term: s.weight for s in stats}
+        idf = {s.term: s.idf for s in stats}
+        bound = {
+            id(r): self._bound_py(idf[r["term"]], r["max_tf"], r["min_dl"]) for r in meta
+        }
         gmax: dict[str, float] = {}
         for r in meta:
-            # query-weighted upper bound (block_max is stored unweighted)
+            # query-weighted upper bound (bound is computed unweighted)
             gmax[r["term"]] = max(
-                gmax.get(r["term"], 0.0), r["block_max"] * weight[r["term"]]
+                gmax.get(r["term"], 0.0), bound[id(r)] * weight[r["term"]]
             )
         total_gmax = sum(gmax.values())
 
-        ordered = sorted(meta, key=lambda r: -r["block_max"])
+        ordered = sorted(meta, key=lambda r: -bound[id(r)])
         covered, seed = 0, []
         for r in ordered:
             seed.append((r["term"], r["salt"], r["block_no"]))
@@ -371,9 +396,11 @@ class SearchEngine:
         slack_map = F.create_map(
             *[x for t in gmax for x in (F.lit(t), F.lit(total_gmax - gmax[t]))]
         )
-        wmap = F.create_map(*[x for t in weight for x in (F.lit(t), F.lit(weight[t]))])
+        widf_map = F.create_map(
+            *[x for t in weight for x in (F.lit(t), F.lit(weight[t] * idf[t]))]
+        )
         return blocks.where(
-            F.col("block_max") * wmap[F.col("term")] + slack_map[F.col("term")]
+            self._bound_col(widf_map[F.col("term")]) + slack_map[F.col("term")]
             >= F.lit(theta)
         )
 
@@ -421,7 +448,7 @@ class SearchEngine:
         """Phase-2 analog: join winners back to the doc registry."""
         hits = self.topk(query_text, k=k, mode=mode)
         docs = self.index.docs
-        meta = [c for c in docs.columns if c != "doc_id"]
+        meta = [c for c in docs.columns if c not in ("doc_id", "stored_text")]
         return (
             docs.join(F.broadcast(hits), "doc_id")
             .select("doc_id", "score", *meta)

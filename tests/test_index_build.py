@@ -89,17 +89,23 @@ def test_hot_terms_are_salted(index, test_config):
     assert [r["salt"] for r in cold_salts] == [0]
 
 
-def test_block_max_is_true_max(index):
-    """block_max must be ≥ every decoded posting's impact (BMW soundness)."""
+def test_block_bound_metadata_is_sound(index):
+    """(max_tf, min_dl) must be the true block extremes, and the derived
+    impact bound idf·max_tf/(max_tf+k1(1-b+b·min_dl/avgdl)) must
+    dominate every decoded posting's impact (BMW soundness with
+    stats-independent metadata)."""
     k1, b, avgdl = index.config.k1, index.config.b, index.avgdl
     idf = {r["term"]: r["idf"] for r in index.term_dict.collect()}
     sample = index.blocks.limit(200).collect()
     for blk in sample:
         tfs = varint_decode(bytes(blk["tfs_enc"])).astype(np.float64)
         dls = varint_decode(bytes(blk["dls_enc"])).astype(np.float64)
+        assert int(tfs.max()) == blk["max_tf"]
+        assert int(dls.min()) == blk["min_dl"]
         impacts = idf[blk["term"]] * tfs / (tfs + k1 * (1 - b + b * dls / avgdl))
-        assert impacts.max() <= blk["block_max"] + 1e-12
-        assert abs(impacts.max() - blk["block_max"]) < 1e-9
+        mt, mdl = float(blk["max_tf"]), float(blk["min_dl"])
+        bound = idf[blk["term"]] * mt / (mt + k1 * (1 - b + b * mdl / avgdl))
+        assert impacts.max() <= bound + 1e-12
 
 
 def test_manifests_lineage(index):

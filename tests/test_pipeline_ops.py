@@ -132,6 +132,14 @@ def test_simhash_band_join_equals_bruteforce(docs):
     assert got == expected  # pigeonhole banding is lossless
 
 
+def test_simhash_kernel_equals_expression_form(docs):
+    """The numpy bit-matrix kernel (hot path, no 60x fan-out) must equal
+    the pure-expression oracle form bit-for-bit."""
+    fast = {(r["doc_id"], r["simhash"]) for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    expr = {(r["doc_id"], r["simhash"]) for r in dedup.simhash_expr(docs, "doc_id", "text").collect()}
+    assert fast == expr
+
+
 def test_simhash_stable_under_partitioning(spark, docs):
     one = {
         (r["doc_id"], r["simhash"])

@@ -106,3 +106,87 @@ def test_stream_directory_checkpoint_no_redelivery(spark, test_config):
     # of the same docs as new rows — dedup is not the file-source's job;
     # assert exactly-once FILE delivery: 40 + 25
     assert spark.read.parquet(os.path.join(idxdir, "analyzed")).count() == 65
+
+
+def test_append_redelivery_is_idempotent(spark, corpus_df, test_config):
+    """At-least-once re-delivery of the same batch_id must not duplicate
+    docs or postings (ADVICE round 1: batch=<id> overwrite directories)."""
+    d = f"{BASE}/idem"
+    shutil.rmtree(d, ignore_errors=True)
+    full = corpus_df.withColumn(
+        "doc_id", F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(10**12))
+    )
+    b0 = full.where(F.pmod(F.col("doc_id"), 2) == 0)
+    b1 = full.where(F.pmod(F.col("doc_id"), 2) == 1)
+    inc = IncrementalIndexer(spark, d, test_config)
+    inc.append_batch(b0, text_col="content", id_col="doc_id", batch_id=0)
+    inc.append_batch(b0, text_col="content", id_col="doc_id", batch_id=0)  # re-delivery
+    inc.append_batch(b1, text_col="content", id_col="doc_id", batch_id=1)
+    idx = inc.commit()
+    assert idx.n_docs == full.count()
+    assert idx.docs.groupBy("doc_id").count().where("count > 1").count() == 0
+
+
+def test_delete_then_commit_equals_batch_over_survivors(spark, corpus_df, test_config):
+    """append + delete + commit == batch build over the surviving docs
+    (UpdateLog.java:452 / DeleteStream semantics: deletes applied at the
+    merge)."""
+    d_inc, d_batch = f"{BASE}/del_inc", f"{BASE}/del_batch"
+    shutil.rmtree(d_inc, ignore_errors=True)
+    shutil.rmtree(d_batch, ignore_errors=True)
+    full = corpus_df.withColumn(
+        "doc_id", F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(10**12))
+    )
+    inc = IncrementalIndexer(spark, d_inc, test_config)
+    inc.append_batch(full.where(F.pmod(F.col("doc_id"), 2) == 0),
+                     text_col="content", id_col="doc_id", batch_id=0)
+    inc.append_batch(full.where(F.pmod(F.col("doc_id"), 2) == 1),
+                     text_col="content", id_col="doc_id", batch_id=1)
+    inc.commit()  # first commit: all buckets
+    n_del = inc.delete_by_query(F.pmod(F.col("doc_id"), 7) == 3)
+    assert n_del > 0
+    idx = inc.commit()  # second commit: deletes applied, changed buckets only
+
+    survivors = full.where(F.pmod(F.col("doc_id"), 7) != 3)
+    batch_idx = build_index(
+        spark, survivors, d_batch, test_config, text_col="content", id_col="doc_id"
+    )
+    assert idx.n_docs == batch_idx.n_docs
+    assert idx.avgdl == pytest.approx(batch_idx.avgdl)
+    for q, mode in (("server client", "OR"), ("parse json", "AND"), ("import", "OR")):
+        assert _topk(idx, q, mode) == _topk(batch_idx, q, mode)
+    # deleted docs are gone from the registry too
+    assert idx.docs.where(F.pmod(F.col("doc_id"), 7) == 3).count() == 0
+
+
+def test_changed_bucket_commit_matches_full_rebuild(spark, corpus_df, test_config):
+    """A selective (changed-bucket) commit must produce blocks
+    bit-identical to a full rebuild over the same segments."""
+    d_sel = f"{BASE}/sel"
+    shutil.rmtree(d_sel, ignore_errors=True)
+    full = corpus_df.withColumn(
+        "doc_id", F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(10**12))
+    )
+    inc = IncrementalIndexer(spark, d_sel, test_config)
+    inc.append_batch(full.where(F.pmod(F.col("doc_id"), 3) < 2),
+                     text_col="content", id_col="doc_id", batch_id=0)
+    inc.commit()
+    inc.append_batch(full.where(F.pmod(F.col("doc_id"), 3) == 2),
+                     text_col="content", id_col="doc_id", batch_id=1)
+    idx = inc.commit()  # selective: only buckets touched by batch 1
+
+    from solr_spark.index.build import _stage_blocks
+    sel = idx.blocks.select(
+        "term", "salt", "block_no", "n_docs", "max_tf", "min_dl",
+        F.sha2(F.col("doc_ids_enc"), 256).alias("h_ids"),
+        F.sha2(F.col("tfs_enc"), 256).alias("h_tfs"),
+    ).collect()
+    _stage_blocks(spark, d_sel, test_config, only_buckets=None)  # full rebuild
+    fullb = idx.blocks.select(
+        "term", "salt", "block_no", "n_docs", "max_tf", "min_dl",
+        F.sha2(F.col("doc_ids_enc"), 256).alias("h_ids"),
+        F.sha2(F.col("tfs_enc"), 256).alias("h_tfs"),
+    ).collect()
+    key = lambda r: (r["term"], r["salt"], r["block_no"])
+    assert sorted(map(tuple, sel), key=lambda t: t[:3]) == \
+           sorted(map(tuple, fullb), key=lambda t: t[:3])
