@@ -93,6 +93,29 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
+_STEM_CONFIG = IndexConfig(
+    block_size=64, hot_df_threshold=1000, n_salts=4, n_term_buckets=8,
+    analyzer="code_stem",
+)
+_stem_engines: dict[str, SearchEngine] = {}
+
+
+def _engine_stem(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Index over documents analyzed by the stemmed chain
+    (EnglishMinimalStemFilter analog — plural-folding postings)."""
+    if sf_dir not in _stem_engines:
+        docs = _read(spark, sf_dir, "documents")
+        out = f"/tmp/solr_spark_entry_stem_{os.path.basename(os.path.normpath(sf_dir))}"
+        idx = build_index(
+            spark, docs, out, _STEM_CONFIG, resume=True, text_col="text", id_col="doc_id"
+        )
+        _stem_engines[sf_dir] = SearchEngine(idx)
+    return _stem_engines[sf_dir]
+
+
+# frozen synonyms.txt analog for the query-time synonym entry
+_SYNONYMS = {"merge": ["merge", "join"], "table": ["table", "row"]}
+
 _field_engines: dict[tuple[str, str], SearchEngine] = {}
 
 
@@ -119,6 +142,13 @@ def _rounded(df: DataFrame, col: str = "score") -> DataFrame:
 def _bm25(spark: SparkSession, sf_dir: str, query: str, mode: str, k: int = 10) -> DataFrame:
     hits = _engine(spark, sf_dir).topk(query, k=k, mode=mode)
     # round the f32 score (same on the oracle side) for hash-stable values
+    return hits.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
+
+
+def _bm25_engine(eng: SearchEngine, query: str, mode: str = "OR", k: int = 10) -> DataFrame:
+    hits = eng.topk(query, k=k, mode=mode)
     return hits.select(
         "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
     )
@@ -276,6 +306,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["phrase_slop2"] = lambda s, d: _rounded(
         phrase_topk(_engine(s, d), "batch stream", k=10, slop=2)
     )
+
+    def complex_phrase_q(s, d):
+        from solr_spark.query.phrase import complex_phrase_topk
+
+        return _rounded(
+            complex_phrase_topk(_engine(s, d), "bat* stream", k=10, max_expansions=1000)
+        )
+
+    q["complex_phrase_prefix"] = complex_phrase_q
     # lucene-syntax compiled queries: fq filter + prohibited clause; AND
     q["lucene_filter_prohibit"] = lambda s, d: _rounded(
         execute_query(_engine(s, d), "lang:en spark merge -batch", k=10)
@@ -369,6 +408,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src3 spark", tie=0.1,
         )
     )
+    q["bm25_stemmed_chain"] = lambda s, d: _bm25_engine(
+        _engine_stem(s, d), "tables merges"
+    )
+    q["bm25_synonyms"] = lambda s, d: _rounded(
+        qx.synonym_topk(_engine(s, d), "merge table", _SYNONYMS)
+    )
     q["edismax_pf_boost"] = lambda s, d: _rounded(
         qx.edismax_topk(
             {"text": _engine(s, d)}, "batch stream", qf={"text": 1.0}, pf={"text": 2.0}
@@ -397,6 +442,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["significant_terms_spark"] = lambda s, d: qx.significant_terms(
         _engine(s, d), "spark"
     ).withColumn("score", F.round("score", 6))
+    q["highlight_multi_terms"] = lambda s, d: qx.highlight_multi(
+        _engine(s, d), "merge batch", _read(s, d, "documents")
+    ).select("doc_id", F.round(F.col("score").cast("double"), 4).alias("score"),
+             "term", "snippet")
+    q["spellcheck_collation"] = lambda s, d: qx.spellcheck_collate(
+        _engine(s, d), "sparkk mergge"
+    )
+    q["query_elevation"] = lambda s, d: qx.elevate_topk(
+        _engine(s, d), "table", [42, 7], k=10
+    )
+    q["term_vector_doc42"] = lambda s, d: qx.term_vector(_engine(s, d), 42)
+
+    def stats_sumsq(s, d):
+        return stats_numeric(_read(s, d, "documents"), "n_chars").select(
+            F.col("count").cast("long").alias("count"),
+            F.col("sumsq").cast("long").alias("sumsq"),
+            F.col("countvals_distinct").cast("long").alias("n_distinct"),
+        )
+
+    q["stats_sumsq_nchars"] = stats_sumsq
+
+    def relatedness_q(s, d):
+        from solr_spark.operators.relational import relatedness_facet
+
+        return relatedness_facet(
+            _read(s, d, "documents"), "source", F.col("lang") == "en", limit=20
+        )
+
+    q["relatedness_source_en"] = relatedness_q
+
+    def blockjoin_q(s, d):
+        from solr_spark.operators.relational import block_join_parent
+
+        return (
+            block_join_parent(
+                _read(s, d, "orders"), _read(s, d, "lineitem"),
+                "o_orderkey", "l_orderkey",
+                F.col("l_quantity") >= 45, score_mode="count",
+            )
+            .select("o_orderkey", "score")
+            .orderBy("o_orderkey")
+            .limit(100)
+        )
+
+    q["blockjoin_orders_lineitem"] = blockjoin_q
 
     # --- sources/sinks + function-query scalars ---
     def csv_roundtrip(s, d):
@@ -781,6 +871,9 @@ def oracle_sql() -> dict[str, str]:
     # --- wider query surface oracles ---
     o["phrase_batch_stream"] = phrase_topk_sql("batch stream")
     o["phrase_slop2"] = phrase_topk_sql("batch stream", slop=2)
+    from solr_spark.oracle_sql import complex_phrase_sql
+
+    o["complex_phrase_prefix"] = complex_phrase_sql(["bat*", "stream"])
     from solr_spark.oracle_sql import _prelude, _scored
 
     o["lucene_filter_prohibit"] = f"""
@@ -838,7 +931,18 @@ ORDER BY CAST(score_raw AS REAL) DESC, sc.doc_id ASC LIMIT 10
     o["dismax_text_source"] = dismax_sql(
         tok.tokenize_py("src3 spark"), tok.tokenize_py("src3 spark"), tie=0.1
     )
+    from solr_spark.analysis import CODE_STEM_CHAIN
     from solr_spark.oracle_sql import edismax_full_sql, edismax_pf_sql
+
+    o["bm25_stemmed_chain"] = bm25_topk_sql(
+        CODE_STEM_CHAIN.tokenize_py("tables merges"), "OR", chain=CODE_STEM_CHAIN
+    )
+    _syn_terms = []
+    for _t in tok.tokenize_py("merge table"):
+        for _s in _SYNONYMS.get(_t, [_t]):
+            if _s not in _syn_terms:
+                _syn_terms.append(_s)
+    o["bm25_synonyms"] = bm25_topk_sql(_syn_terms, "OR")
 
     o["edismax_pf_boost"] = edismax_pf_sql(
         tok.tokenize_py("batch stream"), "batch stream", pf_weight=2.0
@@ -856,6 +960,83 @@ ORDER BY CAST(score_raw AS REAL) DESC, sc.doc_id ASC LIMIT 10
     o["suggest_prefix_s"] = suggest_sql("s")
     o["highlight_merge"] = highlight_sql("merge")
     o["significant_terms_spark"] = significant_terms_sql("spark")
+    o["highlight_multi_terms"] = f"""
+WITH {_prelude()},
+{_scored('sc', "('batch', 'merge')")},
+win AS (SELECT sc.doc_id, ROUND(CAST(CAST(score_raw AS REAL) AS DOUBLE), 4) AS score
+        FROM sc ORDER BY CAST(score_raw AS REAL) DESC, doc_id ASC LIMIT 10)
+SELECT w.doc_id, w.score, t.term,
+       substr(d.text, greatest(1, strpos(lower(d.text), t.term) - 30), 80) AS snippet
+FROM win w JOIN documents d USING (doc_id)
+CROSS JOIN (SELECT unnest(['batch', 'merge']) AS term) t
+WHERE strpos(lower(d.text), t.term) > 0
+ORDER BY w.score DESC, w.doc_id, t.term
+"""
+    o["spellcheck_collation"] = f"""
+WITH {_prelude()},
+alldf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+c1 AS (SELECT tok FROM alldf
+       WHERE abs(length(tok) - 6) <= 2 AND levenshtein(tok, 'sparkk') <= 2
+       ORDER BY levenshtein(tok, 'sparkk') ASC, df DESC, tok ASC LIMIT 1),
+c2 AS (SELECT tok FROM alldf
+       WHERE abs(length(tok) - 6) <= 2 AND levenshtein(tok, 'mergge') <= 2
+       ORDER BY levenshtein(tok, 'mergge') ASC, df DESC, tok ASC LIMIT 1),
+h AS (SELECT count(*) AS hits FROM (
+        SELECT DISTINCT doc_id FROM toks WHERE tok = (SELECT tok FROM c1)
+        INTERSECT
+        SELECT DISTINCT doc_id FROM toks WHERE tok = (SELECT tok FROM c2)) t)
+SELECT (SELECT tok FROM c1) || ' ' || (SELECT tok FROM c2) AS collation,
+       CAST(hits AS BIGINT) AS hits
+FROM h
+"""
+    o["query_elevation"] = f"""
+WITH {_prelude()},
+{_scored('sc', "('table')")},
+e(doc_id, rnk) AS (VALUES (42, 0), (7, 1)),
+allrows AS (
+  SELECT COALESCE(sc.doc_id, e.doc_id) AS doc_id,
+         e.doc_id IS NOT NULL AS elevated,
+         ROUND(COALESCE(CAST(CAST(sc.score_raw AS REAL) AS DOUBLE), 0.0), 4) AS score,
+         e.rnk
+  FROM sc FULL OUTER JOIN e ON sc.doc_id = e.doc_id)
+SELECT doc_id, elevated, score FROM allrows
+ORDER BY CASE WHEN elevated THEN 0 ELSE 1 END,
+         COALESCE(rnk, 1073741824), score DESC, doc_id ASC
+LIMIT 10
+"""
+    o["term_vector_doc42"] = f"""
+SELECT tok AS term, CAST(count(*) AS BIGINT) AS tf,
+       list_sort(list(pos - 1)) AS positions
+FROM (SELECT unnest(tt) AS tok, generate_subscripts(tt, 1) AS pos
+      FROM (SELECT {tok.duckdb_tokens_expr('text')} AS tt
+            FROM documents WHERE doc_id = 42))
+GROUP BY tok ORDER BY tok
+"""
+    o["stats_sumsq_nchars"] = """
+        SELECT CAST(count(n_chars) AS BIGINT) AS count,
+               CAST(sum(n_chars * n_chars) AS BIGINT) AS sumsq,
+               CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct
+        FROM documents
+    """
+    o["relatedness_source_en"] = """
+        WITH t AS (SELECT CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS DOUBLE) AS fg_total,
+                          CAST(count(*) AS DOUBLE) AS bg_total FROM documents),
+        b AS (SELECT source AS bucket,
+                     CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS fg_size,
+                     CAST(count(*) AS BIGINT) AS bg_size
+              FROM documents GROUP BY source)
+        SELECT bucket, fg_size, bg_size,
+               ROUND(fg_size / t.fg_total - bg_size / t.bg_total, 6) AS relatedness
+        FROM b CROSS JOIN t
+        WHERE fg_size >= 1
+        ORDER BY relatedness DESC, bucket ASC LIMIT 20
+    """
+    o["blockjoin_orders_lineitem"] = """
+        SELECT o_orderkey, CAST(count(*) AS BIGINT) AS score
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_quantity >= 45
+        GROUP BY o_orderkey ORDER BY o_orderkey LIMIT 100
+    """
 
     # --- training-data pipeline oracles ---
     ws_sql, bpe_sql = textops.token_count_sql("text")

@@ -87,6 +87,17 @@ def main() -> None:
         eng.topk(qtext, k=10, mode=mode).collect()
         queries[qname] = round(time.time() - t0, 3)
 
+    # round-2 paths: positional phrase + compiled nested boolean query
+    from solr_spark.plans import execute_query
+    from solr_spark.query.phrase import phrase_topk
+
+    t0 = time.time()
+    phrase_topk(eng, "import os", k=10).collect()
+    queries["q_phrase"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    execute_query(eng, "(server OR client) AND parse -xml", k=10).collect()
+    queries["q_lucene_nested"] = round(time.time() - t0, 3)
+
     if doc_engine is not None:
         for qname, (qtext, mode) in {
             "q_docs_bm25_or": ("spark merge data", "OR"),

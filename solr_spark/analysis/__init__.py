@@ -2,6 +2,8 @@ from solr_spark.analysis.chains import (  # noqa: F401
     CODE_STOPWORDS,
     AnalyzerChain,
     CODE_CHAIN,
+    CODE_PORTER_CHAIN,
+    CODE_STEM_CHAIN,
     TEXT_CHAIN,
     tokenize_py,
 )

@@ -59,21 +59,50 @@ _CAMEL2_RE = re.compile(_CAMEL2)
 _SPLIT_RE = re.compile(_SPLIT)
 
 
+def _minimal_stem_py(t: str) -> str:
+    """Frozen minimal plural stemmer (Lucene EnglishMinimalStemFilter
+    analog, ``EnglishMinimalStemFilterFactory``): identical in all three
+    engine forms. Rules, in order:
+      len<4 or no trailing 's'      → unchanged
+      ends 'ss' / 'us' / 'is'       → unchanged
+      ends 'ies' and len>4          → …ies → …y
+      otherwise                     → drop trailing 's'
+    """
+    if len(t) < 4 or not t.endswith("s"):
+        return t
+    if t.endswith(("ss", "us", "is")):
+        return t
+    if t.endswith("ies") and len(t) > 4:
+        return t[:-3] + "y"
+    return t[:-1]
+
+
 @dataclass(frozen=True)
 class AnalyzerChain:
-    """A frozen tokenize→filter chain usable from Spark, Python and DuckDB."""
+    """A frozen tokenize→filter chain usable from Spark, Python and DuckDB.
+
+    ``stem``: None, "minimal" (SQL-expressible plural stemmer — oracle
+    gated) or "porter" (full Porter via the pandas-UDF extension point —
+    golden-vector gated; the sandbox DuckDB cannot load its stem
+    extension, so no SQL form exists for it).
+    """
 
     name: str
     split_case: bool = True
     stopwords: frozenset[str] = field(default_factory=lambda: CODE_STOPWORDS)
+    stem: str | None = None
 
     # ---- form 1: Spark column expression (JVM-side, codegen'd) ----
     def tokens(self, col: Column | str) -> Column:
         """Array<string> of analyzed tokens — pure built-in functions.
 
         Stays inside WholeStageCodegen: regexp_replace/lower/split/filter
-        are all JVM expressions; no Python crosses the boundary.
+        (and the minimal-stem transform) are all JVM expressions; only
+        the "porter" chain crosses into Python (Arrow-vectorized UDF).
         """
+        if self.stem == "porter":
+            c = F.col(col) if isinstance(col, str) else col
+            return self.tokens_pandas_udf()(c)
         c = F.col(col) if isinstance(col, str) else col
         if self.split_case:
             c = F.regexp_replace(c, _CAMEL1, r"$1 $2")
@@ -81,7 +110,10 @@ class AnalyzerChain:
         c = F.lower(c)
         toks = F.split(c, _SPLIT)
         stops = sorted(self.stopwords)
-        return F.filter(toks, lambda t: (t != F.lit("")) & ~t.isin(stops))
+        out = F.filter(toks, lambda t: (t != F.lit("")) & ~t.isin(stops))
+        if self.stem == "minimal":
+            out = F.transform(out, _minimal_stem_col)
+        return out
 
     def doc_len(self, col: Column | str) -> Column:
         """BM25 doc length = surviving-token count (discountOverlaps=true)."""
@@ -95,18 +127,40 @@ class AnalyzerChain:
             text = _CAMEL1_RE.sub(r"\1 \2", text)
             text = _CAMEL2_RE.sub(r"\1 \2", text)
         toks = _SPLIT_RE.split(text.lower())
-        return [t for t in toks if t and t not in self.stopwords]
+        out = [t for t in toks if t and t not in self.stopwords]
+        if self.stem == "minimal":
+            out = [_minimal_stem_py(t) for t in out]
+        elif self.stem == "porter":
+            from solr_spark.analysis.porter import porter_stem
+
+            out = [porter_stem(t) for t in out]
+        return out
 
     # ---- form 3: DuckDB SQL fragment (for oracle_sql) ----
     def duckdb_tokens_expr(self, text_expr: str) -> str:
         """DuckDB list<varchar> expression of analyzed tokens (incl. filter)."""
+        if self.stem == "porter":
+            raise NotImplementedError(
+                "porter chain has no SQL form (DuckDB stem extension "
+                "unavailable offline); oracle coverage is golden-vector pytest"
+            )
         e = text_expr
         if self.split_case:
             e = f"regexp_replace({e}, '{_CAMEL1}', '\\1 \\2', 'g')"
             e = f"regexp_replace({e}, '{_CAMEL2}', '\\1 \\2', 'g')"
         e = f"string_split_regex(lower({e}), '{_SPLIT}')"
         stops = ", ".join(f"'{s}'" for s in sorted(self.stopwords))
-        return f"list_filter({e}, t -> t <> '' AND t NOT IN ({stops}))"
+        e = f"list_filter({e}, t -> t <> '' AND t NOT IN ({stops}))"
+        if self.stem == "minimal":
+            e = (
+                f"list_transform({e}, t -> CASE "
+                "WHEN length(t) < 4 OR NOT ends_with(t, 's') THEN t "
+                "WHEN ends_with(t, 'ss') OR ends_with(t, 'us') OR ends_with(t, 'is') THEN t "
+                "WHEN ends_with(t, 'ies') AND length(t) > 4 "
+                "THEN substr(t, 1, length(t) - 3) || 'y' "
+                "ELSE substr(t, 1, length(t) - 1) END)"
+            )
+        return e
 
     def duckdb_tokens_select(self, table: str, id_col: str, text_col: str) -> str:
         """A FROM-able subquery producing (id, tok) exploded token rows."""
@@ -132,10 +186,27 @@ class AnalyzerChain:
         return _tok
 
 
+def _minimal_stem_col(t: Column) -> Column:
+    """Spark column form of :func:`_minimal_stem_py` (same frozen rules)."""
+    n = F.length(t)
+    return (
+        F.when((n < 4) | ~t.endswith("s"), t)
+        .when(t.endswith("ss") | t.endswith("us") | t.endswith("is"), t)
+        .when(t.endswith("ies") & (n > 4), F.concat(t.substr(F.lit(1), n - 3), F.lit("y")))
+        .otherwise(t.substr(F.lit(1), n - 1))
+    )
+
+
 #: The code-aware chain (text_en_splitting analog) — the engine default.
 CODE_CHAIN = AnalyzerChain(name="code")
 #: Plain-text chain without case splitting (text_general analog).
 TEXT_CHAIN = AnalyzerChain(name="text_general", split_case=False)
+#: Code chain + minimal plural stemmer (EnglishMinimalStemFilter analog) —
+#: SQL-expressible, oracle-gated.
+CODE_STEM_CHAIN = AnalyzerChain(name="code_stem", stem="minimal")
+#: Code chain + full Porter (PorterStemFilter analog, text_en_splitting) —
+#: pandas-UDF path, golden-vector gated.
+CODE_PORTER_CHAIN = AnalyzerChain(name="code_porter", stem="porter")
 
 
 def tokenize_py(text: str) -> list[str]:

@@ -62,10 +62,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from solr_spark.analysis import CODE_CHAIN, TEXT_CHAIN, AnalyzerChain
+from solr_spark.analysis import (
+    CODE_CHAIN,
+    CODE_PORTER_CHAIN,
+    CODE_STEM_CHAIN,
+    TEXT_CHAIN,
+    AnalyzerChain,
+)
 from solr_spark.index.codec import delta_varint_encode, positions_encode, varint_encode
 
-CHAINS: dict[str, AnalyzerChain] = {"code": CODE_CHAIN, "text_general": TEXT_CHAIN}
+CHAINS: dict[str, AnalyzerChain] = {
+    "code": CODE_CHAIN,
+    "text_general": TEXT_CHAIN,
+    "code_stem": CODE_STEM_CHAIN,
+    "code_porter": CODE_PORTER_CHAIN,
+}
 
 
 @dataclass(frozen=True)

@@ -162,7 +162,92 @@ def stats_numeric(df: DataFrame, field: str) -> DataFrame:
         F.avg(c).alias("mean"),
         F.stddev_samp(c).alias("stddev"),
         F.approx_count_distinct(c).alias("cardinality"),
+        F.sum(c * c).alias("sumsq"),  # JSON Facet sumsq agg
+        F.countDistinct(c).alias("countvals_distinct"),  # unique agg (exact)
     )
+
+
+def relatedness_facet(
+    df: DataFrame,
+    facet_field_name: str,
+    fg_filter: Column,
+    min_count: int = 1,
+    limit: int = 100,
+) -> DataFrame:
+    """JSON Facet ``relatedness(fg, bg)`` agg (semantic knowledge graph,
+    ``search/facet/RelatednessAgg.java``) — simplified to the normalized
+    ratio difference: for each bucket v of ``facet_field_name``,
+    ``relatedness = fg_size/fg_total − bg_size/bg_total`` where fg = docs
+    matching ``fg_filter`` (the documented popularity-scaling refinement
+    is omitted; frozen and mirrored by the oracle). Returns
+    (bucket, fg_size, bg_size, relatedness) ordered (relatedness desc,
+    bucket)."""
+    fld = F.col(facet_field_name)
+    agg = df.groupBy(fld.alias("bucket")).agg(
+        F.count(F.when(fg_filter, 1)).cast("long").alias("fg_size"),
+        F.count("*").cast("long").alias("bg_size"),
+    )
+    totals = df.agg(
+        F.count(F.when(fg_filter, 1)).cast("double").alias("fg_total"),
+        F.count("*").cast("double").alias("bg_total"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(totals))
+        .where(F.col("fg_size") >= min_count)
+        .select(
+            "bucket", "fg_size", "bg_size",
+            F.round(
+                F.col("fg_size") / F.col("fg_total") - F.col("bg_size") / F.col("bg_total"), 6
+            ).alias("relatedness"),
+        )
+        .orderBy(F.desc("relatedness"), F.asc("bucket"))
+        .limit(limit)
+    )
+
+
+def block_join_parent(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_parent_key: str,
+    child_filter: Column,
+    score_mode: str = "count",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Parent block join (``search/join/BlockJoinParentQParserPlugin
+    .java`` / Lucene ToParentBlockJoinQuery): parents whose child block
+    contains ≥1 child matching ``child_filter``; score aggregates the
+    matching children per ScoreMode (count | sum | max over
+    ``score_col``). One aggregated semi-join — the columnar equivalent
+    of Lucene's contiguous parent/child block scan."""
+    matched = children.where(child_filter)
+    if score_mode == "count":
+        agg = matched.groupBy(child_parent_key).agg(F.count("*").cast("long").alias("score"))
+    elif score_mode == "sum":
+        agg = matched.groupBy(child_parent_key).agg(F.sum(score_col).alias("score"))
+    elif score_mode == "max":
+        agg = matched.groupBy(child_parent_key).agg(F.max(score_col).alias("score"))
+    else:
+        raise ValueError(f"unknown score_mode {score_mode}")
+    return parents.join(
+        agg.withColumnRenamed(child_parent_key, parent_key), parent_key
+    )
+
+
+def block_join_children(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_parent_key: str,
+    parent_filter: Column,
+) -> DataFrame:
+    """Child block join (``BlockJoinChildQParserPlugin.java`` / Lucene
+    ToChildBlockJoinQuery): children whose parent matches — a broadcast
+    -friendly semi-join of children against the filtered parent keys."""
+    keys = parents.where(parent_filter).select(
+        F.col(parent_key).alias(child_parent_key)
+    )
+    return children.join(keys, child_parent_key, "left_semi")
 
 
 def collapse(df: DataFrame, field: str, order_by: list[Column]) -> DataFrame:

@@ -435,6 +435,58 @@ FROM sc JOIN documents USING (doc_id)
 ORDER BY {boosted} DESC, sc.doc_id ASC LIMIT {k}"""
 
 
+def complex_phrase_sql(
+    words: list[str], slop: int = 0, k: int = 10, chain: AnalyzerChain = CODE_CHAIN
+) -> str:
+    """ComplexPhrase oracle: phrase positions where a trailing-* word
+    matches ANY dictionary term with that prefix; pf = DISTINCT chain
+    starts; idf_i computed from the docs containing ANY matching term of
+    position i (mirrors complex_phrase_pf exactly)."""
+
+    def cond(alias: str, w: str) -> str:
+        if w.endswith("*") and "*" not in w[:-1]:
+            esc = w[:-1].lower().replace("'", "''")
+            return f"{alias}.tok LIKE '{esc}%'"
+        toks = chain.tokenize_py(w)
+        esc = (toks[0] if toks else w.lower()).replace("'", "''")
+        return f"{alias}.tok = '{esc}'"
+
+    def df_sub(w: str) -> str:
+        if w.endswith("*") and "*" not in w[:-1]:
+            esc = w[:-1].lower().replace("'", "''")
+            return f"(SELECT count(DISTINCT doc_id) FROM toks WHERE tok LIKE '{esc}%')"
+        toks = chain.tokenize_py(w)
+        esc = (toks[0] if toks else w.lower()).replace("'", "''")
+        return f"(SELECT count(DISTINCT doc_id) FROM toks WHERE tok = '{esc}')"
+
+    n = len(words)
+    joins = "\n".join(
+        f"  JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos > p{i - 1}.pos "
+        f"AND p{i}.pos <= p0.pos + {i + slop} AND {cond(f'p{i}', words[i])}"
+        for i in range(1, n)
+    )
+    idf_parts = " + ".join(
+        f"ln(1.0 + (s.n_docs - {df_sub(w)} + 0.5) / ({df_sub(w)} + 0.5))" for w in words
+    )
+    return f"""WITH {_prelude(chain)},
+pos AS (
+  SELECT doc_id, unnest(tt) AS tok, generate_subscripts(tt, 1) AS pos
+  FROM (SELECT doc_id, {chain.duckdb_tokens_expr('text')} AS tt FROM documents)),
+pf AS (
+  SELECT p0.doc_id, count(DISTINCT p0.pos) AS pf
+  FROM pos p0
+{joins}
+  WHERE {cond('p0', words[0])}
+  GROUP BY p0.doc_id)
+SELECT pf.doc_id,
+       ROUND(CAST(CAST(({idf_parts})
+             * pf.pf / (pf.pf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl)) AS REAL) AS DOUBLE), 4) AS score
+FROM pf JOIN dl l USING (doc_id) CROSS JOIN stats s
+ORDER BY CAST(({idf_parts}) * pf.pf / (pf.pf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl)) AS REAL) DESC,
+         pf.doc_id ASC
+LIMIT {k}"""
+
+
 def edismax_pf_sql(
     terms: list[str],
     phrase: str,

@@ -82,6 +82,24 @@ def fuzzy_topk(
     return engine.topk_from_stats(stats, k=k, mode="OR", prune=False)
 
 
+def synonym_topk(
+    engine: SearchEngine, query: str, syn_map: dict[str, list[str]], k: int = 10
+) -> DataFrame:
+    """Query-time synonym expansion (SynonymGraphFilter analog,
+    ``text_general``'s query chain, ``managed-schema.xml:299-316``):
+    each analyzed query term is replaced by its synonym group (the term
+    itself included), scored as a plain OR with weight 1 per expanded
+    term — the multi-term interpretation of a query-time synonym graph.
+    ``syn_map`` is the frozen synonyms.txt analog."""
+    expanded: list[str] = []
+    for t in engine.analyze_query(query):
+        for s in syn_map.get(t, [t]):
+            if s not in expanded:
+                expanded.append(s)
+    stats = engine._term_stats(expanded)
+    return engine.topk_from_stats(stats, k=k, mode="OR", prune=False)
+
+
 def mm_topk(engine: SearchEngine, query: str, mm: int, k: int = 10) -> DataFrame:
     """edismax min-should-match: OR requiring ≥ mm distinct matched terms."""
     stats = engine._term_stats(engine.analyze_query(query))
@@ -383,6 +401,117 @@ def highlight_topk(
         .join(F.broadcast(hits), "doc_id")
         .select("doc_id", "score", snippet.alias("snippet"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def highlight_multi(
+    engine: SearchEngine, query: str, corpus: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", k: int = 10, before: int = 30, width: int = 80,
+) -> DataFrame:
+    """Multi-term highlighting: one snippet per (winner doc, query term)
+    — the UnifiedHighlighter's per-term passage selection restated
+    (``highlight/HighlightComponent.java:55``). Snippet = ``width`` chars
+    starting ``before`` left of the term's first case-insensitive
+    occurrence; terms without an occurrence in a doc emit no row.
+    Returns (doc_id, score, term, snippet) ordered (score desc, doc_id,
+    term)."""
+    hits = engine.topk(query, k=k, mode="OR")
+    toks = sorted(set(engine.analyze_query(query)))
+    per_term = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.locate(t, F.lower(F.col(text_col))).alias("pos"),
+            )
+            for t in toks
+        ]
+    )
+    exploded = (
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .join(F.broadcast(hits), "doc_id")
+        .select("doc_id", "score", F.col(text_col), F.explode(per_term).alias("m"))
+        .where(F.col("m.pos") > 0)
+    )
+    snippet = F.substring(
+        F.col(text_col), F.greatest(F.lit(1), F.col("m.pos") - before), width
+    )
+    return (
+        exploded.select("doc_id", "score", F.col("m.term").alias("term"), snippet.alias("snippet"))
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("term"))
+    )
+
+
+def spellcheck_collate(
+    engine: SearchEngine, query: str, max_edits: int = 2
+) -> DataFrame:
+    """Spellcheck collation (``spelling/SpellCheckCollator.java``): per
+    query word take the best correction (distance asc, df desc, term
+    asc), join them into a collation string, and report the hit count of
+    the conjunctive (AND) query over the corrections — Solr's collation
+    verification query. Returns one row (collation, hits)."""
+    words = engine.analyze_query(query)
+    corrections: list[str] = []
+    for w in words:
+        cand = spellcheck(engine, w, max_edits=max_edits, n=1).collect()
+        corrections.append(cand[0]["term"] if cand else w)
+    stats = engine._term_stats(corrections)
+    if len(stats) < len(set(corrections)):
+        hits_df = engine.spark.range(0).select(F.lit(0).cast("long").alias("hits"))
+    else:
+        agg = engine.score_all(stats)
+        n = agg.where(F.col("n_terms") == len(set(corrections))).count()
+        hits_df = engine.spark.createDataFrame([(int(n),)], "hits long")
+    return hits_df.select(F.lit(" ".join(corrections)).alias("collation"), "hits")
+
+
+def elevate_topk(
+    engine: SearchEngine, query: str, elevated_ids: list[int], k: int = 10
+) -> DataFrame:
+    """QueryElevationComponent (``handler/component/
+    QueryElevationComponent.java``): the configured docs are pinned to
+    the top in elevate-file order (whether or not they match — Solr's
+    forceElevation), organic results follow by (score desc, doc_id).
+    Returns (doc_id, elevated, score) with score 0.0 for non-matching
+    elevated docs."""
+    scores = engine.score_all(engine._term_stats(engine.analyze_query(query)))
+    elev = engine.spark.createDataFrame(
+        [(int(d), i) for i, d in enumerate(elevated_ids)], "doc_id long, elev_rank int"
+    )
+    joined = scores.select(
+        "doc_id", F.col("score_raw").cast("float").alias("score")
+    ).join(elev, "doc_id", "full_outer")  # tiny side; full-outer can't broadcast
+    return (
+        joined.select(
+            "doc_id",
+            F.col("elev_rank").isNotNull().alias("elevated"),
+            F.round(F.coalesce(F.col("score"), F.lit(0.0)).cast("double"), 4).alias("score"),
+        )
+        .orderBy(
+            F.when(F.col("elevated"), 0).otherwise(1),
+            F.coalesce(joined["elev_rank"], F.lit(1 << 30)).asc(),
+            F.desc("score"),
+            F.asc("doc_id"),
+        )
+        .limit(k)
+    )
+
+
+def term_vector(engine: SearchEngine, doc_id: int) -> DataFrame:
+    """TermVectorComponent per-doc API (``handler/component/
+    TermVectorComponent.java``): (term, tf, positions) for one doc,
+    re-analyzed from its stored text — a point read of the doc registry,
+    positions 0-based in the surviving-token stream (the index's frozen
+    position semantics)."""
+    chain = engine.config.chain()
+    doc = engine.index.docs.where(F.col("doc_id") == F.lit(doc_id)).select("stored_text")
+    return (
+        doc.select(F.posexplode(chain.tokens("stored_text")).alias("pos", "term"))
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+        .orderBy("term")
     )
 
 

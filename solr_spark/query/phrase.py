@@ -182,6 +182,113 @@ def phrase_match_pf(engine: SearchEngine, phrase: str, slop: int = 0) -> DataFra
     )
 
 
+def complex_phrase_pf(
+    engine: SearchEngine, phrase: str, slop: int = 0, max_expansions: int = 50
+) -> tuple[DataFrame | None, float]:
+    """ComplexPhraseQParserPlugin analog: a phrase whose words may be
+    wildcards/prefixes (``"bat* stream"~1``). Each position expands
+    against the term dictionary (MultiTermQuery rewrite, top
+    ``max_expansions`` by df desc/term asc); a chain step matches ANY
+    expansion of its ordinal. Scoring: idf_i of an expanded position =
+    ln(1+(N-df_i+0.5)/(df_i+0.5)) with df_i = #docs containing ANY of
+    the position's terms (frozen; the oracle computes the same from
+    SQL). Returns ((doc_id, pf, dl) or None, idf_total)."""
+    from solr_spark.query.extras import _expansion_stats
+
+    words = [w for w in phrase.split() if w]
+    per_pos: list[list[str]] = []
+    for w in words:
+        if w.endswith("*") and "*" not in w[:-1]:
+            stats = _expansion_stats(
+                engine, F.col("term").startswith(w[:-1].lower()), max_expansions
+            )
+            toks = [s.term for s in stats]
+        else:
+            toks = engine.analyze_query(w)
+        if not toks:
+            return None, 0.0
+        per_pos.append(sorted(set(toks)))
+
+    all_terms = sorted({t for ts in per_pos for t in ts})
+    stats = engine._term_stats(all_terms)
+    known = {s.term for s in stats}
+    per_pos = [[t for t in ts if t in known] for ts in per_pos]
+    if any(not ts for ts in per_pos):
+        return None, 0.0
+    n_docs = engine.index.n_docs
+
+    # df of a position = docs containing ANY of its terms (exact count
+    # from a distinct-doc aggregation over the pruned decode)
+    blocks = engine._blocks_for(sorted({t for ts in per_pos for t in ts}))
+    flat = blocks.select("term", "doc_ids_enc", "tfs_enc", "dls_enc", "pos_enc").mapInPandas(
+        _decode_pos_flat_udf(), schema=_POS_FLAT_SCHEMA
+    )
+    union_df = {}
+    docs_per_term = (
+        flat.select("term", "doc_id").distinct()
+        .groupBy("term").agg(F.count("*").alias("df"))
+        .collect()
+    )
+    df_by_term = {r["term"]: r["df"] for r in docs_per_term}
+    idf_total = 0.0
+    for i, ts in enumerate(per_pos):
+        if len(ts) == 1:
+            dfi = df_by_term.get(ts[0], 0)
+        else:
+            dfi = (
+                flat.where(F.col("term").isin(ts))
+                .select("doc_id").distinct().count()
+            )
+        union_df[i] = dfi
+        import math
+
+        idf_total += math.log1p((n_docs - dfi + 0.5) / (dfi + 0.5))
+
+    # rewrite terms to position markers so the verifier treats any
+    # expansion of ordinal i as "term i"
+    markers = [f"\x00{i}" for i in range(len(per_pos))]
+    mapping = F.create_map(
+        *[x for i, ts in enumerate(per_pos) for t in ts for x in (F.lit(t), F.lit(markers[i]))]
+    )
+    marked = flat.select(
+        F.explode(
+            F.filter(
+                F.array(*[
+                    F.when(F.col("term").isin(ts), F.lit(markers[i])).otherwise(F.lit(None))
+                    for i, ts in enumerate(per_pos)
+                ]),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("term"),
+        "doc_id", "pos", "dl",
+    )
+    del mapping  # the array/filter form handles terms shared by ordinals
+    pf_df = marked.repartition("doc_id").mapInPandas(
+        _make_verify(markers, slop), schema=_PF_SCHEMA
+    )
+    return pf_df, idf_total
+
+
+def complex_phrase_topk(
+    engine: SearchEngine, phrase: str, k: int = 10, slop: int = 0, max_expansions: int = 50
+) -> DataFrame:
+    """Top-k for a wildcard-bearing phrase (ComplexPhraseQParserPlugin /
+    SurroundQParserPlugin proximity surface)."""
+    empty = engine.spark.createDataFrame([], "doc_id long, score float")
+    pf_df, idf_total = complex_phrase_pf(engine, phrase, slop=slop, max_expansions=max_expansions)
+    if pf_df is None:
+        return empty
+    pf, dl = F.col("pf").cast("double"), F.col("dl").cast("double")
+    score = F.lit(idf_total) * pf / (
+        pf + F.lit(engine.k1) * (F.lit(1.0 - engine.b) + F.lit(engine.b) * dl / F.lit(engine.avgdl))
+    )
+    return (
+        pf_df.select("doc_id", score.cast("float").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def phrase_topk(engine: SearchEngine, phrase: str, k: int = 10, slop: int = 0) -> DataFrame:
     """Top-k for a phrase query ``"…"~slop`` (slop=0: exact adjacency).
     See module docstring for the frozen scoring semantics."""

@@ -52,3 +52,53 @@ def test_duckdb_matches_python():
 
 def test_text_chain_no_case_split():
     assert TEXT_CHAIN.tokenize_py("CamelCase word") == ["camelcase", "word"]
+
+
+# ---------------------------------------------------------------------------
+# stemming chains
+# ---------------------------------------------------------------------------
+
+from solr_spark.analysis import CODE_PORTER_CHAIN, CODE_STEM_CHAIN  # noqa: E402
+from solr_spark.analysis.porter import GOLDEN as PORTER_GOLDEN  # noqa: E402
+from solr_spark.analysis.porter import porter_stem  # noqa: E402
+
+
+def test_porter_golden_vectors():
+    """Porter stems must match the published algorithm's worked examples
+    (Porter 1980; Lucene PorterStemFilter implements the same spec)."""
+    for w, expect in PORTER_GOLDEN.items():
+        assert porter_stem(w) == expect, w
+
+
+def test_minimal_stem_three_forms_agree(spark):
+    """The minimal plural stemmer must agree across Spark expressions,
+    Python, and DuckDB SQL on a stress vocabulary."""
+    words = ("tables merges entries flies glass status crisis bus ties is as"
+             " pass classes stores caches indexes queries axis dos boss this")
+    py = CODE_STEM_CHAIN.tokenize_py(words)
+    sdf = spark.createDataFrame([(words,)], "t string").select(
+        CODE_STEM_CHAIN.tokens("t").alias("toks")
+    )
+    assert sdf.collect()[0]["toks"] == py
+    con = duckdb.connect()
+    lit = "'" + words + "'"
+    got = con.execute("SELECT " + CODE_STEM_CHAIN.duckdb_tokens_expr(lit)).fetchone()[0]
+    assert got == py
+
+
+def test_porter_chain_spark_matches_python(spark, oracle_corpus):
+    """The porter chain's pandas-UDF Spark form must equal tokenize_py
+    over real corpus docs (the declared extension point, chains.py)."""
+    sample = oracle_corpus.head(25)
+    sdf = spark.createDataFrame(sample[["doc_id", "content"]])
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in sdf.select("doc_id", CODE_PORTER_CHAIN.tokens("content").alias("toks")).collect()
+    }
+    for _, row in sample.iterrows():
+        assert got[row["doc_id"]] == CODE_PORTER_CHAIN.tokenize_py(row["content"])
+
+
+def test_porter_chain_has_no_sql_form():
+    with pytest.raises(NotImplementedError):
+        CODE_PORTER_CHAIN.duckdb_tokens_expr("'x'")
