@@ -408,6 +408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src3 spark", tie=0.1,
         )
     )
+    q["graph_terms_filter"] = lambda s, d: qx.graph_terms_docs(
+        _engine(s, d), "spark merge table", max_doc_freq=600
+    )
     q["bm25_stemmed_chain"] = lambda s, d: _bm25_engine(
         _engine_stem(s, d), "tables merges"
     )
@@ -507,6 +510,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("lang")
 
     q["csv_roundtrip_ingest"] = csv_roundtrip
+
+    def xml_roundtrip(s, d):
+        """Solr XML update format writer → XMLLoader roundtrip
+        (handler/loader/XMLLoader.java:178) — stdlib-etree parse in
+        mapInPandas, no external xml package."""
+        import shutil
+
+        from solr_spark.sources import load_xml_docs, write_update_xml
+
+        docs = _read(s, d, "documents").select("doc_id", "lang", "text")
+        tmp = f"/tmp/solr_spark_entry_xml_{os.path.basename(os.path.normpath(d))}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_update_xml(docs, tmp)
+        back = load_xml_docs(s, tmp, schema="doc_id long, lang string, text string")
+        return back.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        ).orderBy("lang")
+
+    q["xml_roundtrip_ingest"] = xml_roundtrip
 
     def func_scalars(s, d):
         from solr_spark.functions import linear, map_value, recip, strdist
@@ -778,6 +801,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang ORDER BY lang
     """
+    o["xml_roundtrip_ingest"] = """
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """
     o["function_query_scalars"] = """
         SELECT doc_id,
                ROUND(1.0 / (0.001 * n_chars + 1.0), 6) AS recip_nchars,
@@ -934,6 +962,16 @@ ORDER BY CAST(score_raw AS REAL) DESC, sc.doc_id ASC LIMIT 10
     from solr_spark.analysis import CODE_STEM_CHAIN
     from solr_spark.oracle_sql import edismax_full_sql, edismax_pf_sql
 
+    o["graph_terms_filter"] = f"""
+WITH {_prelude()},
+eligible AS (
+  SELECT tok FROM (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+                   WHERE tok IN ('merge', 'spark', 'table') GROUP BY tok)
+  WHERE df <= 600)
+SELECT DISTINCT doc_id FROM toks
+WHERE tok IN (SELECT tok FROM eligible)
+ORDER BY doc_id
+"""
     o["bm25_stemmed_chain"] = bm25_topk_sql(
         CODE_STEM_CHAIN.tokenize_py("tables merges"), "OR", chain=CODE_STEM_CHAIN
     )

@@ -7,7 +7,8 @@ Apache Solr (reference checkout at /root/reference) in idiomatic Spark:
   e.g. text_general / text_en_splitting) as JVM-side column expressions and
   Arrow-vectorized pandas UDFs.
 - ``solr_spark.index``     — inverted-index build: postings, term dictionary,
-  delta+varint-compressed posting blocks with per-block max-impact scores,
+  delta+varint-compressed posting blocks with stats-independent pruning
+  metadata (per-block max_tf / min_dl — impact bounds derived at query time),
   hot-term salting, per-partition lineage manifests, checkpoint/resume.
 - ``solr_spark.query``     — query parsing/compilation (boolean, phrase,
   dismax, MLT, ...), BM25 top-k scoring (k1=1.2, b=0.75, matching Solr's

@@ -20,7 +20,9 @@ Spark stages, each writing a Parquet "table" + a JSON lineage manifest
    construction, so every partition scores with identical IDF.
 4. ``blocks``    — the merged, compressed index: fixed-size posting
    blocks per (term, salt) with delta+varint docID gaps, varint tf/dl,
-   and a per-block max-impact score (Block-Max WAND metadata). Hot terms
+   and stats-independent pruning metadata (per-block max_tf / min_dl —
+   Block-Max WAND bounds derived at query time, so blocks survive
+   global-stat drift between incremental commits). Hot terms
    (df > threshold) are salted into sub-streams so no single reducer
    owns a whole hot posting list — the skew answer demanded by code
    corpora where ``import``/``def``/``return`` appear in most docs.

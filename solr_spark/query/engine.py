@@ -139,18 +139,31 @@ class SearchEngine:
             if t in by_term
         ]
 
+    def _term_buckets(self, terms: list[str]) -> list[int]:
+        """term → term_bucket, memoized per engine: the mapping must match
+        the build side's pmod(xxhash64(term), B), so unknown terms go
+        through one tiny local Spark expression (JVM hash) and the result
+        is cached — repeated queries pay zero driver round-trips."""
+        cache = self.__dict__.setdefault("_bucket_cache", {})
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            rows = (
+                self.spark.createDataFrame([(t,) for t in missing], "term string")
+                .select(
+                    "term",
+                    F.pmod(F.xxhash64("term"), F.lit(self.config.n_term_buckets))
+                    .cast("int")
+                    .alias("b"),
+                )
+                .collect()
+            )
+            for r in rows:
+                cache[r["term"]] = r["b"]
+        return sorted({cache[t] for t in terms})
+
     def _blocks_for(self, terms: list[str]) -> DataFrame:
         """Pruned block scan: partition pruning on term_bucket + term filter."""
-        buckets = sorted(
-            {
-                # must match build-side pmod(xxhash64(term), B); computed via
-                # a tiny local Spark expression to reuse the JVM hash.
-                r["b"]
-                for r in self.spark.createDataFrame([(t,) for t in terms], "term string")
-                .select(F.pmod(F.xxhash64("term"), F.lit(self.config.n_term_buckets)).cast("int").alias("b"))
-                .collect()
-            }
-        )
+        buckets = self._term_buckets(terms)
         return self.index.blocks.where(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
         )

@@ -82,6 +82,24 @@ def fuzzy_topk(
     return engine.topk_from_stats(stats, k=k, mode="OR", prune=False)
 
 
+def graph_terms_docs(
+    engine: SearchEngine, query: str, max_doc_freq: int
+) -> DataFrame:
+    """GraphTermsQParserPlugin analog (``GraphTermsQParserPlugin.java``):
+    a non-scoring doc-set filter over the query terms, SKIPPING terms
+    whose df exceeds ``max_doc_freq`` (the gather-nodes frontier filter —
+    hot terms would explode a graph traversal). Returns distinct doc_ids
+    ordered."""
+    stats = [
+        s
+        for s in engine._term_stats(engine.analyze_query(query))
+        if s.df <= max_doc_freq
+    ]
+    if not stats:
+        return engine.spark.createDataFrame([], "doc_id long")
+    return engine.score_all(stats).select("doc_id").orderBy("doc_id")
+
+
 def synonym_topk(
     engine: SearchEngine, query: str, syn_map: dict[str, list[str]], k: int = 10
 ) -> DataFrame:

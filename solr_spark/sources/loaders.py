@@ -2,19 +2,28 @@
 
 The reference dispatches updates by Content-Type to per-format loaders
 (``handler/UpdateRequestHandler.java:90-122`` → ``handler/loader/
-JsonLoader.java:70,150``, ``CSVLoader.java``) and serializes results via
-response writers (``response/*Writer.java``). In Spark both halves are
-the DataFrameReader/Writer — these wrappers pin the engine's frozen
-conventions (schema-on-read with explicit schema, UTF-8, header rows,
-multiline JSON records) so ingest is deterministic across formats.
+JsonLoader.java:70,150``, ``CSVLoader.java``, ``XMLLoader.java``) and
+serializes results via response writers (``response/*Writer.java``). In
+Spark both halves are the DataFrameReader/Writer — these wrappers pin
+the engine's frozen conventions (schema-on-read with explicit schema,
+UTF-8, header rows, multiline JSON records) so ingest is deterministic
+across formats.
 
-Javabin/CBOR loaders are n/a (Parquet/Iceberg is the native binary
-path); the Tika extraction module is out of scope (SURVEY.md §2.1).
+The XML loader/writer speak Solr's ``<add><doc><field name=…>`` update
+format; parsing uses the stdlib ``xml.etree`` inside an Arrow-batched
+``mapInPandas`` (one file per row via ``wholetext``) — no external
+spark-xml package. Javabin/CBOR loaders are n/a (Parquet/Iceberg is the
+native binary path); the Tika extraction module is out of scope
+(SURVEY.md §2.1).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def load_json_docs(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
@@ -46,3 +55,75 @@ def write_response_json(df: DataFrame, path: str) -> None:
 def write_response_csv(df: DataFrame, path: str, header: bool = True) -> None:
     """CSVResponseWriter analog."""
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def _xml_escape(c: Column) -> Column:
+    c = F.regexp_replace(c, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    c = F.regexp_replace(c, ">", "&gt;")
+    # numeric entities for newlines keep the one-<doc>-per-text-line layout
+    c = F.regexp_replace(c, "\r", "&#13;")
+    return F.regexp_replace(c, "\n", "&#10;")
+
+
+def write_update_xml(df: DataFrame, path: str) -> None:
+    """Serialize rows as Solr XML update documents
+    (``<add><doc><field name="col">value</field>…``) — the
+    XMLResponseWriter / post-tool format. Pure column expressions build
+    each ``<doc>`` element (JVM-side, codegen'd); files are text parts
+    wrapped by the loader, so no driver-side serialization."""
+    fields = [
+        F.concat(
+            F.lit(f'<field name="{c}">'),
+            _xml_escape(F.col(c).cast("string")),
+            F.lit("</field>"),
+        )
+        for c in df.columns
+    ]
+    doc = F.concat(F.lit("<doc>"), F.concat_ws("", *fields), F.lit("</doc>"))
+    df.select(doc.alias("value")).write.mode("overwrite").text(path)
+
+
+def load_xml_docs(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """XMLLoader analog (``handler/loader/XMLLoader.java:178``): parse
+    Solr ``<add><doc><field name=…>`` update XML with the stdlib
+    ``xml.etree`` inside Arrow-batched ``mapInPandas`` — each input text
+    line holds one ``<doc>`` element (the writer's layout; a full
+    ``<add>`` wrapper also parses). ``schema`` fixes output columns and
+    types (schemaless inference would be the
+    AddSchemaFieldsUpdateProcessor analog)."""
+    from pyspark.sql.types import StructType
+
+    target: StructType = (
+        schema if isinstance(schema, StructType) else _parse_ddl(spark, schema)
+    )
+    names = [f.name for f in target.fields]
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import xml.etree.ElementTree as ET
+
+        for pdf in batches:
+            rows = []
+            for line in pdf["value"]:
+                line = line.strip()
+                if not line or line.startswith("<add") or line.startswith("</add"):
+                    continue
+                el = ET.fromstring(line)
+                docs = [el] if el.tag == "doc" else el.findall(".//doc")
+                for d in docs:
+                    vals = {f.get("name"): f.text for f in d.findall("field")}
+                    rows.append([vals.get(n) for n in names])
+            yield pd.DataFrame(rows, columns=names)
+
+    parsed = spark.read.text(path).mapInPandas(
+        parse, schema=", ".join(f"{n} string" for n in names)
+    )
+    return parsed.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+    )
+
+
+def _parse_ddl(spark: SparkSession, ddl: str):
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(ddl)
