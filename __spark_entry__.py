@@ -702,6 +702,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_cosine_top10"] = ann_top10
 
+    def ann_ivf(s, d):
+        """IVF approximate top-10 (deterministic seeded k-means; no SQL
+        oracle — iterative training is not SQL-expressible, so the
+        driver records the rows-only check; recall is pytest-gated in
+        tests/test_pipeline_ops.py)."""
+        emb = _read(s, d, "embeddings")
+        cent = similarity.train_ivf_centroids(emb, "vec_id", "embedding", n_lists=16)
+        ivf = similarity.build_ivf(emb, "vec_id", "embedding", cent)
+        qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        return similarity.cosine_topk_ivf(ivf, cent, qv, k=10, n_probe=4).select(
+            "id", F.round("cosine", 4).alias("cosine")
+        )
+
+    q["ann_ivf_top10"] = ann_ivf
+
     # --- training-data pipeline: multimodal plumbing ---
     def mm_features(s, d):
         docs = _read(s, d, "documents").where(F.col("doc_id") < 30)

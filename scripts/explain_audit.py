@@ -80,12 +80,14 @@ def main() -> None:
         [("map-side partial aggregation", p.count("HashAggregate") >= 2)],
     ))
 
-    # 5. dedup shingle self-join: hash shuffle on h
+    # 5. dedup shingle self-join: joined on the shingle hash (AQE may
+    #    legitimately broadcast the small side at test scale)
     sh = dedup.shingle_set(docs_tbl.limit(50), "doc_id", "text")
     p = plan_of(dedup.jaccard_pairs(sh, 0.5))
     sections.append((
         "Jaccard shingle self-join", p,
-        [("shuffle keyed on shingle hash", "hashpartitioning(h" in p)],
+        [("joined on shingle hash (shuffle or broadcast)",
+          bool(re.search(r"hashpartitioning\(h#", p)) or "BroadcastHashJoin" in p)],
     ))
 
     # 6. BM25 scoring plan end-to-end
@@ -95,6 +97,52 @@ def main() -> None:
         [
             ("global top-k via TakeOrderedAndProject", "TakeOrderedAndProject" in p),
             ("adaptive execution enabled", "AdaptiveSparkPlan" in p),
+        ],
+    ))
+
+    # 7. vectorized phrase path: flat decode + doc-repartitioned verify,
+    #    no per-doc Python groups
+    from solr_spark.query.phrase import phrase_topk
+
+    p = plan_of(phrase_topk(eng, "batch stream", k=10))
+    sections.append((
+        "Phrase top-k (positional, vectorized)", p,
+        [
+            ("no per-doc applyInPandas groups", "FlatMapGroupsInPandas" not in p),
+            ("decode+verify are Arrow mapInPandas stages", p.count("MapInPandas") >= 2),
+            ("single doc_id repartition between them", "hashpartitioning(doc_id" in p),
+        ],
+    ))
+
+    # 8. AST-compiled nested boolean: one flag aggregation, broadcast
+    #    term->leaf weight map, no join per clause
+    from solr_spark.plans import execute_query
+
+    p = plan_of(execute_query(eng, "(batch OR stream) AND spark -merge", k=10))
+    sections.append((
+        "Compiled lucene query ((a OR b) AND c -d)", p,
+        [
+            ("broadcast of the term->leaf weight map", "BroadcastHashJoin" in p),
+            ("single flag/score aggregation", "collect_set" in p),
+            ("global top-k via TakeOrderedAndProject", "TakeOrderedAndProject" in p),
+        ],
+    ))
+
+    # 9. MinHash-LSH: exact-Jaccard verify restricted to candidates —
+    #    no h-keyed range self-join anywhere (checked on the optimized
+    #    plan, where join conditions print inline)
+    mh = dedup.minhash_neardup_pairs(docs_tbl.limit(100), "doc_id", "text", threshold=0.5)
+    opt = mh._jdf.queryExecution().optimizedPlan().toString()
+    bad_join = any(
+        "Join" in line and "doc_id" in line and "<" in line and "band" not in line
+        for line in opt.splitlines()
+    )
+    p = plan_of(mh)
+    sections.append((
+        "MinHash-LSH near-dup (candidate-only verify)", p,
+        [
+            ("no all-pairs shingle self-join", not bad_join),
+            ("candidate pairs cached for the 3-way reuse", "InMemoryRelation" in p or "InMemoryTableScan" in p),
         ],
     ))
 

@@ -138,6 +138,10 @@ def jaccard_for_pairs(
     (doc_b, h) for the intersection count, then two size joins.
     Returns (doc_a, doc_b, jaccard ≥ threshold).
     """
+    # the candidate plan is referenced three times below (two doc
+    # projections + the intersection join); persist so Catalyst reuses
+    # one materialization instead of replaying the LSH band join thrice
+    pairs = pairs.persist()
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))

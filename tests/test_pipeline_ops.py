@@ -323,3 +323,37 @@ def test_decode_image_is_gated_stub(docs):
     mm = multimodal.synth_multimodal(docs.where(F.col("doc_id") < 3))
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(mm)
+
+
+def test_ivf_assignment_matches_numpy(emb):
+    cent = similarity.train_ivf_centroids(emb, "vec_id", "embedding", n_lists=8)
+    ivf = similarity.build_ivf(emb, "vec_id", "embedding", cent)
+    got = {r["id"]: r["list_id"] for r in ivf.select("id", "list_id").collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    import numpy as np
+    for r in rows:
+        v = np.asarray([float(x) for x in r["embedding"]])
+        d = ((cent - v) ** 2).sum(1)
+        assert got[r["vec_id"]] == int(d.argmin()), r["vec_id"]
+
+
+def test_ivf_recall_vs_bruteforce(emb):
+    cent = similarity.train_ivf_centroids(emb, "vec_id", "embedding", n_lists=8)
+    ivf = similarity.build_ivf(emb, "vec_id", "embedding", cent).persist()
+    rows = emb.where(F.col("vec_id") < 5).collect()
+    recalls = []
+    for r in rows:
+        q = [float(x) for x in r["embedding"]]
+        exact = {x["id"] for x in similarity.cosine_topk(emb, "vec_id", "embedding", q, k=10).collect()}
+        approx = {x["id"] for x in similarity.cosine_topk_ivf(ivf, cent, q, k=10, n_probe=4).collect()}
+        assert approx <= {x["id"] for x in ivf.select("id").collect()}
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.6  # 4/8 lists probed
+    ivf.unpersist()
+
+
+def test_ivf_training_is_deterministic(emb):
+    import numpy as np
+    c1 = similarity.train_ivf_centroids(emb, "vec_id", "embedding", n_lists=8)
+    c2 = similarity.train_ivf_centroids(emb, "vec_id", "embedding", n_lists=8)
+    assert np.array_equal(c1, c2)

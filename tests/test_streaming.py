@@ -190,3 +190,74 @@ def test_changed_bucket_commit_matches_full_rebuild(spark, corpus_df, test_confi
     key = lambda r: (r["term"], r["salt"], r["block_no"])
     assert sorted(map(tuple, sel), key=lambda t: t[:3]) == \
            sorted(map(tuple, fullb), key=lambda t: t[:3])
+
+
+def test_windowed_stream_matches_batch(spark):
+    """Append-mode watermarked windows must equal the batch window
+    aggregation for every finalized window. Emission lags one
+    micro-batch (a window is emitted in the first batch AFTER the
+    watermark passes its end), so a final empty-ish drain flushes."""
+    import datetime as dt
+
+    from solr_spark.streaming import run_windowed_stream, windowed_agg
+
+    base = f"{BASE}/win"
+    shutil.rmtree(base, ignore_errors=True)
+    watch, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(watch)
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    schema = "ts timestamp, value double"
+    aggs = {"n": F.count("*"), "total": F.round(F.sum("value"), 3)}
+    rows1 = [(t0 + dt.timedelta(minutes=m), float(m)) for m in range(0, 60, 5)]
+    rows2 = [(t0 + dt.timedelta(minutes=m), float(m)) for m in range(60, 130, 5)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(watch)
+    run_windowed_stream(spark, watch, schema, "ts", "10 minutes", aggs,
+                        out, ckpt, watermark="5 minutes")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(watch)
+    run_windowed_stream(spark, watch, schema, "ts", "10 minutes", aggs,
+                        out, ckpt, watermark="5 minutes")
+    # flush batch: a much-later row advances the watermark past b1+b2
+    spark.createDataFrame([(t0 + dt.timedelta(hours=3), 0.0)], schema) \
+        .coalesce(1).write.mode("append").parquet(watch)
+    run_windowed_stream(spark, watch, schema, "ts", "10 minutes", aggs,
+                        out, ckpt, watermark="5 minutes")
+
+    got = {
+        (r["window_start"], r["n"], r["total"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = windowed_agg(
+        spark.createDataFrame(rows1 + rows2, schema), "ts", "10 minutes", aggs
+    )
+    expect = {(r["window_start"], r["n"], r["total"]) for r in batch.collect()}
+    assert expect  # every b1+b2 window is now finalized
+    assert expect <= got
+
+
+def test_windowed_stream_drops_late_rows(spark):
+    """A row older than the checkpointed watermark must be dropped
+    (bounded-lateness state contract), not merged into its window."""
+    import datetime as dt
+
+    from solr_spark.streaming import run_windowed_stream
+
+    base = f"{BASE}/late"
+    shutil.rmtree(base, ignore_errors=True)
+    watch, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(watch)
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    schema = "ts timestamp, value double"
+    aggs = {"n": F.count("*")}
+    # run 1: t=0 plus t=120 → checkpointed watermark = 115 min
+    rows1 = [(t0, 1.0), (t0 + dt.timedelta(minutes=120), 1.0)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(watch)
+    run_windowed_stream(spark, watch, schema, "ts", "10 minutes", aggs,
+                        out, ckpt, watermark="5 minutes")
+    # run 2: a VERY late duplicate of t=0 (beyond the 5-minute bound) —
+    # must be dropped before aggregation, so the t=0 window emits n=1
+    rows2 = [(t0, 1.0), (t0 + dt.timedelta(minutes=130), 1.0)]
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(watch)
+    run_windowed_stream(spark, watch, schema, "ts", "10 minutes", aggs,
+                        out, ckpt, watermark="5 minutes")
+    t0_rows = [r for r in spark.read.parquet(out).collect() if r["window_start"] == t0]
+    assert len(t0_rows) == 1 and t0_rows[0]["n"] == 1
