@@ -408,6 +408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src3 spark", tie=0.1,
         )
     )
+    q["igain_terms_en"] = lambda s, d: qx.igain_terms(
+        _engine(s, d), F.col("lang") == "en", min_df=5, n=10
+    )
     q["graph_terms_filter"] = lambda s, d: qx.graph_terms_docs(
         _engine(s, d), "spark merge table", max_doc_freq=600
     )
@@ -977,6 +980,32 @@ ORDER BY CAST(score_raw AS REAL) DESC, sc.doc_id ASC LIMIT 10
     from solr_spark.analysis import CODE_STEM_CHAIN
     from solr_spark.oracle_sql import edismax_full_sql, edismax_pf_sql
 
+    o["igain_terms_en"] = f"""
+WITH {_prelude()},
+lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(pos) AS DOUBLE) AS n_pos FROM lab),
+pt AS (
+  SELECT t.tok AS term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(l.pos) AS BIGINT) AS df_pos
+  FROM (SELECT DISTINCT doc_id, tok FROM toks) t JOIN lab l USING (doc_id)
+  GROUP BY t.tok HAVING count(*) >= 5)
+SELECT term, df, df_pos,
+       ROUND(
+         (CASE WHEN n_pos/n_docs > 0 THEN -(n_pos/n_docs)*log2(n_pos/n_docs) ELSE 0 END
+          + CASE WHEN 1.0 - n_pos/n_docs > 0 THEN -(1.0 - n_pos/n_docs)*log2(1.0 - n_pos/n_docs) ELSE 0 END)
+         - ( (df/n_docs) *
+               (CASE WHEN df_pos*1.0/df > 0 THEN -(df_pos*1.0/df)*log2(df_pos*1.0/df) ELSE 0 END
+                + CASE WHEN 1.0 - df_pos*1.0/df > 0 THEN -(1.0 - df_pos*1.0/df)*log2(1.0 - df_pos*1.0/df) ELSE 0 END)
+           + CASE WHEN n_docs > df THEN
+               ((n_docs - df)/n_docs) *
+               (CASE WHEN (n_pos - df_pos)/(n_docs - df) > 0
+                     THEN -((n_pos - df_pos)/(n_docs - df))*log2((n_pos - df_pos)/(n_docs - df)) ELSE 0 END
+                + CASE WHEN 1.0 - (n_pos - df_pos)/(n_docs - df) > 0
+                     THEN -(1.0 - (n_pos - df_pos)/(n_docs - df))*log2(1.0 - (n_pos - df_pos)/(n_docs - df)) ELSE 0 END)
+             ELSE 0 END ), 6) AS ig
+FROM pt CROSS JOIN tot
+ORDER BY ig DESC, term ASC LIMIT 10
+"""
     o["graph_terms_filter"] = f"""
 WITH {_prelude()},
 eligible AS (

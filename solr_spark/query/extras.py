@@ -533,6 +533,58 @@ def term_vector(engine: SearchEngine, doc_id: int) -> DataFrame:
     )
 
 
+def igain_terms(
+    engine: SearchEngine, positive: Column, min_df: int = 5, n: int = 10
+) -> DataFrame:
+    """Information-gain term ranking (``IGainTermsQParserPlugin.java`` —
+    the feature-selection half of Solr's classify/train streams): for
+    each term t over the doc set with a binary label ``positive``
+    (a Column over the doc registry),
+
+        IG(t) = H(C) − [P(t)·H(C|t) + P(¬t)·H(C|¬t)]
+
+    from four counts (N, n_pos, df_t, df_t_pos) — one distinct-postings
+    aggregation joined to the label, all JVM expressions (log2 with
+    0·log0 = 0 guards). Returns (term, df, df_pos, ig) ranked
+    (ig desc, term asc), df ≥ min_df."""
+    docs = engine.index.docs.select("doc_id", positive.cast("int").alias("pos"))
+    totals = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("pos").cast("double").alias("n_pos"),
+    )
+    per_term = (
+        engine.index.segments.select("term", "doc_id")
+        .distinct()
+        .join(docs, "doc_id")
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("pos").cast("long").alias("df_pos"),
+        )
+        .where(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(totals))
+    )
+
+    def h(p: Column) -> Column:
+        def plog(x: Column) -> Column:
+            return F.when(x > 0, x * F.log2(x)).otherwise(F.lit(0.0))
+
+        return -(plog(p) + plog(1.0 - p))
+
+    n_d, n_p = F.col("n_docs"), F.col("n_pos")
+    df_c, a = F.col("df").cast("double"), F.col("df_pos").cast("double")
+    c = n_p - a
+    ig = h(n_p / n_d) - (
+        (df_c / n_d) * h(a / df_c)
+        + ((n_d - df_c) / n_d) * F.when(n_d > df_c, h(c / (n_d - df_c))).otherwise(F.lit(0.0))
+    )
+    return (
+        per_term.select("term", "df", "df_pos", F.round(ig, 6).alias("ig"))
+        .orderBy(F.desc("ig"), F.asc("term"))
+        .limit(n)
+    )
+
+
 def significant_terms(
     engine: SearchEngine, fg_term: str, min_fg_df: int = 2, n: int = 10
 ) -> DataFrame:
