@@ -315,6 +315,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["complex_phrase_prefix"] = complex_phrase_q
+
+    def near_q(s, d):
+        from solr_spark.query.phrase import near_topk
+
+        return _rounded(near_topk(_engine(s, d), ["stream", "batch"], window=3, k=10))
+
+    q["surround_near_unordered"] = near_q
     # lucene-syntax compiled queries: fq filter + prohibited clause; AND
     q["lucene_filter_prohibit"] = lambda s, d: _rounded(
         execute_query(_engine(s, d), "lang:en spark merge -batch", k=10)
@@ -633,6 +640,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["facet_lang_sub_source_stats"] = facet_nested_q
 
+    def facet_queries_q(s, d):
+        from solr_spark.operators.relational import facet_queries
+
+        return facet_queries(
+            _read(s, d, "documents"),
+            {
+                "long_docs": F.col("n_chars") > 400,
+                "short_en": (F.col("n_chars") <= 100) & (F.col("lang") == "en"),
+                "zh_docs": F.col("lang") == "zh",
+            },
+        )
+
+    q["facet_query_counts"] = facet_queries_q
+
     q["facet_heatmap_events"] = lambda s, d: facet_heatmap(
         _read(s, d, "events").withColumn("hour", F.hour("ts").cast("double")),
         "value", "hour", 0.0, 500.0, 50.0, 0.0, 24.0, 6.0,
@@ -886,6 +907,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, source, count(*) AS count FROM documents
         GROUP BY lang, source ORDER BY lang, source LIMIT 1000
     """
+    o["facet_query_counts"] = """
+        SELECT 'long_docs' AS facet, CAST(count(CASE WHEN n_chars > 400 THEN 1 END) AS BIGINT) AS count FROM documents
+        UNION ALL
+        SELECT 'short_en', CAST(count(CASE WHEN n_chars <= 100 AND lang = 'en' THEN 1 END) AS BIGINT) FROM documents
+        UNION ALL
+        SELECT 'zh_docs', CAST(count(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) FROM documents
+        ORDER BY facet
+    """
     o["facet_lang_sub_source_stats"] = """
         SELECT p.parent, p.parent_count, c.child, c.child_count, c.avg_n_chars
         FROM (SELECT lang AS parent, CAST(count(*) AS BIGINT) AS parent_count
@@ -920,6 +949,9 @@ def oracle_sql() -> dict[str, str]:
     from solr_spark.oracle_sql import complex_phrase_sql
 
     o["complex_phrase_prefix"] = complex_phrase_sql(["bat*", "stream"])
+    from solr_spark.oracle_sql import near_topk_sql
+
+    o["surround_near_unordered"] = near_topk_sql(["stream", "batch"], window=3)
     from solr_spark.oracle_sql import _prelude, _scored
 
     o["lucene_filter_prohibit"] = f"""

@@ -91,6 +91,25 @@ def facet_range(
     )
 
 
+def facet_queries(df: DataFrame, named: dict[str, Column]) -> DataFrame:
+    """JSON Facet API ``query`` facets / ``facet.query`` (named filter
+    counts, ``search/facet/FacetQuery.java``): one pass computes every
+    named predicate's count via conditional aggregation — no per-facet
+    re-scan. Returns (facet, count) ordered by facet name."""
+    aggs = [
+        F.count(F.when(cond, 1)).cast("long").alias(name)
+        for name, cond in sorted(named.items())
+    ]
+    row = df.agg(*aggs)
+    pairs = [
+        F.struct(F.lit(name).alias("facet"), F.col(name).alias("count"))
+        for name in sorted(named)
+    ]
+    return row.select(F.explode(F.array(*pairs)).alias("x")).select(
+        "x.facet", "x.count"
+    )
+
+
 def json_facet_nested(
     df: DataFrame,
     parent_field: str,

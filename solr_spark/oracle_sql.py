@@ -435,6 +435,44 @@ FROM sc JOIN documents USING (doc_id)
 ORDER BY {boosted} DESC, sc.doc_id ASC LIMIT {k}"""
 
 
+def near_topk_sql(
+    words: list[str], window: int, k: int = 10, chain: AnalyzerChain = CODE_CHAIN
+) -> str:
+    """Unordered-near oracle: pf = DISTINCT anchors (any term occurrence)
+    whose [p, p+window] contains every term (mirrors _make_near_verify)."""
+    terms = [t for w in words for t in chain.tokenize_py(w)]
+    uniq = sorted(set(terms))
+    esc = [t.replace("'", "''") for t in uniq]
+    all_list = ", ".join(f"'{t}'" for t in esc)
+    joins = "\n".join(
+        f"  JOIN pos q{i} ON q{i}.doc_id = p0.doc_id AND q{i}.tok = '{t}' "
+        f"AND q{i}.pos BETWEEN p0.pos AND p0.pos + {window}"
+        for i, t in enumerate(esc)
+    )
+    idf_parts = " + ".join(
+        f"ln(1.0 + (s.n_docs - (SELECT count(DISTINCT doc_id) FROM toks WHERE tok = '{t.replace(chr(39), chr(39)*2)}') + 0.5)"
+        f" / ((SELECT count(DISTINCT doc_id) FROM toks WHERE tok = '{t.replace(chr(39), chr(39)*2)}') + 0.5))"
+        for t in terms
+    )
+    return f"""WITH {_prelude(chain)},
+pos AS (
+  SELECT doc_id, unnest(tt) AS tok, generate_subscripts(tt, 1) AS pos
+  FROM (SELECT doc_id, {chain.duckdb_tokens_expr('text')} AS tt FROM documents)),
+pf AS (
+  SELECT p0.doc_id, count(DISTINCT p0.pos) AS pf
+  FROM pos p0
+{joins}
+  WHERE p0.tok IN ({all_list})
+  GROUP BY p0.doc_id)
+SELECT pf.doc_id,
+       ROUND(CAST(CAST(({idf_parts})
+             * pf.pf / (pf.pf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl)) AS REAL) AS DOUBLE), 4) AS score
+FROM pf JOIN dl l USING (doc_id) CROSS JOIN stats s
+ORDER BY CAST(({idf_parts}) * pf.pf / (pf.pf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl)) AS REAL) DESC,
+         pf.doc_id ASC
+LIMIT {k}"""
+
+
 def complex_phrase_sql(
     words: list[str], slop: int = 0, k: int = 10, chain: AnalyzerChain = CODE_CHAIN
 ) -> str:

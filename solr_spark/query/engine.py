@@ -129,9 +129,19 @@ class SearchEngine:
         uniq = sorted(mult)
         rows = (
             self.index.term_dict.where(F.col("term").isin(uniq))
-            .select("term", "df", "idf")
+            .select(
+                "term", "df", "idf",
+                # piggyback the bucket hash on the same collect — saves
+                # _blocks_for its own driver job on every fresh query
+                F.pmod(F.xxhash64("term"), F.lit(self.config.n_term_buckets))
+                .cast("int")
+                .alias("b"),
+            )
             .collect()
         )
+        cache = self.__dict__.setdefault("_bucket_cache", {})
+        for r in rows:
+            cache[r["term"]] = r["b"]
         by_term = {r["term"]: r for r in rows}
         return [
             TermStats(t, by_term[t]["df"], by_term[t]["idf"], float(mult[t]))

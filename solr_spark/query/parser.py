@@ -269,15 +269,20 @@ class _Parser:
                 continue
             if kind == "and":
                 self.next()
-                # bind previous clause and the next unary into a MUST group
+                # bind previous clause and the next unary into a MUST group;
+                # a dangling AND (no right operand) degrades to its operand
                 node = self.parse_unary()
+                if node is None:
+                    continue
                 if clauses:
                     prev_occ, prev = clauses.pop()
                     grp = BoolQ(must=[prev, node])
                     while self.peek() and self.peek()[0] == "and":
                         self.next()
-                        grp.must.append(self.parse_unary())
-                    clauses.append((prev_occ if prev_occ != "should" else "should", grp))
+                        nxt = self.parse_unary()
+                        if nxt is not None:
+                            grp.must.append(nxt)
+                    clauses.append((prev_occ, grp))
                 else:
                     clauses.append(("should", node))
                 continue

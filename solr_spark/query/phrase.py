@@ -182,6 +182,86 @@ def phrase_match_pf(engine: SearchEngine, phrase: str, slop: int = 0) -> DataFra
     )
 
 
+def _make_near_verify(terms: list[str], window: int) -> Callable:
+    """Unordered-near verifier: pf = #distinct anchor positions p (an
+    occurrence of ANY query term) whose window [p, p+window] contains
+    ≥1 occurrence of EVERY query term, per doc. Same flat-key
+    vectorization as the ordered chain (searchsorted per term)."""
+    uniq = sorted(set(terms))
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            yield _EMPTY_PF
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        doc = pdf["doc_id"].to_numpy(np.int64)
+        pos = pdf["pos"].to_numpy(np.int64)
+        tok = pdf["term"].to_numpy()
+        shift = int(pos.max()) + window + 2
+        assert doc.max() < (2**62) // shift, "doc_id·shift would overflow int64"
+        key = doc * shift + pos
+        by_term = {t: np.sort(key[tok == t]) for t in uniq}
+        anchors = np.unique(key)
+        anchor_doc = anchors // shift
+        ok = np.ones(len(anchors), dtype=bool)
+        for t in uniq:
+            keys_t = by_term[t]
+            idx = np.searchsorted(keys_t, anchors, side="left")
+            valid = idx < len(keys_t)
+            cand = keys_t[np.minimum(idx, len(keys_t) - 1)]
+            ok &= valid & (cand <= anchors + window) & ((cand // shift) == anchor_doc)
+        hits = anchors[ok]
+        if len(hits) == 0:
+            yield _EMPTY_PF
+            return
+        docs_u, counts = np.unique(hits // shift, return_counts=True)
+        out = pd.DataFrame({"doc_id": docs_u, "pf": counts.astype(np.int32)})
+        dl_map = pdf.drop_duplicates("doc_id")[["doc_id", "dl"]]
+        yield out.merge(dl_map, on="doc_id", how="left").astype(
+            {"doc_id": "int64", "pf": "int32", "dl": "int32"}
+        )
+
+    return verify
+
+
+def near_topk(engine: SearchEngine, words: list[str], window: int, k: int = 10) -> DataFrame:
+    """Surround ``N`` (unordered near) operator
+    (``SurroundQParserPlugin.java`` → Lucene surround ``OrderedNearQuery``
+    / ``UnorderedNearQuery``): all words within a ``window`` of token
+    positions, any order. pf = distinct anchor positions (see
+    :func:`_make_near_verify`); scoring = the phrase shape (idf summed
+    per term instance, tf := pf)."""
+    if not engine.config.with_positions:
+        raise ValueError("index built without positions; rebuild with with_positions=True")
+    empty = engine.spark.createDataFrame([], "doc_id long, score float")
+    terms = [t for w in words for t in engine.analyze_query(w)]
+    if not terms:
+        return empty
+    uniq = sorted(set(terms))
+    stats = engine._term_stats(uniq)
+    if len(stats) < len(uniq):
+        return empty
+    idf_by_term = {s.term: s.idf for s in stats}
+    idf_total = float(sum(idf_by_term[t] for t in terms))
+    blocks = engine._blocks_for(uniq)
+    flat = blocks.select("term", "doc_ids_enc", "tfs_enc", "dls_enc", "pos_enc").mapInPandas(
+        _decode_pos_flat_udf(), schema=_POS_FLAT_SCHEMA
+    )
+    pf_df = flat.repartition("doc_id").mapInPandas(
+        _make_near_verify(terms, window), schema=_PF_SCHEMA
+    )
+    pf, dl = F.col("pf").cast("double"), F.col("dl").cast("double")
+    score = F.lit(idf_total) * pf / (
+        pf + F.lit(engine.k1) * (F.lit(1.0 - engine.b) + F.lit(engine.b) * dl / F.lit(engine.avgdl))
+    )
+    return (
+        pf_df.select("doc_id", score.cast("float").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def complex_phrase_pf(
     engine: SearchEngine, phrase: str, slop: int = 0, max_expansions: int = 50
 ) -> tuple[DataFrame | None, float]:

@@ -125,3 +125,38 @@ def test_phrase_requires_adjacency(engine, oracle_corpus):
     exp_rev = {d for d, _ in _python_phrase_topk(oracle_corpus, "os import", engine.k1, engine.b, k=10**6)}
     assert rev == exp_rev
     assert fwd  # the corpus plants "import os" lines in python docs
+
+
+def test_near_unordered_matches_python_oracle(engine, oracle_corpus):
+    from solr_spark.query.phrase import near_topk
+
+    words, window = ["os", "import"], 2
+    # python oracle: anchors = any occurrence of any term whose
+    # [p, p+window] holds every term
+    exp = {}
+    for _, row in oracle_corpus.iterrows():
+        toks = CODE_CHAIN.tokenize_py(row["content"])
+        pos = {t: [i for i, x in enumerate(toks) if x == t] for t in set(words)}
+        if any(not pos[t] for t in pos):
+            continue
+        anchors = sorted({p for t in pos for p in pos[t]})
+        pf = sum(
+            1 for a in anchors
+            if all(any(a <= q <= a + window for q in pos[t]) for t in pos)
+        )
+        if pf:
+            exp[row["doc_id"]] = pf
+    got_df = near_topk(engine, words, window=window, k=10**6)
+    # recompute pf from the verifier directly for exact comparison
+    from solr_spark.query.phrase import (
+        _POS_FLAT_SCHEMA, _PF_SCHEMA, _decode_pos_flat_udf, _make_near_verify,
+    )
+    uniq = sorted(set(words))
+    blocks = engine._blocks_for(uniq)
+    flat = blocks.select("term", "doc_ids_enc", "tfs_enc", "dls_enc", "pos_enc").mapInPandas(
+        _decode_pos_flat_udf(), schema=_POS_FLAT_SCHEMA)
+    pf_df = flat.repartition("doc_id").mapInPandas(
+        _make_near_verify(words, window), schema=_PF_SCHEMA)
+    got = {r["doc_id"]: r["pf"] for r in pf_df.collect()}
+    assert got == exp
+    assert got_df.count() == min(len(exp), 10**6)

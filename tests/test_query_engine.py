@@ -216,3 +216,34 @@ def test_execute_phrase_clause_is_positional(engine):
 
 def test_execute_pure_negative_is_empty(engine):
     assert execute_query(engine, "-server", k=10).count() == 0
+
+
+def test_execute_query_edge_cases(engine):
+    """Grammar robustness: empty / whitespace / unbalanced parens /
+    operator-only / filter-only queries must not raise, and must have
+    defensible semantics."""
+    assert execute_query(engine, "", k=5).count() == 0
+    assert execute_query(engine, "   ", k=5).count() == 0
+    # unbalanced parens: parser closes the group at end of input
+    a = {r["doc_id"] for r in execute_query(engine, "(server client", k=10**6).collect()}
+    b = {r["doc_id"] for r in execute_query(engine, "(server client)", k=10**6).collect()}
+    assert a == b
+    # dangling operators degrade to their operand
+    c = {r["doc_id"] for r in execute_query(engine, "server AND", k=10**6).collect()}
+    d = {r["doc_id"] for r in execute_query(engine, "server", k=10**6).collect()}
+    assert c == d
+    # filter-only query: matches the filtered registry with score 0
+    n = execute_query(engine, "lang:python", k=10**6).count()
+    exp = engine.index.docs.where(F_col("lang") == "python").count()
+    assert n == exp
+
+
+def test_execute_query_double_negation_and_nested_not(engine):
+    base = {r["doc_id"] for r in execute_query(engine, "server", k=10**6).collect()}
+    minus = {r["doc_id"] for r in execute_query(engine, "server -client", k=10**6).collect()}
+    client = {r["doc_id"] for r in execute_query(engine, "client", k=10**6).collect()}
+    assert minus == base - client
+    grp = {r["doc_id"] for r in
+           execute_query(engine, "server -(client OR parse)", k=10**6).collect()}
+    parse = {r["doc_id"] for r in execute_query(engine, "parse", k=10**6).collect()}
+    assert grp == base - (client | parse)

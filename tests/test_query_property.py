@@ -1,0 +1,74 @@
+"""Property-based grammar test: random boolean trees rendered to lucene
+syntax must execute with exact set-algebra semantics (hypothesis-driven,
+the reference's randomized-query test style)."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from solr_spark.plans import execute_query
+from solr_spark.query.engine import SearchEngine
+
+TERMS = ["server", "client", "parse", "json"]
+
+
+@pytest.fixture(scope="module")
+def qengine(index):
+    return SearchEngine(index)
+
+
+@pytest.fixture(scope="module")
+def docsets(qengine):
+    return {t: {r["doc_id"] for r in qengine.topk(t, k=10**6).collect()} for t in TERMS}
+
+
+def trees():
+    leaf = st.sampled_from(TERMS).map(lambda t: ("leaf", t))
+
+    def extend(children):
+        return st.one_of(
+            st.tuples(st.just("and"), children, children),
+            st.tuples(st.just("or"), children, children),
+            st.tuples(st.just("diff"), children, children),
+        )
+
+    return st.recursive(leaf, extend, max_leaves=4)
+
+
+def render(node) -> str:
+    kind = node[0]
+    if kind == "leaf":
+        return node[1]
+    _, l, r = node
+    if kind == "and":
+        return f"({render(l)} AND {render(r)})"
+    if kind == "or":
+        return f"({render(l)} OR {render(r)})"
+    return f"({render(l)} -({render(r)}))"
+
+
+def evaluate(node, docsets) -> set:
+    kind = node[0]
+    if kind == "leaf":
+        return docsets[node[1]]
+    _, l, r = node
+    a, b = evaluate(l, docsets), evaluate(r, docsets)
+    if kind == "and":
+        return a & b
+    if kind == "or":
+        return a | b
+    return a - b
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tree=trees())
+def test_random_boolean_tree_set_semantics(tree, qengine, docsets):
+    q = render(tree)
+    expect = evaluate(tree, docsets)
+    got = {r["doc_id"] for r in execute_query(qengine, q, k=10**6).collect()}
+    assert got == expect, q
