@@ -415,6 +415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src3 spark", tie=0.1,
         )
     )
+    q["maxscore_or"] = lambda s, d: _rounded(
+        qx.maxscore_topk(_engine(s, d), "spark merge table")
+    )
     q["igain_terms_en"] = lambda s, d: qx.igain_terms(
         _engine(s, d), F.col("lang") == "en", min_df=5, n=10
     )
@@ -952,6 +955,8 @@ def oracle_sql() -> dict[str, str]:
     from solr_spark.oracle_sql import near_topk_sql
 
     o["surround_near_unordered"] = near_topk_sql(["stream", "batch"], window=3)
+    from solr_spark.oracle_sql import B as _B
+    from solr_spark.oracle_sql import K1 as _K1
     from solr_spark.oracle_sql import _prelude, _scored
 
     o["lucene_filter_prohibit"] = f"""
@@ -1012,6 +1017,21 @@ ORDER BY CAST(score_raw AS REAL) DESC, sc.doc_id ASC LIMIT 10
     from solr_spark.analysis import CODE_STEM_CHAIN
     from solr_spark.oracle_sql import edismax_full_sql, edismax_pf_sql
 
+    o["maxscore_or"] = f"""
+WITH {_prelude()},
+sc_tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ('merge', 'spark', 'table') GROUP BY 1, 2),
+sc_df AS (SELECT tok, count(*) AS df FROM sc_tf GROUP BY tok),
+sc AS (
+  SELECT t.doc_id,
+         MAX( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf / (t.tf + {_K1} * (1.0 - {_B} + {_B} * l.dl / s.avgdl)) ) AS score_raw
+  FROM sc_tf t JOIN sc_df d USING (tok)
+  JOIN dl l USING (doc_id) CROSS JOIN stats s
+  GROUP BY t.doc_id)
+SELECT doc_id, ROUND(CAST(CAST(score_raw AS REAL) AS DOUBLE), 4) AS score
+FROM sc ORDER BY CAST(score_raw AS REAL) DESC, doc_id ASC LIMIT 10
+"""
     o["igain_terms_en"] = f"""
 WITH {_prelude()},
 lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),

@@ -118,6 +118,30 @@ def synonym_topk(
     return engine.topk_from_stats(stats, k=k, mode="OR", prune=False)
 
 
+def maxscore_topk(engine: SearchEngine, query: str, k: int = 10) -> DataFrame:
+    """``{!maxscore}`` parser analog (``MaxScoreQParserPlugin.java``):
+    disjunction scored by the MAX per-term BM25 contribution instead of
+    the sum (DisjunctionMaxQuery with tiebreak 0). Same pruned decode as
+    the OR path; only the aggregate changes."""
+    from solr_spark.query.engine import _DECODED_SCHEMA, _decode_blocks_udf
+
+    stats = engine._term_stats(engine.analyze_query(query))
+    if not stats:
+        return engine.spark.createDataFrame([], "doc_id long, score float")
+    blocks = engine._blocks_for([s.term for s in stats])
+    decoded = blocks.select("term", "doc_ids_enc", "tfs_enc", "dls_enc").mapInPandas(
+        _decode_blocks_udf(), schema=_DECODED_SCHEMA
+    )
+    scored = engine._score_decoded(decoded, stats)
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.max("contrib").alias("score_raw"))
+        .select("doc_id", F.col("score_raw").cast("float").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def mm_topk(engine: SearchEngine, query: str, mm: int, k: int = 10) -> DataFrame:
     """edismax min-should-match: OR requiring ≥ mm distinct matched terms."""
     stats = engine._term_stats(engine.analyze_query(query))
