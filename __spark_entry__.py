@@ -504,6 +504,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["blockjoin_orders_lineitem"] = blockjoin_q
 
+    def unique_block_q(s, d):
+        from solr_spark.operators.relational import unique_block
+
+        return unique_block(_read(s, d, "lineitem"), "l_returnflag", "l_orderkey")
+
+    q["uniqueblock_lineitem"] = unique_block_q
+
     # --- sources/sinks + function-query scalars ---
     def csv_roundtrip(s, d):
         """CSV writer → CSV loader roundtrip preserves the table exactly
@@ -1170,6 +1177,11 @@ GROUP BY tok ORDER BY tok
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         WHERE l_quantity >= 45
         GROUP BY o_orderkey ORDER BY o_orderkey LIMIT 100
+    """
+    o["uniqueblock_lineitem"] = """
+        SELECT l_returnflag AS bucket, CAST(count(*) AS BIGINT) AS n_children,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_parents
+        FROM lineitem GROUP BY l_returnflag ORDER BY bucket LIMIT 100
     """
 
     # --- training-data pipeline oracles ---

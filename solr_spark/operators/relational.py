@@ -224,6 +224,25 @@ def relatedness_facet(
     )
 
 
+def unique_block(
+    children: DataFrame, facet_col: str, parent_key: str, limit: int = 100
+) -> DataFrame:
+    """JSON Facet ``uniqueBlock(_root_)`` agg (``search/facet/
+    UniqueBlockAgg.java``): per facet bucket of child documents, the
+    number of DISTINCT parent blocks represented — the parent-level
+    count a child-domain facet needs. One grouped exact countDistinct.
+    Returns (bucket, n_children, n_parents) ordered by bucket."""
+    return (
+        children.groupBy(F.col(facet_col).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_children"),
+            F.countDistinct(parent_key).cast("long").alias("n_parents"),
+        )
+        .orderBy("bucket")
+        .limit(limit)
+    )
+
+
 def block_join_parent(
     parents: DataFrame,
     children: DataFrame,
