@@ -139,9 +139,13 @@ def jaccard_for_pairs(
     Returns (doc_a, doc_b, jaccard ≥ threshold).
     """
     # the candidate plan is referenced three times below (two doc
-    # projections + the intersection join); persist so Catalyst reuses
-    # one materialization instead of replaying the LSH band join thrice
-    pairs = pairs.persist()
+    # projections + the intersection join); materialize once so Catalyst
+    # reuses it instead of replaying the LSH band join thrice. An eager
+    # localCheckpoint (not persist) so the blocks are reclaimed by the
+    # ContextCleaner when the plan is garbage-collected — a bare
+    # .persist() here leaked cached partitions across repeated
+    # minhash_neardup_pairs calls for the life of the session.
+    pairs = pairs.localCheckpoint(eager=True)
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))

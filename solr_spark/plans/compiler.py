@@ -95,7 +95,7 @@ def _meta_pred(engine: SearchEngine, fieldname: str, node) -> Column | None:
     def lit(v: str):
         return F.lit(float(v) if numeric else v)
 
-    if isinstance(node, TermQ):
+    if isinstance(node, (TermQ, PhraseQ)):
         return F.col(fieldname) == lit(node.text)
     if isinstance(node, RangeQ):
         cond = F.lit(True)
@@ -111,10 +111,25 @@ def _meta_pred(engine: SearchEngine, fieldname: str, node) -> Column | None:
 
 def _is_meta(engine: SearchEngine, node) -> bool:
     return (
-        isinstance(node, (TermQ, RangeQ))
+        isinstance(node, (TermQ, RangeQ, PhraseQ))
         and getattr(node, "field", None) not in (None, "text")
         and node.field in engine.index.docs.columns
     )
+
+
+def _check_field(engine: SearchEngine, node) -> None:
+    """Warn on a field name that is neither a doc-registry column nor the
+    default text field — the clause still scores against text (Solr's
+    lenient dynamic-field analog), but silently is worse than loudly."""
+    f = getattr(node, "field", None)
+    if f not in (None, "text") and f not in engine.index.docs.columns:
+        import warnings
+
+        warnings.warn(
+            f"unknown field '{f}': not a doc-registry column; "
+            "scoring the value against the default text field",
+            stacklevel=2,
+        )
 
 
 def _compile(ctx: _Ctx, node, boost: float):
@@ -150,6 +165,7 @@ def _compile(ctx: _Ctx, node, boost: float):
         return ("leaf", lid)
 
     if isinstance(node, TermQ):
+        _check_field(eng, node)
         toks = eng.analyze_query(node.text)
         if not toks:
             return _FALSE
@@ -164,6 +180,7 @@ def _compile(ctx: _Ctx, node, boost: float):
         return ("leaf", lid)
 
     if isinstance(node, PhraseQ):
+        _check_field(eng, node)
         toks = eng.analyze_query(node.text)
         if not toks:
             return _FALSE

@@ -128,6 +128,7 @@ class PhraseQ:
     text: str
     slop: int = 0
     boost: float = 1.0
+    field: str | None = None  # None = default text field
 
 
 @dataclass
@@ -276,13 +277,23 @@ class _Parser:
                     continue
                 if clauses:
                     prev_occ, prev = clauses.pop()
-                    grp = BoolQ(must=[prev, node])
+                    grp = BoolQ()
+                    occ = prev_occ
+                    if prev_occ == "must_not":
+                        # `NOT x AND y` — precedence NOT > AND: the negation
+                        # binds to x only, so x joins the group's must_not
+                        # and the group itself is a plain clause
+                        grp.must_not.append(prev)
+                        occ = "should"
+                    else:
+                        self._and_merge(grp, prev)
+                    self._and_merge(grp, node)
                     while self.peek() and self.peek()[0] == "and":
                         self.next()
                         nxt = self.parse_unary()
                         if nxt is not None:
-                            grp.must.append(nxt)
-                    clauses.append((prev_occ, grp))
+                            self._and_merge(grp, nxt)
+                    clauses.append((occ, grp))
                 else:
                     clauses.append(("should", node))
                 continue
@@ -352,9 +363,17 @@ class _Parser:
                 body, boost = _strip_boost(nval)
                 return _range_node(body, boost, fname)
             if nkind == "quoted":
+                # field:"a b" keeps quoted (phrase) semantics — the
+                # compiler maps metadata fields to equality filters and
+                # text-field phrases to the positional verifier
                 self.next()
                 body, boost = _strip_boost(nval)
-                return TermQ(body.strip('"'), field=fname, boost=boost)
+                slop = 0
+                m = re.search(r'"~(\d+)$', body)
+                if m:
+                    slop = int(m.group(1))
+                    body = body[: m.start() + 1]
+                return PhraseQ(body.strip('"'), slop=slop, boost=boost, field=fname)
             if nkind == "word":
                 self.next()
                 w, boost = _strip_boost(nval)
@@ -365,6 +384,18 @@ class _Parser:
             return _word_node(w, boost, None)
         # operators in primary position — treat their text as a term
         return TermQ(val)
+
+    @staticmethod
+    def _and_merge(grp: BoolQ, node) -> None:
+        """Add an AND operand to a MUST group: a pure-negative BoolQ
+        (produced by ``NOT x`` / ``-x``) hoists into the group's
+        must_not — Lucene's ``+a -b`` — instead of nesting as an
+        unsatisfiable MUST clause (the flattening _build_bool already
+        does at the top level)."""
+        if isinstance(node, BoolQ) and node.must_not and not (node.must or node.should):
+            grp.must_not.extend(node.must_not)
+        else:
+            grp.must.append(node)
 
     @staticmethod
     def _build_bool(clauses):

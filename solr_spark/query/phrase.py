@@ -127,7 +127,8 @@ def _make_verify(terms: list[str], slop: int) -> Callable:
         pos = pdf["pos"].to_numpy(np.int64)
         tok = pdf["term"].to_numpy()
         shift = int(pos.max()) + 2  # pos < shift, strictly
-        assert doc.max() < (2**62) // shift, "doc_id·shift would overflow int64"
+        if doc.max() >= (2**62) // shift:  # survives PYTHONOPTIMIZE (-O)
+            raise ValueError("doc_id·shift would overflow int64 key packing")
         key = doc * shift + pos
         # per-ordinal sorted key arrays (repeated phrase terms share one)
         by_term = {t: np.sort(key[tok == t]) for t in set(terms)}
@@ -199,7 +200,8 @@ def _make_near_verify(terms: list[str], window: int) -> Callable:
         pos = pdf["pos"].to_numpy(np.int64)
         tok = pdf["term"].to_numpy()
         shift = int(pos.max()) + window + 2
-        assert doc.max() < (2**62) // shift, "doc_id·shift would overflow int64"
+        if doc.max() >= (2**62) // shift:  # survives PYTHONOPTIMIZE (-O)
+            raise ValueError("doc_id·shift would overflow int64 key packing")
         key = doc * shift + pos
         by_term = {t: np.sort(key[tok == t]) for t in uniq}
         anchors = np.unique(key)

@@ -30,6 +30,8 @@ def trees():
             st.tuples(st.just("and"), children, children),
             st.tuples(st.just("or"), children, children),
             st.tuples(st.just("diff"), children, children),
+            st.tuples(st.just("andnot"), children, children),
+            st.tuples(st.just("notand"), children, children),
         )
 
     return st.recursive(leaf, extend, max_leaves=4)
@@ -44,6 +46,10 @@ def render(node) -> str:
         return f"({render(l)} AND {render(r)})"
     if kind == "or":
         return f"({render(l)} OR {render(r)})"
+    if kind == "andnot":  # difference via explicit AND NOT
+        return f"({render(l)} AND NOT ({render(r)}))"
+    if kind == "notand":  # NOT binds tighter than AND: (NOT r) AND l
+        return f"(NOT ({render(r)}) AND {render(l)})"
     return f"({render(l)} -({render(r)}))"
 
 
@@ -57,7 +63,9 @@ def evaluate(node, docsets) -> set:
         return a & b
     if kind == "or":
         return a | b
-    return a - b
+    if kind == "andnot" or kind == "diff":
+        return a - b
+    return a - b  # notand: l minus r (evaluate receives (l, r) swapped in render only)
 
 
 @settings(
