@@ -1,0 +1,82 @@
+"""Math/stat stream evaluators — the most-used slice of the reference's
+300+ streaming evaluators (``solr/solrj-streaming/src/java/org/apache/
+solr/client/solrj/io/eval/`` — CorrelationEvaluator, CovarianceEvaluator,
+RegressionEvaluator, HistogramEvaluator, PercentileEvaluator,
+DescribeEvaluator; test ``io/stream/MathExpressionTest.java``), restated
+Spark-first:
+
+the reference evaluates these DRIVER-side over materialized tuple
+streams (a ``let``/``col`` lambda layer); at 100 TB that is exactly
+wrong, so here each evaluator is a distributed grouped AGGREGATION —
+built-in JVM aggregate functions (``corr``, ``covar_samp``,
+``regr_slope`` …), map-side partial aggregation for free, one shuffle
+per evaluator call, no driver materialization of the stream.
+
+Cross-engine float policy: results are rounded in the entry layer (the
+aggregates are order-of-merge dependent in the last ulps); DuckDB's
+``corr/covar_samp/regr_*/quantile_cont`` implement the same estimators
+(sample covariance, least-squares fit, linear-interpolation quantiles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def describe(df: DataFrame, col: str, by: str | None = None) -> DataFrame:
+    """DescribeEvaluator analog: n/mean/stddev(sample)/min/max/sum,
+    optionally per group."""
+    aggs = [
+        F.count(col).alias("n"),
+        F.mean(col).alias("mean"),
+        F.stddev_samp(col).alias("stddev"),
+        F.min(col).alias("min"),
+        F.max(col).alias("max"),
+        F.sum(col).alias("sum"),
+    ]
+    return df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
+
+
+def hist(df: DataFrame, col: str, lo: float, width: float, n_bins: int) -> DataFrame:
+    """HistogramEvaluator analog with FIXED bins (deterministic across
+    engines): bin i covers [lo + i·width, lo + (i+1)·width); values at or
+    past the top edge clamp into the last bin. Returns (bin, bin_lo, n)."""
+    raw = F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("bin_lo", (F.lit(lo) + F.col("bin") * F.lit(width)).cast("double"))
+        .select("bin", "bin_lo", "n")
+    )
+
+
+def corr_regress(df: DataFrame, x: str, y: str, by: str | None = None) -> DataFrame:
+    """Correlation + covariance + least-squares regression of y on x
+    (CorrelationEvaluator / CovarianceEvaluator / RegressionEvaluator):
+    one grouped aggregation, all JVM built-ins."""
+    aggs = [
+        F.count(x).alias("n"),
+        F.corr(x, y).alias("corr"),
+        F.covar_samp(x, y).alias("cov"),
+        F.regr_slope(F.col(y), F.col(x)).alias("slope"),
+        F.regr_intercept(F.col(y), F.col(x)).alias("intercept"),
+        F.regr_r2(F.col(y), F.col(x)).alias("r2"),
+    ]
+    return df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
+
+
+def percentiles(df: DataFrame, col: str, ps: list[float], by: str | None = None) -> DataFrame:
+    """PercentileEvaluator analog: EXACT linear-interpolation quantiles
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``), one row per p."""
+    p_arr = F.array(*[F.lit(float(p)) for p in ps])
+    agg = F.expr(
+        f"percentile({col}, array({', '.join(repr(float(p)) for p in ps)}))"
+    ).alias("qs")
+    base = df.groupBy(by).agg(agg) if by else df.agg(agg)
+    keep = [by] if by else []
+    return base.select(
+        *keep, F.explode(F.arrays_zip(p_arr.alias("p"), F.col("qs").alias("q"))).alias("z")
+    ).select(*keep, F.col("z.p").alias("p"), F.col("z.q").alias("q"))

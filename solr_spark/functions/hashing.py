@@ -67,3 +67,64 @@ def minhash_perm(hash_col: Column, i: int) -> Column:
 def minhash_perm_sql(hash_expr: str, i: int) -> str:
     """i-th permuted hash — DuckDB form (identical BIGINT arithmetic)."""
     return f"(({MINHASH_A[i]} * (({hash_expr}) % {_X_MOD}) + {MINHASH_C[i]}) % {MINHASH_MOD})"
+
+
+# ---------------------------------------------------------------------------
+# XXH64 — driver-side mirror of Spark's ``xxhash64`` expression
+# ---------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxhash64_py(data: bytes | str, seed: int = 42) -> int:
+    """Standard XXH64 of ``data`` as a SIGNED int64 — bit-identical to
+    Spark's ``F.xxhash64(string_col)`` (default seed 42), verified by
+    tests/test_index_build.py. Lets the engine map term → term_bucket
+    (``pmod(xxhash64(term), B)``) on the driver without launching a
+    Spark job per fresh query term."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i <= n - 32:
+            v1 = (_rotl((v1 + int.from_bytes(data[i : i + 8], "little") * _P2) & _M64, 31) * _P1) & _M64
+            v2 = (_rotl((v2 + int.from_bytes(data[i + 8 : i + 16], "little") * _P2) & _M64, 31) * _P1) & _M64
+            v3 = (_rotl((v3 + int.from_bytes(data[i + 16 : i + 24], "little") * _P2) & _M64, 31) * _P1) & _M64
+            v4 = (_rotl((v4 + int.from_bytes(data[i + 24 : i + 32], "little") * _P2) & _M64, 31) * _P1) & _M64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = (((h ^ ((_rotl((v * _P2) & _M64, 31) * _P1) & _M64)) * _P1) + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        k = int.from_bytes(data[i : i + 8], "little")
+        h = (_rotl(h ^ ((_rotl((k * _P2) & _M64, 31) * _P1) & _M64), 27) * _P1 + _P4) & _M64
+        i += 8
+    if i <= n - 4:
+        h = (_rotl(h ^ ((int.from_bytes(data[i : i + 4], "little") * _P1) & _M64), 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _M64), 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h

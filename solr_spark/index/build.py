@@ -50,6 +50,7 @@ Scale notes (100 TB / 10^12 docs):
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import json
 import math
@@ -564,7 +565,14 @@ _STAGES = ["analyzed", "segments", "term_dict", "blocks"]
 
 
 class InvertedIndex:
-    """Handle to a built index directory (docs / term_dict / blocks)."""
+    """Handle to a built index directory (docs / term_dict / blocks).
+
+    A handle is a SNAPSHOT: the stage DataFrames are memoized on first
+    access (``spark.read.parquet`` re-lists files and re-reads footers —
+    a driver job per access that showed up as ~2 extra jobs per query in
+    the r2 bench regression). After an incremental commit rewrites the
+    directory, use the fresh handle the committer returns.
+    """
 
     def __init__(self, spark: SparkSession, out_dir: str):
         self.spark = spark
@@ -573,7 +581,7 @@ class InvertedIndex:
             self.meta = json.load(f)
         self.config = IndexConfig(**self.meta["config"])
 
-    @property
+    @functools.cached_property
     def docs(self) -> DataFrame:
         """Doc registry (no tokens — Parquet column pruning keeps it
         cheap). The incremental indexer's ``batch=<id>`` partition column
@@ -584,17 +592,23 @@ class InvertedIndex:
             .drop("batch")
         )
 
-    @property
+    @functools.cached_property
     def term_dict(self) -> DataFrame:
         return self.spark.read.parquet(_stage_dir(self.dir, "term_dict"))
 
-    @property
+    @functools.cached_property
     def blocks(self) -> DataFrame:
         return self.spark.read.parquet(_stage_dir(self.dir, "blocks"))
 
     @property
     def segments(self) -> DataFrame:
         return self.spark.read.parquet(_stage_dir(self.dir, "segments"))
+
+    def refresh(self) -> "InvertedIndex":
+        """Fresh snapshot handle (re-reads meta + file listings) — use
+        after the directory was rewritten outside an incremental commit
+        (commits already return a fresh handle)."""
+        return InvertedIndex(self.spark, self.dir)
 
     def manifests(self) -> dict[str, dict]:
         out = {}

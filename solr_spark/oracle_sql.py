@@ -249,6 +249,101 @@ ORDER BY id_a, id_b
 """.strip()
 
 
+def _arr_lit(vec) -> str:
+    """DuckDB DOUBLE[] literal that round-trips Python float64 exactly."""
+    return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+
+def embedding_lsh_sql(threshold: float, max_hamming: int = 1) -> str:
+    """Oracle for the SCALE-path embedding near-dup entry: the same
+    hyperplane-sign LSH banding as dedup.embedding_lsh_pairs (pigeonhole
+    bands over the sign signature → candidate pairs → exact cosine on
+    candidates only), reproduced in SQL with the frozen plane literals."""
+    from solr_spark.dedup import EMB_PLANES
+
+    n_planes = len(EMB_PLANES)
+    sig_terms = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_arr_lit(p)}) > 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(EMB_PLANES)
+    )
+    k = max_hamming + 1
+    width = n_planes // k
+    band_selects = []
+    for bnd in range(k):
+        lo = bnd * width
+        w = n_planes - lo if bnd == k - 1 else width
+        band_selects.append(
+            f"SELECT vec_id, {bnd} AS band_no, "
+            f"(simhash // {1 << lo}) % {1 << w} AS band_bits FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, ({sig_terms}) AS simhash FROM e),
+ex AS ({bands}),
+cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         FROM ex x JOIN ex y
+           ON x.band_no = y.band_no AND x.band_bits = y.band_bits
+          AND x.vec_id < y.vec_id),
+pair AS (SELECT c.id_a, c.id_b, {_COS} AS cosine
+         FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b)
+SELECT id_a, id_b, ROUND(cosine, 4) AS cosine
+FROM pair WHERE cosine >= {threshold}
+ORDER BY id_a, id_b
+""".strip()
+
+
+def ann_ivf_sql(query_id: int, k: int = 10, n_probe: int = 4) -> str:
+    """Oracle for the frozen-codebook IVF entry: identical assignment
+    (argmax of dot − ‖c‖²/2, first-index tie-break) and probe selection
+    (top n_probe lists by query score, list_no asc tie-break)."""
+    from solr_spark.similarity import IVF_FROZEN_CENTROIDS as C
+
+    score_exprs = [
+        f"list_dot_product({{v}}, {_arr_lit(c)}) - {repr(float(0.5 * (c * c).sum()))}"
+        for c in C
+    ]
+    vec_scores = "[" + ", ".join(s.format(v="v") for s in score_exprs) + "]"
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {i} AS list_no, {s.format(v='qv')} AS s FROM q"
+        for i, s in enumerate(score_exprs)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_id}),
+asn AS (SELECT vec_id, v,
+        list_indexof({vec_scores}, list_aggregate({vec_scores}, 'max')) - 1 AS list_id
+        FROM e),
+probes AS (SELECT list_no FROM ({probe_rows}) ORDER BY s DESC, list_no ASC LIMIT {n_probe})
+SELECT asn.vec_id AS id,
+       ROUND(list_dot_product(asn.v, q.qv) /
+             (sqrt(list_dot_product(asn.v, asn.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+FROM asn, q
+WHERE asn.list_id IN (SELECT list_no FROM probes)
+ORDER BY list_dot_product(asn.v, q.qv) /
+         (sqrt(list_dot_product(asn.v, asn.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+         asn.vec_id ASC
+LIMIT {k}
+""".strip()
+
+
+def vector_similarity_sql(query_id: int, threshold: float) -> str:
+    """Oracle for the vectorSimilarity threshold surface: all vectors
+    with cosine ≥ threshold, ranked (cosine desc, id asc)."""
+    cos = (
+        "list_dot_product(e.v, q.qv) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_id})
+SELECT e.vec_id AS id, ROUND({cos}, 4) AS cosine
+FROM e, q
+WHERE {cos} >= {threshold}
+ORDER BY {cos} DESC, e.vec_id ASC
+""".strip()
+
+
 def ann_topk_sql(query_id: int, k: int = 10) -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

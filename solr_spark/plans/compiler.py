@@ -234,6 +234,21 @@ def _compile(ctx: _Ctx, node, boost: float):
     raise TypeError(f"unknown AST node {type(node).__name__}")
 
 
+def _collect_leaf_terms(engine: SearchEngine, node, out: list[str]) -> None:
+    if isinstance(node, BoolQ):
+        for c in (*node.should, *node.must, *node.must_not):
+            _collect_leaf_terms(engine, c, out)
+    elif isinstance(node, (TermQ, PhraseQ)) and not _is_meta(engine, node):
+        out.extend(engine.analyze_query(node.text))
+
+
+def _prefetch_stats(engine: SearchEngine, ast) -> None:
+    terms: list[str] = []
+    _collect_leaf_terms(engine, ast, terms)
+    if terms:
+        engine._term_stats(sorted(set(terms)))
+
+
 def _spec_to_column(spec, flags: Column) -> Column:
     kind = spec[0]
     if kind == "true":
@@ -272,6 +287,11 @@ def execute_query(
     ast = parse_lucene(query, default_mode)
     if not isinstance(ast, BoolQ):
         ast = BoolQ(should=[ast])
+
+    # prefetch term stats for every text leaf in ONE driver action — the
+    # per-leaf _term_stats calls below then hit the engine's memo instead
+    # of each paying their own collect (profiled: 4 leaves = 4 jobs)
+    _prefetch_stats(engine, ast)
 
     ctx = _Ctx(engine, max_expansions, [], [], [])
     spec = _compile(ctx, ast, 1.0)

@@ -159,3 +159,23 @@ def test_parallelism_invariance(spark, index, test_config, tmp_path):
     assert list(a["term"]) == list(b["term"])
     assert [bytes(x) for x in a["doc_ids_enc"]] == [bytes(x) for x in b["doc_ids_enc"]]
     assert [bytes(x) for x in a["tfs_enc"]] == [bytes(x) for x in b["tfs_enc"]]
+
+
+def test_xxhash64_py_matches_spark(spark):
+    """The driver-side XXH64 mirror must be bit-identical to Spark's
+    xxhash64 expression (term → bucket routing depends on it)."""
+    from pyspark.sql import functions as F
+
+    from solr_spark.functions.hashing import xxhash64_py
+
+    terms = ["import", "def", "", "a", "x" * 31, "y" * 32, "z" * 100,
+             "getUserName", "längër-ünïcode-ßtring", "snake_case_name"]
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select("term", F.xxhash64("term").alias("h"),
+                F.pmod(F.xxhash64("term"), F.lit(8)).cast("int").alias("b"))
+        .collect()
+    )
+    for r in rows:
+        assert xxhash64_py(r["term"]) == r["h"], r["term"]
+        assert xxhash64_py(r["term"]) % 8 == r["b"], r["term"]

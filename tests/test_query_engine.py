@@ -71,40 +71,69 @@ def test_full_query_set_rank_identity(engine, oracle, index):
     assert not failures, f"rank mismatches: {failures}"
 
 
-def test_pruning_matches_exact(engine, oracle):
-    """Block-max pruned results must equal unpruned (rank-safety proof)."""
+def test_pruning_matches_exact(index, engine):
+    """Block-max pruned results must equal unpruned (rank-safety proof).
+    ``_PRUNE_MIN_POSTINGS = 0`` forces the θ seed path even on the toy
+    index (production only engages it past 1M postings)."""
+    forced = SearchEngine(index)
+    forced._PRUNE_MIN_POSTINGS = 0
     for q, mode in [("import", "OR"), ("config", "OR"), ("server client", "AND"),
                     ("parse json http", "AND"),
                     # OR-mode Block-Max WAND: rare+hot mixes where pruning bites
                     ("import config", "OR"), ("server client parse", "OR"),
                     ("import import config", "OR")]:  # duplicate-term weights
-        pruned = [(r["doc_id"], r["score"]) for r in engine.topk(q, 10, mode, prune=True).collect()]
+        pruned = [(r["doc_id"], r["score"]) for r in forced.topk(q, 10, mode, prune=True).collect()]
         exact = [(r["doc_id"], r["score"]) for r in engine.topk(q, 10, mode, prune=False).collect()]
         assert pruned == exact, q
 
 
-def test_meta_limit_guard_falls_back_to_exact(index, engine):
-    """A term whose block count exceeds _WAND_META_LIMIT must fall back
-    to exact full decode WITHOUT collecting block metadata driver-side —
-    the pruning helpers return the unpruned scan, and results are still
-    rank-identical to the exact path (guards engine.py single-term / AND
-    / OR collects at corpus scale)."""
-    guarded = SearchEngine(index)
-    guarded._WAND_META_LIMIT = 0  # every term now "exceeds" the cap
-    for q, mode in [("import", "OR"), ("server client", "AND"),
-                    ("import config", "OR")]:
-        stats = guarded._term_stats(guarded.analyze_query(q))
-        full = guarded._blocks_for([s.term for s in stats]).count()
-        if mode == "AND" and len(stats) > 1:
-            pruned = guarded._and_pruned_blocks(stats, 10)
-        elif len(stats) == 1:
-            pruned = guarded._single_term_pruned_blocks(stats[0], 10)
-        else:
-            pruned = guarded._or_pruned_blocks(stats, 10)
-        assert pruned.count() == full  # nothing pruned == nothing collected
-        got = [(r["doc_id"], r["score"]) for r in guarded.topk(q, 10, mode).collect()]
-        exact = [(r["doc_id"], r["score"]) for r in engine.topk(q, 10, mode, prune=False).collect()]
+def test_pruned_plan_no_driver_metadata_collect(index, engine):
+    """VERDICT r2 #2: seed-block selection is DISTRIBUTED. Constructing a
+    pruned top-k plan runs exactly ONE driver action (the fused θ seed
+    job) — block metadata never collects to the driver, so pruning
+    survives arbitrarily many blocks per term. AND-mode range pruning is
+    fully lazy (zero actions once stats are memoized)."""
+    forced = SearchEngine(index)
+    forced._PRUNE_MIN_POSTINGS = 0
+    calls: list = []
+    _cls = type(index.term_dict)  # the concrete (classic) DataFrame class
+    orig = _cls.collect
+
+    def spy(self):
+        calls.append(self)
+        return orig(self)
+
+    _cls.collect = spy
+    try:
+        forced._term_stats(forced.analyze_query("import config"))  # warm memo
+        forced._term_stats(forced.analyze_query("server client"))
+        calls.clear()
+        plan_or = forced.topk("import config", 10)  # plan construction only
+        assert len(calls) == 1, "OR path must run only the fused θ action"
+        calls.clear()
+        plan_and = forced.topk("server client", 10, mode="AND")
+        assert len(calls) == 0, "AND range pruning must be fully lazy"
+    finally:
+        _cls.collect = orig
+    for plan, q, mode in [(plan_or, "import config", "OR"),
+                          (plan_and, "server client", "AND")]:
+        got = [(r["doc_id"], r["score"]) for r in plan.collect()]
+        exact = [(r["doc_id"], r["score"])
+                 for r in engine.topk(q, 10, mode, prune=False).collect()]
         assert got == exact, q
+
+
+def test_and_range_limit_falls_back_to_exact(index, engine):
+    """Past _AND_RANGE_LIMIT candidate ranges the conjunctive pruner
+    returns the exact unpruned scan (broadcast stays bounded)."""
+    guarded = SearchEngine(index)
+    guarded._AND_RANGE_LIMIT = 0
+    stats = guarded._term_stats(guarded.analyze_query("server client"))
+    full = guarded._blocks_for([s.term for s in stats]).count()
+    assert guarded._and_pruned_blocks(stats, 10).count() == full
+    got = [(r["doc_id"], r["score"]) for r in guarded.topk("server client", 10, "AND").collect()]
+    exact = [(r["doc_id"], r["score"]) for r in engine.topk("server client", 10, "AND", prune=False).collect()]
+    assert got == exact
 
 
 def test_topk_with_fields(engine):

@@ -182,7 +182,7 @@ def test_changed_bucket_commit_matches_full_rebuild(spark, corpus_df, test_confi
         F.sha2(F.col("tfs_enc"), 256).alias("h_tfs"),
     ).collect()
     _stage_blocks(spark, d_sel, test_config, only_buckets=None)  # full rebuild
-    fullb = idx.blocks.select(
+    fullb = idx.refresh().blocks.select(  # fresh handle: blocks were rewritten
         "term", "salt", "block_no", "n_docs", "max_tf", "min_dl",
         F.sha2(F.col("doc_ids_enc"), 256).alias("h_ids"),
         F.sha2(F.col("tfs_enc"), 256).alias("h_tfs"),
