@@ -116,6 +116,27 @@ def _engine_stem(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _stem_engines[sf_dir]
 
 
+_PAYLOAD_CONFIG = IndexConfig(
+    block_size=64, hot_df_threshold=1000, n_salts=4, n_term_buckets=8,
+    with_payloads=True,
+)
+_payload_engines: dict[str, SearchEngine] = {}
+
+
+def _engine_payload(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Index with the per-occurrence payload stream enabled (frozen
+    payload function (len(token)+position) mod 8 — see
+    IndexConfig.with_payloads / query/payload.py)."""
+    if sf_dir not in _payload_engines:
+        docs = _read(spark, sf_dir, "documents")
+        out = f"/tmp/solr_spark_entry_payload_{os.path.basename(os.path.normpath(sf_dir))}"
+        idx = build_index(
+            spark, docs, out, _PAYLOAD_CONFIG, resume=True, text_col="text", id_col="doc_id"
+        )
+        _payload_engines[sf_dir] = SearchEngine(idx)
+    return _payload_engines[sf_dir]
+
+
 # frozen synonyms.txt analog for the query-time synonym entry
 _SYNONYMS = {"merge": ["merge", "join"], "table": ["table", "row"]}
 
@@ -627,6 +648,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["atomic_update_docs"] = atomic_q
 
+    def atomic_mv_q(s, d):
+        """Atomic add / add-distinct / remove / removeregex on a
+        multivalued (array) column (AtomicUpdateDocumentMerger.java —
+        VERDICT r2 #8). tags starts as [lang, source, lang] (a duplicate
+        on purpose, to pin remove-all-occurrences + add-keeps-dups)."""
+        docs = _read(s, d, "documents").where(F.col("doc_id") < 40).select(
+            "doc_id", F.array("lang", "source", "lang").alias("tags")
+        )
+        updates = docs.where(F.col("doc_id") < 30).select(
+            "doc_id",
+            F.array(F.lit("new1"), F.lit("new1")).alias("tags_add"),
+            F.array(F.lit("new1"), F.lit("extra")).alias("tags_addd"),
+            F.array(F.col("tags")[0]).alias("tags_rm"),
+            F.lit("^src1.*$").alias("tags_rmre"),
+        )
+        out = docs
+        for fam, col in [("add_cols", "tags_add"), ("add_distinct_cols", "tags_addd"),
+                         ("remove_cols", "tags_rm"), ("removeregex_cols", "tags_rmre")]:
+            u = updates.select("doc_id", F.col(col).alias("tags"))
+            out = atomic_update(out, u, "doc_id", **{fam: ["tags"]})
+        return out.select(
+            "doc_id", F.concat_ws("|", "tags").alias("tags")
+        ).orderBy("doc_id")
+
+    q["atomic_update_multivalued"] = atomic_mv_q
+
     q["export_sorted_documents"] = lambda s, d: export_sorted(
         _read(s, d, "documents"),
         [F.desc("n_chars"), F.asc("doc_id")],
@@ -676,12 +723,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count",
     )
 
+    def facet_intervals_q(s, d):
+        from solr_spark.operators.relational import facet_intervals
+
+        return facet_intervals(
+            _read(s, d, "documents"), "n_chars",
+            [("tiny", None, 100, True, False),   # [*, 100)
+             ("small", 50, 250, True, True),     # [50, 250]  (overlaps!)
+             ("mid", 100, 400, False, False),    # (100, 400)
+             ("big", 300, None, True, True)],    # [300, *]
+        )
+
+    q["facet_intervals_nchars"] = facet_intervals_q
+
+    def agg_hll(s, d):
+        """hll agg (search/facet/HLLAgg.java): HyperLogLog++ distinct
+        estimate, gated against the exact count (|approx − exact| within
+        10% + 1). The oracle asserts the bound holds (TRUE) and checks
+        the exact counts; the estimate itself is engine-specific."""
+        ev_t = _read(s, d, "events")
+        out = ev_t.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        )
+        bound = F.greatest(F.lit(1).cast("long"), (F.col("exact") * 0.1).cast("long"))
+        return out.select(
+            "event_type", "exact",
+            (F.abs(F.col("approx") - F.col("exact")) <= bound).alias("within_bounds"),
+        ).orderBy("event_type")
+
+    q["agg_hll_unique_users"] = agg_hll
+
     q["stats_percentiles_price"] = lambda s, d: _read(s, d, "orders").agg(
         F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
         F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
         F.round(F.percentile("o_totalprice", 0.75), 4).alias("p75"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+    # --- payload postings (PayloadScoreQParserPlugin analog) ---
+    from solr_spark.query.payload import payload_check, payload_score
+
+    q["payload_score_sum"] = lambda s, d: payload_score(
+        _engine_payload(s, d), "customer", func="sum", k=10
+    )
+    q["payload_score_max"] = lambda s, d: payload_score(
+        _engine_payload(s, d), "merge", func="max", k=10
+    )
+    q["payload_check_exact"] = lambda s, d: payload_check(
+        _engine_payload(s, d), "merge", payload=2, k=10
+    )
+
+    # --- math/stat stream evaluators (solrj-streaming io/eval slice) ---
+    from solr_spark import evaluators as ev
+
+    def eval_corr_regress(s, d):
+        """CorrelationEvaluator / RegressionEvaluator analog: one grouped
+        JVM aggregation (price scaled to keep magnitudes O(100) so the
+        4-decimal cross-engine round is safely inside double precision)."""
+        li = _read(s, d, "lineitem").withColumn(
+            "y", F.col("l_extendedprice") / F.lit(1000.0)
+        )
+        out = ev.corr_regress(li, "l_quantity", "y", by="l_returnflag")
+        return out.select(
+            "l_returnflag", "n",
+            F.round("corr", 4).alias("corr"),
+            F.round("cov", 4).alias("cov"),
+            F.round("slope", 4).alias("slope"),
+            F.round("intercept", 4).alias("intercept"),
+            F.round("r2", 4).alias("r2"),
+        ).orderBy("l_returnflag")
+
+    q["eval_corr_regress"] = eval_corr_regress
+
+    q["eval_hist"] = lambda s, d: ev.hist(
+        _read(s, d, "lineitem"), "l_quantity", lo=1.0, width=5.0, n_bins=10
+    ).orderBy("bin")
+
+    def eval_describe(s, d):
+        out = ev.describe(_read(s, d, "events"), "value", by="event_type")
+        return out.select(
+            "event_type", "n",
+            F.round("mean", 4).alias("mean"),
+            F.round("stddev", 4).alias("stddev"),
+            F.round("min", 4).alias("min"),
+            F.round("max", 4).alias("max"),
+            F.round("sum", 4).alias("sum"),
+        ).orderBy("event_type")
+
+    q["eval_describe"] = eval_describe
+
+    def eval_percentiles(s, d):
+        out = ev.percentiles(
+            _read(s, d, "lineitem"), "l_extendedprice",
+            [0.25, 0.5, 0.75, 0.95], by="l_linestatus",
+        )
+        return out.select(
+            "l_linestatus", "p", F.round("q", 4).alias("q")
+        ).orderBy("l_linestatus", "p")
+
+    q["eval_percentiles"] = eval_percentiles
 
     # --- training-data pipeline: text analysis ---
     def text_analysis(s, d):
@@ -928,6 +1069,35 @@ def oracle_sql() -> dict[str, str]:
                n_chars + CASE WHEN doc_id < 50 THEN 1000 ELSE 0 END AS n_chars
         FROM documents WHERE doc_id < 60 ORDER BY doc_id
     """
+    o["atomic_update_multivalued"] = """
+WITH base AS (SELECT doc_id, [lang, source, lang] AS tags FROM documents WHERE doc_id < 40),
+s1 AS (SELECT doc_id, CASE WHEN doc_id < 30
+         THEN list_concat(tags, ['new1', 'new1']) ELSE tags END AS tags FROM base),
+s2 AS (SELECT doc_id, CASE WHEN doc_id < 30
+         THEN list_concat(tags, list_distinct(list_filter(['new1', 'extra'],
+              x -> NOT list_contains(tags, x)))) ELSE tags END AS tags FROM s1),
+s3 AS (SELECT s2.doc_id, CASE WHEN s2.doc_id < 30
+         THEN list_filter(s2.tags, x -> NOT list_contains([b.tags[1]], x))
+         ELSE s2.tags END AS tags
+       FROM s2 JOIN base b ON b.doc_id = s2.doc_id),
+s4 AS (SELECT doc_id, CASE WHEN doc_id < 30
+         THEN list_filter(tags, x -> NOT regexp_matches(x, '^src1.*$'))
+         ELSE tags END AS tags FROM s3)
+SELECT doc_id, array_to_string(tags, '|') AS tags FROM s4 ORDER BY doc_id
+""".strip()
+    o["facet_intervals_nchars"] = """
+SELECT 'tiny' AS interval, CAST(count(CASE WHEN n_chars < 100 THEN 1 END) AS BIGINT) AS count FROM documents
+UNION ALL
+SELECT 'small', CAST(count(CASE WHEN n_chars >= 50 AND n_chars <= 250 THEN 1 END) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'mid', CAST(count(CASE WHEN n_chars > 100 AND n_chars < 400 THEN 1 END) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'big', CAST(count(CASE WHEN n_chars >= 300 THEN 1 END) AS BIGINT) FROM documents
+""".strip()
+    o["agg_hll_unique_users"] = """
+SELECT event_type, count(DISTINCT user_id) AS exact, TRUE AS within_bounds
+FROM events GROUP BY event_type ORDER BY event_type
+""".strip()
     o["export_sorted_documents"] = """
         SELECT doc_id, n_chars, lang FROM documents
         ORDER BY n_chars DESC, doc_id ASC
@@ -1227,6 +1397,42 @@ GROUP BY tok ORDER BY tok
     o["dedup_ngram_jaccard"] = ngram_jaccard_sql(0.5)
     o["dedup_minhash_lsh"] = minhash_lsh_sql(0.5)
     o["dedup_simhash"] = simhash_pairs_sql(4)
+    from solr_spark.oracle_sql import payload_check_sql, payload_score_sql
+
+    o["payload_score_sum"] = payload_score_sql(tok, "customer", "sum", 10)
+    o["payload_score_max"] = payload_score_sql(tok, "merge", "max", 10)
+    o["payload_check_exact"] = payload_check_sql(tok, "merge", 2, 10)
+    # math/stat evaluators: identical estimators in DuckDB (sample cov,
+    # least-squares regr_*, exact linear-interpolation quantiles)
+    o["eval_corr_regress"] = """
+WITH li AS (SELECT l_returnflag, l_quantity, l_extendedprice / 1000.0 AS y FROM lineitem)
+SELECT l_returnflag, count(l_quantity) AS n,
+       ROUND(corr(l_quantity, y), 4) AS corr,
+       ROUND(covar_samp(l_quantity, y), 4) AS cov,
+       ROUND(regr_slope(y, l_quantity), 4) AS slope,
+       ROUND(regr_intercept(y, l_quantity), 4) AS intercept,
+       ROUND(regr_r2(y, l_quantity), 4) AS r2
+FROM li GROUP BY l_returnflag ORDER BY l_returnflag
+""".strip()
+    o["eval_hist"] = """
+WITH h AS (SELECT LEAST(GREATEST(CAST(FLOOR((l_quantity - 1.0) / 5.0) AS INTEGER), 0), 9) AS bin
+           FROM lineitem WHERE l_quantity IS NOT NULL)
+SELECT bin, CAST(1.0 + bin * 5.0 AS DOUBLE) AS bin_lo, count(*) AS n
+FROM h GROUP BY bin ORDER BY bin
+""".strip()
+    o["eval_describe"] = """
+SELECT event_type, count(value) AS n,
+       ROUND(avg(value), 4) AS mean, ROUND(stddev_samp(value), 4) AS stddev,
+       ROUND(min(value), 4) AS min, ROUND(max(value), 4) AS max,
+       ROUND(sum(value), 4) AS sum
+FROM events GROUP BY event_type ORDER BY event_type
+""".strip()
+    o["eval_percentiles"] = " UNION ALL ".join(
+        f"(SELECT l_linestatus, CAST({p} AS DOUBLE) AS p, "
+        f"ROUND(quantile_cont(l_extendedprice, {p}), 4) AS q "
+        f"FROM lineitem GROUP BY l_linestatus)"
+        for p in (0.25, 0.5, 0.75, 0.95)
+    ) + " ORDER BY l_linestatus, p"
     o["dedup_embedding_cosine"] = embedding_lsh_sql(0.45)
     o["dedup_embedding_exact"] = embedding_neardup_sql(0.45)
     o["ann_cosine_top10"] = ann_topk_sql(query_id=0, k=10)

@@ -94,6 +94,12 @@ class IndexConfig:
     b: float = 0.75                 # BM25SimilarityFactory.java:49
     analyzer: str = "code"
     with_positions: bool = True     # store positions (phrase queries)
+    with_payloads: bool = False     # per-occurrence payload stream
+                                    # (payload_score; frozen payload
+                                    # function: (len(token)+position)
+                                    # mod 8 — the DelimitedPayload
+                                    # TokenFilter analog for a corpus
+                                    # with no delimited payload source)
     format_version: int = 2         # v2: stats-independent block metadata
                                     # (max_tf/min_dl) + stored_text field
 
@@ -279,13 +285,16 @@ def _stage_analyze_and_segments(
 # ---------------------------------------------------------------------------
 
 
-_SEGMENT_SCHEMA_POS = (
-    "term string, doc_id long, tf int, doc_len int, positions array<int>"
-)
-_SEGMENT_SCHEMA = "term string, doc_id long, tf int, doc_len int"
+def _segment_schema(with_positions: bool, with_payloads: bool) -> str:
+    s = "term string, doc_id long, tf int, doc_len int"
+    if with_positions:
+        s += ", positions array<int>"
+    if with_payloads:
+        s += ", payloads array<int>"
+    return s
 
 
-def _doc_postings_udf(with_positions: bool):
+def _doc_postings_udf(with_positions: bool, with_payloads: bool = False):
     """MAP-ONLY per-doc posting extraction (the Lucene in-memory-segment
     analog): postings of a doc depend only on that doc, so no shuffle is
     needed — the naive ``posexplode → groupBy(term, doc_id)`` formulation
@@ -325,6 +334,16 @@ def _doc_postings_udf(with_positions: bool):
             }
             if with_positions:
                 out["positions"] = np.split(p, g_starts[1:])
+            if with_payloads:
+                # frozen payload function: (len(token) + position) mod 8
+                # (vectorized str_len — no per-token Python; position =
+                # index in the surviving-token stream, same as pos_enc).
+                # Occurrences are grouped exactly like positions (runs
+                # framed by the tf array).
+                pl = (
+                    np.char.str_len(flat.astype("U")).astype(np.int32) + pos_in_doc
+                ) % 8
+                out["payloads"] = np.split(pl[order], g_starts[1:])
             yield pd.DataFrame(out)
 
     return gen
@@ -336,9 +355,9 @@ def build_postings(analyzed: DataFrame, config: IndexConfig) -> DataFrame:
     (frozen choice: no position gaps at removed stopwords — documented
     deviation from Lucene's StopFilter increment, identical on the
     oracle side)."""
-    schema = _SEGMENT_SCHEMA_POS if config.with_positions else _SEGMENT_SCHEMA
+    schema = _segment_schema(config.with_positions, config.with_payloads)
     return analyzed.select("doc_id", "doc_len", "tokens").mapInPandas(
-        _doc_postings_udf(config.with_positions), schema=schema
+        _doc_postings_udf(config.with_positions, config.with_payloads), schema=schema
     )
 
 
@@ -406,6 +425,10 @@ _BLOCK_SCHEMA = T.StructType(
         T.StructField("tfs_enc", T.BinaryType(), False),
         T.StructField("dls_enc", T.BinaryType(), False),
         T.StructField("pos_enc", T.BinaryType(), True),
+        # per-occurrence payload stream (varint, runs framed by the tf
+        # array like pos_enc) — NULL unless built with_payloads
+        # (ref: PayloadScoreQParserPlugin.java / DelimitedPayloadTokenFilter)
+        T.StructField("payloads_enc", T.BinaryType(), True),
     ]
 )
 
@@ -413,7 +436,7 @@ _BLOCK_SCHEMA = T.StructType(
 _BLOCK_COLS = [f.name for f in _BLOCK_SCHEMA.fields]
 
 
-def _encode_group_rows(pdf: pd.DataFrame, block_size: int, with_positions: bool) -> pd.DataFrame:
+def _encode_group_rows(pdf: pd.DataFrame, block_size: int, with_positions: bool, with_payloads: bool = False) -> pd.DataFrame:
     """Encode a run of (term, salt, doc_id)-sorted postings into blocks.
 
     ``pos_enc`` holds the per-doc delta-coded position runs (lengths =
@@ -426,6 +449,7 @@ def _encode_group_rows(pdf: pd.DataFrame, block_size: int, with_positions: bool)
     tf = pdf["tf"].to_numpy().astype(np.int64)
     dl = pdf["doc_len"].to_numpy().astype(np.int64)
     pos = pdf["positions"].to_numpy() if with_positions else None
+    pay = pdf["payloads"].to_numpy() if with_payloads else None
     change = np.empty(len(t), dtype=bool)
     change[0] = True
     change[1:] = (t[1:] != t[:-1]) | (s[1:] != s[:-1])
@@ -447,6 +471,15 @@ def _encode_group_rows(pdf: pd.DataFrame, block_size: int, with_positions: bool)
                 pos_enc = positions_encode(flat, tf[lo:hi])
             else:
                 pos_enc = None
+            if with_payloads:
+                pay_flat = (
+                    np.concatenate([np.asarray(x, dtype=np.int64) for x in pay[lo:hi]])
+                    if hi > lo
+                    else np.empty(0, dtype=np.int64)
+                )
+                pay_enc = varint_encode(pay_flat)
+            else:
+                pay_enc = None
             rows.append(
                 (
                     t[gs], int(s[gs]), b, hi - lo, int(ids[0]), int(ids[-1]),
@@ -455,12 +488,13 @@ def _encode_group_rows(pdf: pd.DataFrame, block_size: int, with_positions: bool)
                     varint_encode(tf[lo:hi]),
                     varint_encode(dl[lo:hi]),
                     pos_enc,
+                    pay_enc,
                 )
             )
     return pd.DataFrame(rows, columns=_BLOCK_COLS)
 
 
-def _encode_stream_udf(block_size: int, with_positions: bool):
+def _encode_stream_udf(block_size: int, with_positions: bool, with_payloads: bool = False):
     """Streaming block encoder over (term, salt, doc_id)-sorted partition
     input: ONE Arrow pass, no window function, no collect_list — groups
     that span Arrow-batch boundaries are carried forward (carry size is
@@ -484,9 +518,9 @@ def _encode_stream_udf(block_size: int, with_positions: bool):
                 continue
             last_start = int(starts[-1]) + 1
             carry = pdf.iloc[last_start:]
-            yield _encode_group_rows(pdf.iloc[:last_start], block_size, with_positions)
+            yield _encode_group_rows(pdf.iloc[:last_start], block_size, with_positions, with_payloads)
         if carry is not None and len(carry):
-            yield _encode_group_rows(carry, block_size, with_positions)
+            yield _encode_group_rows(carry, block_size, with_positions, with_payloads)
 
     return enc
 
@@ -531,13 +565,15 @@ def _stage_blocks(
     cols = ["term", "salt", "doc_id", "tf", "doc_len", "term_bucket"]
     if config.with_positions:
         cols.append("positions")
+    if config.with_payloads:
+        cols.append("payloads")
     n_parts = config.n_term_buckets if only_buckets is None else max(1, len(only_buckets))
     blocks = (
         p.select(*cols)
         .repartition(n_parts, "term_bucket")
         .sortWithinPartitions("term", "salt", "doc_id")
         .mapInPandas(
-            _encode_stream_udf(config.block_size, config.with_positions),
+            _encode_stream_udf(config.block_size, config.with_positions, config.with_payloads),
             schema=_BLOCK_SCHEMA,
         )
         .withColumn(

@@ -110,6 +110,35 @@ def facet_queries(df: DataFrame, named: dict[str, Column]) -> DataFrame:
     )
 
 
+def facet_intervals(
+    df: DataFrame, field: str, intervals: list[tuple[str, float | None, float | None, bool, bool]]
+) -> DataFrame:
+    """Interval facets (``request/IntervalFacets.java``, test
+    ``TestIntervalFaceting.java``): arbitrary — possibly OVERLAPPING —
+    intervals ``(key, lo, hi, incl_lo, incl_hi)`` with ``None`` as an
+    open end (Solr's ``[0,10)`` / ``(10,*]`` syntax). Unlike facet.range
+    each value may count into several intervals, so this is ONE pass of
+    conditional-count aggregates (map-side combined, no shuffle blowup),
+    then a pivot to (interval, count) rows."""
+    c = F.col(field)
+    aggs = []
+    for key, lo, hi, incl_lo, incl_hi in intervals:
+        cond = c.isNotNull()
+        if lo is not None:
+            cond = cond & ((c >= F.lit(lo)) if incl_lo else (c > F.lit(lo)))
+        if hi is not None:
+            cond = cond & ((c <= F.lit(hi)) if incl_hi else (c < F.lit(hi)))
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(key))
+    row = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(key).alias("interval"), F.col(key).alias("count"))
+            for key, *_ in intervals
+        ]
+    )
+    return row.select(F.explode(pairs).alias("z")).select("z.interval", "z.count")
+
+
 def json_facet_nested(
     df: DataFrame,
     parent_field: str,
@@ -508,26 +537,70 @@ def realtime_get(df: DataFrame, id_col: str, ids: list) -> DataFrame:
 def atomic_update(
     current: DataFrame, updates: DataFrame, key: str,
     set_cols: list[str] | None = None, inc_cols: list[str] | None = None,
+    add_cols: list[str] | None = None, add_distinct_cols: list[str] | None = None,
+    remove_cols: list[str] | None = None, removeregex_cols: list[str] | None = None,
 ) -> DataFrame:
     """Atomic-update merge (update/processor/AtomicUpdateDocumentMerger
-    .java): per-key ``set`` (overwrite when an update row exists) and
-    ``inc`` (add delta) semantics — the batch restatement of MERGE INTO.
-    ``updates`` carries (key, [set_cols...], [inc_cols...])."""
+    .java): the batch restatement of MERGE INTO. ``updates`` carries
+    (key, [update payload columns...]); semantics per column family:
+
+    - ``set``    — overwrite when an update row exists;
+    - ``inc``    — add a numeric delta;
+    - ``add``    — append the update's array values to a multivalued
+                   column (duplicates kept, Solr ``add``);
+    - ``add_distinct`` — append only values not already present
+                   (``add-distinct``; duplicates inside the update
+                   payload are also collapsed);
+    - ``remove`` — drop every occurrence of each listed value
+                   (``remove`` — a filter, NOT array_except, which would
+                   also dedup the survivors);
+    - ``removeregex`` — drop elements matching the update's regex
+                   pattern (``removeregex``).
+
+    All pure JVM higher-order array expressions — no Python, no explode."""
     set_cols = set_cols or []
     inc_cols = inc_cols or []
-    u = updates.select(
-        F.col(key),
-        *[F.col(c).alias(f"_set_{c}") for c in set_cols],
-        *[F.col(c).alias(f"_inc_{c}") for c in inc_cols],
-    )
+    add_cols = add_cols or []
+    add_distinct_cols = add_distinct_cols or []
+    remove_cols = remove_cols or []
+    removeregex_cols = removeregex_cols or []
+    payload = set_cols + inc_cols + add_cols + add_distinct_cols + remove_cols + removeregex_cols
+    u = updates.select(F.col(key), *[F.col(c).alias(f"_u_{c}") for c in payload])
     out = current.join(u, key, "left")
+
+    def _u(c):
+        return F.col(f"_u_{c}")
+
     for c in set_cols:
-        out = out.withColumn(c, F.coalesce(F.col(f"_set_{c}"), F.col(c))).drop(f"_set_{c}")
+        out = out.withColumn(c, F.coalesce(_u(c), F.col(c)))
     for c in inc_cols:
+        out = out.withColumn(c, F.col(c) + F.coalesce(_u(c), F.lit(0)))
+    for c in add_cols:
         out = out.withColumn(
-            c, F.col(c) + F.coalesce(F.col(f"_inc_{c}"), F.lit(0))
-        ).drop(f"_inc_{c}")
-    return out
+            c, F.when(_u(c).isNull(), F.col(c)).otherwise(F.concat(F.col(c), _u(c)))
+        )
+    for c in add_distinct_cols:
+        new_vals = F.array_distinct(
+            F.filter(_u(c), lambda x: ~F.array_contains(F.col(c), x))
+        )
+        out = out.withColumn(
+            c, F.when(_u(c).isNull(), F.col(c)).otherwise(F.concat(F.col(c), new_vals))
+        )
+    for c in remove_cols:
+        out = out.withColumn(
+            c,
+            F.when(_u(c).isNull(), F.col(c)).otherwise(
+                F.filter(F.col(c), lambda x: ~F.array_contains(_u(c), x))
+            ),
+        )
+    for c in removeregex_cols:
+        out = out.withColumn(
+            c,
+            F.when(_u(c).isNull(), F.col(c)).otherwise(
+                F.filter(F.col(c), lambda x: ~F.regexp_like(x, _u(c)))
+            ),
+        )
+    return out.drop(*[f"_u_{c}" for c in payload])
 
 
 def export_sorted(df: DataFrame, sort_cols: list[Column], fl: list[str]) -> DataFrame:

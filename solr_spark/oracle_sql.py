@@ -249,6 +249,46 @@ ORDER BY id_a, id_b
 """.strip()
 
 
+def _payload_tp_cte(chain: AnalyzerChain) -> str:
+    """(doc_id, tok, pos, pay) rows with the frozen payload function
+    (len(token) + position) mod 8 — mirrors IndexConfig.with_payloads."""
+    arr = chain.duckdb_tokens_expr("text")
+    return f"""tp AS (
+  SELECT doc_id, u.tok AS tok, (length(u.tok) + u.pos) % 8 AS pay FROM (
+    SELECT doc_id, unnest(list_transform({arr}, (t, i) -> {{'tok': t, 'pos': i - 1}})) AS u
+    FROM documents))"""
+
+
+def payload_score_sql(chain: AnalyzerChain, term: str, func: str, k: int = 10) -> str:
+    """Oracle for payload_score (PayloadScoreQParserPlugin.java)."""
+    agg = {
+        "sum": "sum(pay)",
+        "max": "max(pay)",
+        "min": "min(pay)",
+        "avg": "sum(pay) * 1.0 / count(*)",
+    }[func]
+    return f"""
+WITH {_payload_tp_cte(chain)}
+SELECT doc_id, CAST({agg} AS DOUBLE) AS score
+FROM tp WHERE tok = '{term}'
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def payload_check_sql(chain: AnalyzerChain, term: str, payload: int, k: int = 10) -> str:
+    """Oracle for payload_check (PayloadCheckQParserPlugin.java)."""
+    return f"""
+WITH {_payload_tp_cte(chain)}
+SELECT doc_id, count(*) AS n_hits
+FROM tp WHERE tok = '{term}' AND pay = {payload}
+GROUP BY doc_id
+ORDER BY n_hits DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def _arr_lit(vec) -> str:
     """DuckDB DOUBLE[] literal that round-trips Python float64 exactly."""
     return "[" + ", ".join(repr(float(x)) for x in vec) + "]"

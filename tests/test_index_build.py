@@ -179,3 +179,37 @@ def test_xxhash64_py_matches_spark(spark):
     for r in rows:
         assert xxhash64_py(r["term"]) == r["h"], r["term"]
         assert xxhash64_py(r["term"]) % 8 == r["b"], r["term"]
+
+
+def test_payload_postings_roundtrip(spark, tmp_path):
+    """with_payloads stores a per-occurrence payload stream (frozen
+    function (len(token)+position) mod 8) that survives the codec:
+    payload_score(sum) equals a driver-side recompute from stored_text."""
+    from solr_spark.query.engine import SearchEngine
+    from solr_spark.query.payload import payload_check, payload_score
+
+    cfg = IndexConfig(
+        block_size=8, hot_df_threshold=100, n_salts=2, n_term_buckets=4,
+        with_payloads=True,
+    )
+    corpus = synth_corpus(spark, 300)
+    idx = build_index(spark, corpus, str(tmp_path / "pidx"), cfg)
+    eng = SearchEngine(idx)
+    got = {r["doc_id"]: r["score"] for r in payload_score(eng, "import", "sum", k=5).collect()}
+
+    chain = cfg.chain()
+    expect = {}
+    for r in idx.docs.select("doc_id", "stored_text").collect():
+        toks = chain.tokenize_py(r["stored_text"])
+        s = sum((len(t) + i) % 8 for i, t in enumerate(toks) if t == "import")
+        if any(t == "import" for t in toks):
+            expect[r["doc_id"]] = float(s)
+    top = dict(sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:5])
+    assert got == top
+
+    # payload_check: every hit doc really has an occurrence with pay==3
+    for r in payload_check(eng, "import", payload=3, k=5).collect():
+        toks = chain.tokenize_py(
+            idx.docs.where(F.col("doc_id") == r["doc_id"]).collect()[0]["stored_text"]
+        )
+        assert any(t == "import" and (len(t) + i) % 8 == 3 for i, t in enumerate(toks))
