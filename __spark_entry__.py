@@ -335,7 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from solr_spark.query.phrase import complex_phrase_topk
 
         return _rounded(
-            complex_phrase_topk(_engine(s, d), "bat* stream", k=10, max_expansions=1000)
+            complex_phrase_topk(_engine(s, d), "bat* stream", k=10)  # default cap=50, same as oracle
         )
 
     q["complex_phrase_prefix"] = complex_phrase_q
@@ -1151,7 +1151,7 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["phrase_slop2"] = phrase_topk_sql("batch stream", slop=2)
     from solr_spark.oracle_sql import complex_phrase_sql
 
-    o["complex_phrase_prefix"] = complex_phrase_sql(["bat*", "stream"])
+    o["complex_phrase_prefix"] = complex_phrase_sql(["bat*", "stream"], max_expansions=50)
     from solr_spark.oracle_sql import near_topk_sql
 
     o["surround_near_unordered"] = near_topk_sql(["stream", "batch"], window=3)

@@ -609,25 +609,48 @@ LIMIT {k}"""
 
 
 def complex_phrase_sql(
-    words: list[str], slop: int = 0, k: int = 10, chain: AnalyzerChain = CODE_CHAIN
+    words: list[str], slop: int = 0, k: int = 10, chain: AnalyzerChain = CODE_CHAIN,
+    max_expansions: int = 50,
 ) -> str:
     """ComplexPhrase oracle: phrase positions where a trailing-* word
     matches ANY dictionary term with that prefix; pf = DISTINCT chain
     starts; idf_i computed from the docs containing ANY matching term of
-    position i (mirrors complex_phrase_pf exactly)."""
+    position i (mirrors complex_phrase_pf exactly — including the
+    MultiTermQuery rewrite cap: each wildcard position expands to the
+    top ``max_expansions`` dictionary terms by (df desc, term asc), the
+    same cap the engine applies, for BOTH chain matching and idf_i)."""
+    prefix_ctes: list[str] = []
 
-    def cond(alias: str, w: str) -> str:
+    def exp_cte(i: int, w: str) -> str:
+        """Register a capped-expansion CTE for wildcard position i."""
+        esc = w[:-1].lower().replace("'", "''")
+        prefix_ctes.append(
+            f"exp{i} AS (SELECT tok FROM ("
+            f"SELECT tok, count(DISTINCT doc_id) AS df FROM toks "
+            f"WHERE tok LIKE '{esc}%' GROUP BY tok "
+            f"ORDER BY df DESC, tok ASC LIMIT {max_expansions}))"
+        )
+        return f"exp{i}"
+
+    cte_by_pos: dict[int, str] = {}
+
+    def cond(alias: str, i: int, w: str) -> str:
         if w.endswith("*") and "*" not in w[:-1]:
-            esc = w[:-1].lower().replace("'", "''")
-            return f"{alias}.tok LIKE '{esc}%'"
+            if i not in cte_by_pos:
+                cte_by_pos[i] = exp_cte(i, w)
+            return f"{alias}.tok IN (SELECT tok FROM {cte_by_pos[i]})"
         toks = chain.tokenize_py(w)
         esc = (toks[0] if toks else w.lower()).replace("'", "''")
         return f"{alias}.tok = '{esc}'"
 
-    def df_sub(w: str) -> str:
+    def df_sub(i: int, w: str) -> str:
         if w.endswith("*") and "*" not in w[:-1]:
-            esc = w[:-1].lower().replace("'", "''")
-            return f"(SELECT count(DISTINCT doc_id) FROM toks WHERE tok LIKE '{esc}%')"
+            if i not in cte_by_pos:
+                cte_by_pos[i] = exp_cte(i, w)
+            return (
+                f"(SELECT count(DISTINCT doc_id) FROM toks "
+                f"WHERE tok IN (SELECT tok FROM {cte_by_pos[i]}))"
+            )
         toks = chain.tokenize_py(w)
         esc = (toks[0] if toks else w.lower()).replace("'", "''")
         return f"(SELECT count(DISTINCT doc_id) FROM toks WHERE tok = '{esc}')"
@@ -635,21 +658,24 @@ def complex_phrase_sql(
     n = len(words)
     joins = "\n".join(
         f"  JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos > p{i - 1}.pos "
-        f"AND p{i}.pos <= p0.pos + {i + slop} AND {cond(f'p{i}', words[i])}"
+        f"AND p{i}.pos <= p0.pos + {i + slop} AND {cond(f'p{i}', i, words[i])}"
         for i in range(1, n)
     )
     idf_parts = " + ".join(
-        f"ln(1.0 + (s.n_docs - {df_sub(w)} + 0.5) / ({df_sub(w)} + 0.5))" for w in words
+        f"ln(1.0 + (s.n_docs - {df_sub(i, w)} + 0.5) / ({df_sub(i, w)} + 0.5))"
+        for i, w in enumerate(words)
     )
+    head_cond = cond("p0", 0, words[0])
+    exp_ctes = ("," + ",\n".join(prefix_ctes)) if prefix_ctes else ""
     return f"""WITH {_prelude(chain)},
 pos AS (
   SELECT doc_id, unnest(tt) AS tok, generate_subscripts(tt, 1) AS pos
-  FROM (SELECT doc_id, {chain.duckdb_tokens_expr('text')} AS tt FROM documents)),
+  FROM (SELECT doc_id, {chain.duckdb_tokens_expr('text')} AS tt FROM documents)){exp_ctes},
 pf AS (
   SELECT p0.doc_id, count(DISTINCT p0.pos) AS pf
   FROM pos p0
 {joins}
-  WHERE {cond('p0', words[0])}
+  WHERE {head_cond}
   GROUP BY p0.doc_id)
 SELECT pf.doc_id,
        ROUND(CAST(CAST(({idf_parts})

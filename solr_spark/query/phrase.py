@@ -305,25 +305,28 @@ def complex_phrase_pf(
     flat = blocks.select("term", "doc_ids_enc", "tfs_enc", "dls_enc", "pos_enc").mapInPandas(
         _decode_pos_flat_udf(), schema=_POS_FLAT_SCHEMA
     )
-    union_df = {}
-    docs_per_term = (
-        flat.select("term", "doc_id").distinct()
-        .groupBy("term").agg(F.count("*").alias("df"))
+    # union-df of EVERY position in ONE job (the r2 version ran one
+    # driver .count() per multi-term position): broadcast the
+    # term→ordinal mapping, distinct (ordinal, doc), count per ordinal
+    pos_map = engine.spark.createDataFrame(
+        [(t, i) for i, ts in enumerate(per_pos) for t in ts],
+        "term string, pos_ord int",
+    )
+    df_rows = (
+        flat.select("term", "doc_id")
+        .join(F.broadcast(pos_map), "term")
+        .select("pos_ord", "doc_id")
+        .distinct()
+        .groupBy("pos_ord")
+        .agg(F.count("*").alias("df"))
         .collect()
     )
-    df_by_term = {r["term"]: r["df"] for r in docs_per_term}
-    idf_total = 0.0
-    for i, ts in enumerate(per_pos):
-        if len(ts) == 1:
-            dfi = df_by_term.get(ts[0], 0)
-        else:
-            dfi = (
-                flat.where(F.col("term").isin(ts))
-                .select("doc_id").distinct().count()
-            )
-        union_df[i] = dfi
-        import math
+    union_df = {r["pos_ord"]: r["df"] for r in df_rows}
+    import math
 
+    idf_total = 0.0
+    for i in range(len(per_pos)):
+        dfi = union_df.get(i, 0)
         idf_total += math.log1p((n_docs - dfi + 0.5) / (dfi + 0.5))
 
     # rewrite terms to position markers so the verifier treats any

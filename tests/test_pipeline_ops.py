@@ -357,3 +357,15 @@ def test_ivf_training_is_deterministic(emb):
     c1 = similarity.train_ivf_centroids(emb, "vec_id", "embedding", n_lists=8)
     c2 = similarity.train_ivf_centroids(emb, "vec_id", "embedding", n_lists=8)
     assert np.array_equal(c1, c2)
+
+
+def test_embedding_lsh_plan_has_no_unconditioned_crossjoin(emb):
+    """VERDICT r2 #3: the scale-path embedding entry (LSH candidates →
+    exact cosine on candidates only) must never cross-join all vector
+    pairs — every self-join in the plan must be keyed on the LSH band
+    columns (mirror of the MinHash plan assert)."""
+    df = dedup.embedding_lsh_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert "band" in line, f"unconditioned vector join in plan: {line}"
