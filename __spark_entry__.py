@@ -761,6 +761,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.countDistinct("o_custkey").alias("n_customers"),
     )
 
+    def highlight_passages_q(s, d):
+        return qx.highlight_passages(
+            _engine(s, d), "customer merge",
+            _read(s, d, "documents").where(F.col("doc_id") < 100),
+        )
+
+    q["highlight_passages"] = highlight_passages_q
+
+    def tlogit_q(s, d):
+        """tlogit (TextLogisticRegressionQParserPlugin): distributed
+        full-batch GD — iterative, so no SQL oracle (rows-only check;
+        convergence gated in tests/test_tlogit.py)."""
+        from solr_spark.tlogit import tlogit_classify, tlogit_train
+
+        docs = _read(s, d, "documents")
+        label = F.array_contains(CODE_CHAIN.tokens("text"), "customer")
+        terms = ["customer", "merge", "join"]
+        w = tlogit_train(docs, "text", label, terms, iters=15)
+        return (
+            tlogit_classify(docs, "text", w, terms, keep_cols=["doc_id"])
+            .select("doc_id", "predicted")
+            .orderBy(F.desc("prob"), F.asc("doc_id"))
+            .limit(10)
+        )
+
+    q["tlogit_classify_top10"] = tlogit_q
+
+    # --- spatial: geofilt / bbox / geodist (SpatialFilterQParserPlugin) ---
+    from solr_spark.operators.spatial import bbox, geodist, geofilt, synth_coords
+
+    _PT = (40.0, -74.0)
+
+    q["spatial_geofilt"] = lambda s, d: geofilt(
+        synth_coords(_read(s, d, "documents"), "doc_id"), "lat", "lon", _PT, 2000.0
+    ).select("doc_id", F.round("dist_km", 4).alias("dist_km")).orderBy("doc_id")
+
+    q["spatial_bbox"] = lambda s, d: bbox(
+        synth_coords(_read(s, d, "documents"), "doc_id"), "lat", "lon", _PT, 2000.0
+    ).select("doc_id", "lat", "lon").orderBy("doc_id")
+
+    q["spatial_geodist_sort"] = lambda s, d: geodist(
+        synth_coords(_read(s, d, "documents"), "doc_id"), "lat", "lon", _PT
+    ).select("doc_id", F.round("dist_km", 4).alias("dist_km")).orderBy(
+        F.asc("dist_km"), F.asc("doc_id")
+    ).limit(10)
+
     # --- payload postings (PayloadScoreQParserPlugin analog) ---
     from solr_spark.query.payload import payload_check, payload_score
 
@@ -1397,7 +1443,47 @@ GROUP BY tok ORDER BY tok
     o["dedup_ngram_jaccard"] = ngram_jaccard_sql(0.5)
     o["dedup_minhash_lsh"] = minhash_lsh_sql(0.5)
     o["dedup_simhash"] = simhash_pairs_sql(4)
-    from solr_spark.oracle_sql import payload_check_sql, payload_score_sql
+    from solr_spark.oracle_sql import (
+        highlight_passages_sql,
+        payload_check_sql,
+        payload_score_sql,
+    )
+
+    o["highlight_passages"] = highlight_passages_sql(
+        tok, ["customer", "merge"], doc_limit=100
+    )
+
+    # spatial (haversine, earth radius = Solr's EARTH_MEAN_RADIUS_KM)
+    _GEO_CTE = """g AS (SELECT doc_id,
+  -90.0 + ((doc_id * 7919) % 18000) / 100.0 AS lat,
+  -180.0 + ((doc_id * 104729) % 36000) / 100.0 AS lon FROM documents),
+gd AS (SELECT doc_id, lat, lon,
+  2.0 * 6371.0087714 * asin(sqrt(
+    sin(radians(40.0 - lat) / 2) * sin(radians(40.0 - lat) / 2)
+    + cos(radians(lat)) * cos(radians(40.0))
+      * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2))) AS dist_km
+  FROM g)"""
+    o["spatial_geofilt"] = f"""
+WITH {_GEO_CTE}
+SELECT doc_id, ROUND(dist_km, 4) AS dist_km FROM gd
+WHERE dist_km <= 2000.0 ORDER BY doc_id
+""".strip()
+    import math as _math
+
+    _dlat = _math.degrees(2000.0 / 6371.0087714)
+    _dlon = _math.degrees(2000.0 / (6371.0087714 * _math.cos(_math.radians(40.0))))
+    o["spatial_bbox"] = f"""
+WITH {_GEO_CTE}
+SELECT doc_id, lat, lon FROM gd
+WHERE lat >= {40.0 - _dlat!r} AND lat <= {40.0 + _dlat!r}
+  AND lon >= {-74.0 - _dlon!r} AND lon <= {-74.0 + _dlon!r}
+ORDER BY doc_id
+""".strip()
+    o["spatial_geodist_sort"] = f"""
+WITH {_GEO_CTE}
+SELECT doc_id, ROUND(dist_km, 4) AS dist_km FROM gd
+ORDER BY dist_km ASC, doc_id ASC LIMIT 10
+""".strip()
 
     o["payload_score_sum"] = payload_score_sql(tok, "customer", "sum", 10)
     o["payload_score_max"] = payload_score_sql(tok, "merge", "max", 10)

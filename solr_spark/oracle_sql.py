@@ -249,6 +249,45 @@ ORDER BY id_a, id_b
 """.strip()
 
 
+def highlight_passages_sql(
+    chain: AnalyzerChain, terms: list[str], doc_limit: int,
+    passage_words: int = 10, n_passages: int = 2,
+) -> str:
+    """Oracle for the passage-RANKED highlighter: same frozen break
+    (fixed W-word windows over the whitespace split) and PassageScorer
+    form (Σ idf_t · tf_t, idf from the full-corpus chain tokens)."""
+    W = passage_words
+    score = " + ".join(
+        f"(SELECT idf FROM idf WHERE t = '{t}') * "
+        f"len(list_filter(pw, x -> lower(x) = '{t}'))"
+        for t in terms
+    )
+    idf_rows = " UNION ALL ".join(
+        f"SELECT '{t}' AS t, ln(1.0 + (s.n_docs - "
+        f"(SELECT count(DISTINCT doc_id) FROM toks WHERE tok = '{t}') + 0.5) / "
+        f"((SELECT count(DISTINCT doc_id) FROM toks WHERE tok = '{t}') + 0.5)) AS idf "
+        f"FROM stats s"
+        for t in terms
+    )
+    return f"""
+WITH {_prelude(chain)},
+idf AS ({idf_rows}),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < {doc_limit}),
+p AS (SELECT doc_id, CAST(t.i AS INT) AS p_no,
+             list_slice(ws, t.i * {W} + 1, t.i * {W} + {W}) AS pw
+      FROM w, UNNEST(range(0, CASE WHEN len(ws) = 0 THEN 0
+                                   ELSE CAST(floor((len(ws) - 1) / {W}) AS INT) + 1 END)) AS t(i)),
+sc AS (SELECT doc_id, p_no, pw, ({score}) AS score FROM p),
+rk AS (SELECT doc_id, p_no, pw, score,
+              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, p_no ASC) AS rank
+       FROM sc WHERE score > 0)
+SELECT doc_id, p_no, array_to_string(pw, ' ') AS passage,
+       CAST(ROUND(score, 4) AS REAL) AS score
+FROM rk WHERE rank <= {n_passages}
+ORDER BY doc_id, p_no
+""".strip()
+
+
 def _payload_tp_cte(chain: AnalyzerChain) -> str:
     """(doc_id, tok, pos, pay) rows with the frozen payload function
     (len(token) + position) mod 8 — mirrors IndexConfig.with_payloads."""

@@ -446,6 +446,61 @@ def highlight_topk(
     )
 
 
+def highlight_passages(
+    engine: SearchEngine, query: str, corpus: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", passage_words: int = 10, n_passages: int = 2,
+) -> DataFrame:
+    """Unified-highlighter passage RANKING (reference
+    ``highlight/UnifiedSolrHighlighter.java``, test
+    ``TestUnifiedSolrHighlighter.java``): instead of a fixed substring
+    window per match (:func:`highlight_topk`), break each doc into
+    passages, SCORE every passage, and keep the best ``n_passages``.
+
+    Frozen break/score semantics (the corpus's texts are flat word
+    streams, so the BreakIterator analog is a fixed window):
+    - passage i = whitespace words [i·W, (i+1)·W), W = ``passage_words``;
+    - passage score = Σ_t idf_t · tf_t(passage) over the analyzed query
+      terms (Lucene PassageScorer's weight·freq form), tf counted on
+      lowercased whitespace words;
+    - rank (score desc, p_no asc), keep n_passages, drop score-0.
+
+    One explode + one window — no Python, no per-doc loops; at corpus
+    scale the explode fan-out is bounded by doc length / W.
+    """
+    stats = engine._term_stats(engine.analyze_query(query))
+    if not stats:
+        return engine.spark.createDataFrame(
+            [], f"{id_col} long, p_no int, passage string, score float"
+        )
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    win_ids = F.when(
+        n > 0, F.sequence(F.lit(0), F.floor((n - F.lit(1)) / F.lit(passage_words)).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = corpus.select(
+        F.col(id_col), F.posexplode(
+            F.transform(win_ids, lambda i: F.slice(words, i * passage_words + 1, passage_words))
+        ).alias("p_no", "pw"),
+    )
+    score = None
+    for s in stats:
+        tf = F.size(F.filter(F.col("pw"), lambda x: F.lower(x) == F.lit(s.term)))
+        part = F.lit(s.idf * s.weight) * tf.cast("double")
+        score = part if score is None else score + part
+    scored = exploded.withColumn("score", score).where(F.col("score") > 0)
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("p_no"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n_passages)
+        .select(
+            id_col, "p_no",
+            F.concat_ws(" ", "pw").alias("passage"),
+            F.round(F.col("score"), 4).cast("float").alias("score"),
+        )
+        .orderBy(id_col, "p_no")
+    )
+
+
 def highlight_multi(
     engine: SearchEngine, query: str, corpus: DataFrame, text_col: str = "text",
     id_col: str = "doc_id", k: int = 10, before: int = 30, width: int = 80,
