@@ -373,6 +373,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         execute_query(_engine(s, d), "text:[spark TO sparkz]", k=10)
     )
 
+    def simple_q(s, d):
+        """`simple` parser (SimpleQParserPlugin): `+`/`|`/`-`/group
+        syntax, lenient; same compiler back end as lucene."""
+        from solr_spark.plans import execute_ast
+        from solr_spark.query.parser import parse_simple
+
+        return _rounded(
+            execute_ast(_engine(s, d), parse_simple("(batch|stream)+customer -merge"), k=10)
+        )
+
+    q["simple_query_cnf"] = simple_q
+
+    def switch_q(s, d):
+        return _rounded(
+            qx.switch_query(
+                _engine(s, d), "code",
+                cases={"code": "spark merge", "prose": "customer data"},
+                default="batch", k=10,
+            )
+        )
+
+    q["switch_case_query"] = switch_q
+
     def nrt_incremental(s, d):
         """Incremental (2-batch append + commit) build must be
         query-identical to the batch oracle over the full table."""
@@ -1241,6 +1264,12 @@ ORDER BY CAST(score_raw AS REAL) DESC, sc.doc_id ASC LIMIT 10
         not_terms=["merge"],
     )
     o["term_range_text"] = expansion_topk_sql("tok >= 'spark' AND tok <= 'sparkz'")
+    o["simple_query_cnf"] = boosted_bool_sql(
+        {"batch": 1.0, "stream": 1.0, "customer": 1.0},
+        must_any=[["batch", "stream"], ["customer"]],
+        not_terms=["merge"],
+    )
+    o["switch_case_query"] = bm25_topk_sql(tok.tokenize_py("spark merge"), "OR")
 
     # incremental build == batch build == the same SQL oracle
     o["nrt_incremental_bm25"] = bm25_topk_sql(tok.tokenize_py(_Q_OR), "OR")

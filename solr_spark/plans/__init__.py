@@ -1,3 +1,3 @@
-from solr_spark.plans.compiler import execute_query
+from solr_spark.plans.compiler import execute_ast, execute_query
 
-__all__ = ["execute_query"]
+__all__ = ["execute_ast", "execute_query"]

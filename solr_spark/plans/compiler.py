@@ -284,7 +284,20 @@ def execute_query(
         parts += [f"{t}*" for t in query.prefix_terms]
         query = (" AND " if query.mode == "AND" else " ").join(parts)
         default_mode = "OR"
-    ast = parse_lucene(query, default_mode)
+    return execute_ast(
+        engine, parse_lucene(query, default_mode), k=k, max_expansions=max_expansions
+    )
+
+
+def execute_ast(
+    engine: SearchEngine,
+    ast,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Compile and run a pre-parsed boolean AST (the shared back half of
+    :func:`execute_query`; also the execution target for alternative
+    front-end grammars — e.g. the ``simple`` parser)."""
     if not isinstance(ast, BoolQ):
         ast = BoolQ(should=[ast])
 

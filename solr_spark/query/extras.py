@@ -446,6 +446,23 @@ def highlight_topk(
     )
 
 
+def switch_query(
+    engine: SearchEngine, value: str | None, cases: dict[str, str],
+    default: str | None = None, k: int = 10,
+) -> DataFrame:
+    """SwitchQParserPlugin analog: dispatch a param VALUE to one of a set
+    of registered subqueries (``case.foo=...``, ``default=...``); the
+    selected query string runs through the full lucene compiler. A value
+    with no case and no default is an error, matching the reference."""
+    from solr_spark.plans import execute_query
+
+    key = "" if value is None else value
+    target = cases.get(key, default)
+    if target is None:
+        raise KeyError(f"switch: no case for {value!r} and no default")
+    return execute_query(engine, target, k=k)
+
+
 def highlight_passages(
     engine: SearchEngine, query: str, corpus: DataFrame, text_col: str = "text",
     id_col: str = "doc_id", passage_words: int = 10, n_passages: int = 2,

@@ -428,3 +428,141 @@ def parse_lucene(q: str, default_op: str = "OR"):
     """Parse a lucene-syntax query string into the boolean AST."""
     node = _Parser(_lex(q), default_op).parse_or()
     return node if node is not None else BoolQ()
+
+
+# ===========================================================================
+# `simple` grammar (SimpleQParserPlugin / Lucene SimpleQueryParser):
+# `+` = AND, `|` = OR (AND binds tighter), `-` = NOT, `"..."` phrase
+# (`~N` slop), trailing `*` prefix, `~N` fuzzy, `(...)` grouping,
+# whitespace = default operator. NEVER throws: malformed pieces degrade
+# to literal terms / get dropped (the parser's defining property —
+# reference search/SimpleQParserPlugin.java).
+# ===========================================================================
+
+_SIMPLE_LEX = re.compile(
+    r"""
+    \s*(?:
+        (?P<lparen>\()
+      | (?P<rparen>\))
+      | (?P<orop>\|)
+      | (?P<andop>\+)
+      | (?P<minus>-)
+      | (?P<quoted>"[^"]*(?:"(?:~\d+)?)?)
+      | (?P<word>[^\s()|+\-"]+)
+    )
+    """,
+    re.VERBOSE,
+)
+
+
+class _SimpleParser:
+    def __init__(self, toks: list[tuple[str, str]], default_op: str):
+        self.toks = toks
+        self.i = 0
+        self.default_op = default_op
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    @staticmethod
+    def _join(nodes: list, occur: str):
+        nodes = [n for n in nodes if n is not None]
+        if not nodes:
+            return None
+        if len(nodes) == 1:
+            return nodes[0]
+        b = BoolQ()
+        for n in nodes:
+            if isinstance(n, BoolQ) and n.must_not and not (n.must or n.should):
+                b.must_not.extend(n.must_not)  # hoist `-x` into the group
+            elif occur == "must":
+                b.must.append(n)
+            else:
+                b.should.append(n)
+        return b
+
+    def parse_or(self):
+        parts = [self.parse_and()]
+        while self.peek() and self.peek()[0] == "orop":
+            self.next()
+            parts.append(self.parse_and())
+        return self._join(parts, "should")
+
+    def parse_and(self):
+        parts = [self.parse_unary()]
+        explicit_and = False
+        while True:
+            t = self.peek()
+            if t is None or t[0] in ("orop", "rparen"):
+                break
+            if t[0] == "andop":
+                self.next()
+                explicit_and = True
+                parts.append(self.parse_unary())
+                continue
+            # adjacency: whitespace joins with the default operator
+            parts.append(self.parse_unary())
+        occur = "must" if (explicit_and or self.default_op == "AND") else "should"
+        return self._join(parts, occur)
+
+    def parse_unary(self):
+        t = self.peek()
+        if t is None:
+            return None
+        kind, _ = t
+        if kind == "minus":
+            self.next()
+            inner = self.parse_unary()
+            return BoolQ(must_not=[inner]) if inner is not None else None
+        return self.parse_primary()
+
+    def parse_primary(self):
+        t = self.peek()
+        if t is None:
+            return None
+        kind, val = self.next()
+        if kind == "lparen":
+            node = self.parse_or()
+            if self.peek() and self.peek()[0] == "rparen":
+                self.next()  # lenient: unclosed group is fine
+            return node
+        if kind == "rparen":  # stray ')' — drop it, keep parsing
+            return self.parse_primary() if self.peek() else None
+        if kind == "quoted":
+            body = val
+            slop = 0
+            m = re.search(r'"~(\d+)$', body)
+            if m:
+                slop = int(m.group(1))
+                body = body[: m.start() + 1]
+            return PhraseQ(body.strip('"'), slop=slop)
+        m = _FUZZ_RE.search(val)
+        if m and m.start() > 0:
+            edits = int(m.group(1)) if m.group(1) else 2
+            return FuzzyQ(val[: m.start()], max_edits=edits)
+        if val.endswith("*") and len(val) > 1:
+            return WildQ(val)
+        return TermQ(val.replace("*", ""))  # inner '*' not simple syntax
+
+
+def parse_simple(q: str, default_op: str = "OR"):
+    """Parse ``simple`` syntax into the same boolean AST
+    :func:`parse_lucene` produces (executed by plans.execute_ast)."""
+    toks, pos = [], 0
+    while pos < len(q):
+        m = _SIMPLE_LEX.match(q, pos)
+        if not m or m.end() == pos:
+            pos += 1
+            continue
+        pos = m.end()
+        for name, v in m.groupdict().items():
+            if v is not None:
+                toks.append((name, v))
+                break
+    node = _SimpleParser(toks, default_op).parse_or()
+    return node if node is not None else BoolQ()

@@ -276,3 +276,24 @@ def test_execute_query_double_negation_and_nested_not(engine):
            execute_query(engine, "server -(client OR parse)", k=10**6).collect()}
     parse = {r["doc_id"] for r in execute_query(engine, "parse", k=10**6).collect()}
     assert grp == base - (client | parse)
+
+
+def test_parse_simple_shapes():
+    from solr_spark.query.parser import parse_simple
+
+    ast = parse_simple("(batch|stream)+customer -merge")
+    assert isinstance(ast, BoolQ)
+    assert [t.text for t in ast.must_not] == ["merge"]
+    grp = ast.must[0]
+    assert [t.text for t in grp.should] == ["batch", "stream"]
+    assert ast.must[1].text == "customer"
+
+    # AND (+) binds tighter than OR (|)
+    ast = parse_simple("a+b|c")
+    assert len(ast.should) == 2 and ast.should[1].text == "c"
+    assert [t.text for t in ast.should[0].must] == ["a", "b"]
+
+    # lenient: stray parens / quotes never throw
+    assert parse_simple('foo* "unclosed ~x (') is not None
+    ph = parse_simple('"big data"~2')
+    assert isinstance(ph, PhraseQ) and ph.slop == 2
