@@ -396,6 +396,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["switch_case_query"] = switch_q
 
+    q["rank_feature_satu"] = lambda s, d: qx.rank_feature(
+        _read(s, d, "documents"), "n_chars", "satu", k_param=100.0, k=10
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
     def nrt_incremental(s, d):
         """Incremental (2-batch append + commit) build must be
         query-identical to the batch oracle over the full table."""
@@ -1270,6 +1274,12 @@ ORDER BY CAST(score_raw AS REAL) DESC, sc.doc_id ASC LIMIT 10
         not_terms=["merge"],
     )
     o["switch_case_query"] = bm25_topk_sql(tok.tokenize_py("spark merge"), "OR")
+    o["rank_feature_satu"] = """
+SELECT doc_id, ROUND(CAST(n_chars AS DOUBLE) / (n_chars + 100.0), 6) AS score
+FROM documents
+ORDER BY CAST(n_chars AS DOUBLE) / (n_chars + 100.0) DESC, doc_id ASC
+LIMIT 10
+""".strip()
 
     # incremental build == batch build == the same SQL oracle
     o["nrt_incremental_bm25"] = bm25_topk_sql(tok.tokenize_py(_Q_OR), "OR")

@@ -76,36 +76,39 @@ def main() -> None:
         doc_engine = SearchEngine(didx)
 
     # --- workload 3: query latency (SimpleSearch analog) on the synth index
-    eng = SearchEngine(idx)
-    for qname, (qtext, mode) in {
-        "q_bm25_hot": ("import", "OR"),
-        "q_bm25_and": ("server client", "AND"),
-        "q_bm25_or": ("parse json http", "OR"),
-        "q_bm25_camel": ("getUserName", "OR"),
-    }.items():
-        t0 = time.time()
-        eng.topk(qtext, k=10, mode=mode).collect()
-        queries[qname] = round(time.time() - t0, 3)
+    # Protocol (VERDICT r2): BEST-OF-N clean trials per query — the
+    # sandbox host has bursty CPU steal, so a single-shot number measures
+    # the host as much as the engine (BENCH_r02's +34% "regression" was
+    # partly that). Each trial uses a FRESH SearchEngine so the memoized
+    # term-stats path never hides the fresh-query cost; the index handle
+    # (parquet listings) is shared, as it would be in a real server.
+    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 
-    # round-2 paths: positional phrase + compiled nested boolean query
     from solr_spark.plans import execute_query
     from solr_spark.query.phrase import phrase_topk
 
-    t0 = time.time()
-    phrase_topk(eng, "import os", k=10).collect()
-    queries["q_phrase"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    execute_query(eng, "(server OR client) AND parse -xml", k=10).collect()
-    queries["q_lucene_nested"] = round(time.time() - t0, 3)
+    def timed(qname, idx_, fn):
+        best = None
+        for _ in range(n_trials):
+            e = SearchEngine(idx_)
+            t0 = time.time()
+            fn(e)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        queries[qname] = round(best, 3)
+
+    timed("q_bm25_hot", idx, lambda e: e.topk("import", k=10).collect())
+    timed("q_bm25_and", idx, lambda e: e.topk("server client", k=10, mode="AND").collect())
+    timed("q_bm25_or", idx, lambda e: e.topk("parse json http", k=10).collect())
+    timed("q_bm25_camel", idx, lambda e: e.topk("getUserName", k=10).collect())
+    timed("q_phrase", idx, lambda e: phrase_topk(e, "import os", k=10).collect())
+    timed("q_lucene_nested", idx,
+          lambda e: execute_query(e, "(server OR client) AND parse -xml", k=10).collect())
 
     if doc_engine is not None:
-        for qname, (qtext, mode) in {
-            "q_docs_bm25_or": ("spark merge data", "OR"),
-            "q_docs_bm25_and": ("vector customer", "AND"),
-        }.items():
-            t0 = time.time()
-            doc_engine.topk(qtext, k=10, mode=mode).collect()
-            queries[qname] = round(time.time() - t0, 3)
+        didx = doc_engine.index
+        timed("q_docs_bm25_or", didx, lambda e: e.topk("spark merge data", k=10).collect())
+        timed("q_docs_bm25_and", didx, lambda e: e.topk("vector customer", k=10, mode="AND").collect())
 
     # --- workload 4: facet/agg (JsonFaceting analog)
     t0 = time.time()

@@ -446,6 +446,29 @@ def highlight_topk(
     )
 
 
+def rank_feature(
+    df: DataFrame, feature_col: str, function: str = "satu",
+    k_param: float = 1.0, a_param: float = 1.0, id_col: str = "doc_id", k: int = 10,
+) -> DataFrame:
+    """RankQParserPlugin analog (``search/RankQParserPlugin.java``,
+    Lucene FeatureField): rank docs purely by a stored numeric feature
+    through one of the frozen saturation functions —
+    ``satu``: f/(f+k) · ``log``: ln(a+f) · ``linear``: f.
+    Pure column expression → TakeOrderedAndProject; the feature column
+    is the only one read (column pruning)."""
+    f = F.col(feature_col).cast("double")
+    score = {
+        "satu": f / (f + F.lit(float(k_param))),
+        "log": F.log(F.lit(float(a_param)) + f),
+        "linear": f,
+    }[function]
+    return (
+        df.select(F.col(id_col).alias("doc_id"), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def switch_query(
     engine: SearchEngine, value: str | None, cases: dict[str, str],
     default: str | None = None, k: int = 10,
