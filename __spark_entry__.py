@@ -602,6 +602,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["xml_roundtrip_ingest"] = xml_roundtrip
 
+    def json_roundtrip(s, d):
+        """JSONResponseWriter → JsonLoader roundtrip (newline-delimited
+        /update/json/docs form)."""
+        import shutil
+
+        from solr_spark.sources import load_json_docs, write_response_json
+
+        docs = _read(s, d, "documents").select("doc_id", "lang", "n_chars")
+        tmp = f"/tmp/solr_spark_entry_json_{os.path.basename(os.path.normpath(d))}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_response_json(docs, tmp)
+        back = load_json_docs(s, tmp, schema="doc_id long, lang string, n_chars long")
+        return back.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        ).orderBy("lang")
+
+    q["json_roundtrip_ingest"] = json_roundtrip
+
+    def parse_csv_q(s, d):
+        """parseCSV/parseTSV stream evaluator analog: typed parse of a
+        CSV-line string column via from_csv (JVM, no per-tuple Python)."""
+        from solr_spark.sources.loaders import parse_csv_col
+
+        lines = _read(s, d, "documents").select(
+            F.concat_ws(",", "doc_id", "lang", "n_chars").alias("line")
+        )
+        parsed = parse_csv_col(lines, "line", "id long, lang string, n_chars long")
+        return (
+            parsed.select("_parsed.id", "_parsed.lang", "_parsed.n_chars")
+            .groupBy("lang")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+            )
+            .orderBy("lang")
+        )
+
+    q["parse_csv_stream"] = parse_csv_q
+
     def func_scalars(s, d):
         from solr_spark.functions import linear, map_value, recip, strdist
 
@@ -1090,6 +1130,16 @@ def oracle_sql() -> dict[str, str]:
     o["xml_roundtrip_ingest"] = """
         SELECT lang, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(length(text)) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """
+    o["json_roundtrip_ingest"] = """
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """
+    o["parse_csv_stream"] = """
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang ORDER BY lang
     """
     o["function_query_scalars"] = """

@@ -127,3 +127,12 @@ def _parse_ddl(spark: SparkSession, ddl: str):
     from pyspark.sql.types import _parse_datatype_string
 
     return _parse_datatype_string(ddl)
+
+
+def parse_csv_col(df: DataFrame, col: str, schema: str, sep: str = ",") -> DataFrame:
+    """parseCSV / parseTSV stream-evaluator analog (solrj-streaming
+    ``io/stream/ParseCSVStream`` / ``ParseTSVStream``): parse a CSV-line
+    string COLUMN into typed fields with ``from_csv`` — JVM-side, no
+    Python, unlike the reference's per-tuple driver parse. ``sep='\\t'``
+    is the TSV form. Adds a ``_parsed`` struct column."""
+    return df.withColumn("_parsed", F.from_csv(F.col(col), schema, {"sep": sep}))
