@@ -689,6 +689,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("doc_id", F.round("func_value", 6).alias("func_value")).orderBy("doc_id")
 
     def cursor_q(s, d):
+        """cursorMark demo: WALKS three pages driver-side on purpose —
+        each `cursor_page(after=...)` call is itself the stateless
+        search_after operator (the cursor is plain data, relational.py);
+        a real pager issues one such call per request. The loop here just
+        exercises page-chaining determinism for the oracle."""
         docs = _read(s, d, "documents")
         sort = [("n_chars", "desc"), ("doc_id", "asc")]
         after = None

@@ -54,6 +54,7 @@ def main():
     oqs = entry_mod.oracle_sql()
     only = sys.argv[1:] or list(qs)
     n_pass = n_fail = 0
+    log: dict[str, dict] = {}  # driver-format record (CORRECTNESS_*.json)
     for name in only:
         fn = qs[name]
         t0 = time.time()
@@ -63,11 +64,17 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            log[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                         "spark_rows": None, "oracle_rows": None,
+                         "err": f"spark error {type(e).__name__}: {e}"}
             n_fail += 1
             continue
         dt = time.time() - t0
         if name not in oqs:
             print(f"SKIP {name}: no oracle ({len(srows)} rows, {dt:.1f}s)")
+            log[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                         "spark_rows": len(srows), "oracle_rows": None,
+                         "err": "rows-only: no SQL oracle (by design)"}
             continue
         try:
             res = con.execute(oqs[name])
@@ -75,24 +82,42 @@ def main():
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            log[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                         "spark_rows": len(srows), "oracle_rows": None,
+                         "err": f"duckdb error: {e}"}
             n_fail += 1
             continue
         problems = []
-        if sorted(scols) != sorted(dcols):
+        schema_ok = sorted(scols) == sorted(dcols)
+        rows_ok = len(srows) == len(drows)
+        if not schema_ok:
             problems.append(f"schema {sorted(scols)} != {sorted(dcols)}")
-        if len(srows) != len(drows):
+        if not rows_ok:
             problems.append(f"rowcount {len(srows)} != {len(drows)}")
+        hash_ok = False
         if not problems:
             a, b = norm_rows(scols, srows), norm_rows(dcols, drows)
-            if a != b:
+            hash_ok = a == b
+            if not hash_ok:
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ, e.g. {diff}")
+        log[name] = {"rows_match": rows_ok, "schema_match": schema_ok,
+                     "hash_match": hash_ok, "spark_rows": len(srows),
+                     "oracle_rows": len(drows),
+                     "err": "; ".join(problems) or None}
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             n_fail += 1
         else:
             print(f"OK   {name} ({len(srows)} rows, {dt:.1f}s)")
             n_pass += 1
+    json_path = os.environ.get("CHECK_ENTRY_JSON")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(log, f, indent=1)
+        print(f"log written: {json_path}")
     print(f"\n{n_pass} passed, {n_fail} failed")
     sys.exit(1 if n_fail else 0)
 

@@ -131,22 +131,28 @@ def _write_manifest(out_dir: str, stage: str, config: IndexConfig, t0: float, ex
     with its row count and size, plus stage wall time and the config hash
     that produced it.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
     sdir = _stage_dir(out_dir, stage)
-    files = []
+    paths = []
     for root, _dirs, names in os.walk(sdir):
         for n in sorted(names):
             if n.endswith(".parquet"):
-                p = os.path.join(root, n)
-                md = pq.ParquetFile(p).metadata
-                files.append(
-                    {
-                        "file": os.path.relpath(p, sdir),
-                        "rows": md.num_rows,
-                        "bytes": os.path.getsize(p),
-                    }
-                )
+                paths.append(os.path.join(root, n))
+
+    def _one(p: str) -> dict:
+        return {
+            "file": os.path.relpath(p, sdir),
+            "rows": pq.ParquetFile(p).metadata.num_rows,
+            "bytes": os.path.getsize(p),
+        }
+
+    # footer reads are I/O-bound and independent — a serial loop here is
+    # pure driver-side dead time that a cluster build would pay per stage
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as ex:
+        files = list(ex.map(_one, paths))
     manifest = {
         "stage": stage,
         "config_hash": config.config_hash(),
