@@ -942,6 +942,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_percentiles"] = eval_percentiles
 
+    def eval_moving_avg(s, d):
+        """MovingAverageEvaluator analog: trailing 7-point mean over the
+        per-type daily event-count series (grouped window — each group
+        sorts inside one task, groups spread across the cluster)."""
+        daily = (
+            _read(s, d, "events")
+            .groupBy("event_type", F.to_date("ts").alias("day"))
+            .agg(F.count("*").cast("double").alias("n_events"))
+        )
+        out = ev.moving_avg(daily, "day", "n_events", n=7, by="event_type")
+        return out.select(
+            "event_type", "day", F.round("moving_avg", 4).alias("moving_avg_7d")
+        ).orderBy("event_type", "day")
+
+    q["eval_moving_avg"] = eval_moving_avg
+
+    def eval_series_diff(s, d):
+        """DiffEvaluator analog (serial difference of the daily series);
+        first day of each group is NULL, matching the reference's
+        series-shortening semantics."""
+        daily = (
+            _read(s, d, "events")
+            .groupBy("event_type", F.to_date("ts").alias("day"))
+            .agg(F.count("*").cast("double").alias("n_events"))
+        )
+        out = ev.series_diff(daily, "day", "n_events", by="event_type")
+        return out.select("event_type", "day", "diff").orderBy("event_type", "day")
+
+    q["eval_series_diff"] = eval_series_diff
+
+    def eval_zscores(s, d):
+        """zscores/NormalizeEvaluator analog: per-type standardization via
+        grouped stats broadcast-joined back (no global window sort), then
+        an outlier filter |z| > 2.5."""
+        out = ev.zscores(_read(s, d, "events"), "value", by="event_type")
+        return (
+            out.where(F.abs(F.col("zscore")) > 2.5)
+            .select(
+                "event_id", "event_type", "value",
+                F.round("zscore", 4).alias("zscore"),
+            )
+            .orderBy("event_id")
+        )
+
+    q["eval_zscores"] = eval_zscores
+
     # --- training-data pipeline: text analysis ---
     def text_analysis(s, d):
         docs = _read(s, d, "documents").where(F.col("doc_id") < 20)
@@ -1613,6 +1659,33 @@ FROM events GROUP BY event_type ORDER BY event_type
         f"FROM lineitem GROUP BY l_linestatus)"
         for p in (0.25, 0.5, 0.75, 0.95)
     ) + " ORDER BY l_linestatus, p"
+    o["eval_moving_avg"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT event_type, day,
+       ROUND(AVG(n_events) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS moving_avg_7d
+FROM daily ORDER BY event_type, day
+""".strip()
+    o["eval_series_diff"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT event_type, day,
+       n_events - LAG(n_events, 1) OVER (PARTITION BY event_type ORDER BY day) AS diff
+FROM daily ORDER BY event_type, day
+""".strip()
+    o["eval_zscores"] = """
+WITH st AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - st.mu) / st.sd, 4) AS zscore
+FROM events e JOIN st USING (event_type)
+WHERE abs((e.value - st.mu) / st.sd) > 2.5
+ORDER BY e.event_id
+""".strip()
     o["dedup_embedding_cosine"] = embedding_lsh_sql(0.45)
     o["dedup_embedding_exact"] = embedding_neardup_sql(0.45)
     o["ann_cosine_top10"] = ann_topk_sql(query_id=0, k=10)

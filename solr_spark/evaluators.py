@@ -80,3 +80,74 @@ def percentiles(df: DataFrame, col: str, ps: list[float], by: str | None = None)
     return base.select(
         *keep, F.explode(F.arrays_zip(p_arr.alias("p"), F.col("qs").alias("q"))).alias("z")
     ).select(*keep, F.col("z.p").alias("p"), F.col("z.q").alias("q"))
+
+
+def moving_avg(
+    df: DataFrame, order_col: str, val_col: str, n: int, by: str | None = None
+) -> DataFrame:
+    """MovingAverageEvaluator analog (``io/eval/MovingAverageEvaluator.
+    java``): trailing mean over the last ``n`` points of an ordered
+    series, per group.
+
+    Scale shape: ``Window.partitionBy(group)`` — each group's series
+    sorts inside one task, groups spread across the cluster. (An
+    un-grouped call funnels the whole series into one partition — callers
+    at scale must group; the reference evaluator is driver-side and has
+    the same ceiling at 1 machine.) First n-1 points average what is
+    available so far, matching a shrinking head window.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*( [by] if by else [] ))
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), 0)
+    )
+    keep = [by] if by else []
+    return df.select(
+        *keep, order_col, F.avg(val_col).over(w).alias("moving_avg")
+    )
+
+
+def series_diff(
+    df: DataFrame, order_col: str, val_col: str, by: str | None = None
+) -> DataFrame:
+    """DiffEvaluator analog (serial difference x_t - x_{t-1}) — LAG over
+    the per-group ordered series; the first point of each group is NULL
+    (no predecessor), matching the reference's series shortening by one.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*( [by] if by else [] )).orderBy(order_col)
+    keep = [by] if by else []
+    return df.select(
+        *keep,
+        order_col,
+        (F.col(val_col) - F.lag(val_col, 1).over(w)).alias("diff"),
+    )
+
+
+def zscores(df: DataFrame, val_col: str, by: str | None = None) -> DataFrame:
+    """NormalizeEvaluator / ``zscores`` analog: (x - mean) / stddev_samp
+    per group.
+
+    Deliberately NOT a window function: group stats come from one
+    grouped aggregation broadcast-joined back, so no per-group sort and
+    no single-partition funnel — two narrow passes over the data instead
+    of a global window sort. (Ref evaluates driver-side over a
+    materialized vector.)
+    """
+    keep = [by] if by else []
+    if by:
+        stats = df.groupBy(by).agg(
+            F.mean(val_col).alias("_mu"), F.stddev_samp(val_col).alias("_sd")
+        )
+        joined = df.join(F.broadcast(stats), by)
+    else:
+        stats = df.agg(
+            F.mean(val_col).alias("_mu"), F.stddev_samp(val_col).alias("_sd")
+        )
+        joined = df.crossJoin(F.broadcast(stats))
+    return joined.select(
+        *df.columns, ((F.col(val_col) - F.col("_mu")) / F.col("_sd")).alias("zscore")
+    )

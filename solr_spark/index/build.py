@@ -205,7 +205,13 @@ def assign_doc_ids(df: DataFrame, sort_cols: list[str], partitions: int | None =
     """
     spark = df.sparkSession
     if partitions is None:
-        partitions = max(spark.sparkContext.defaultParallelism, 1)
+        # 3 tasks per slot, not 1: the analyze/postings stages downstream
+        # inherit this partitioning, and at 1 task/core any per-partition
+        # work imbalance (doc-length skew) becomes straggler wall-time.
+        # Finer tasks let the scheduler rebalance — standard cluster
+        # sizing (2-4x slots); doc_id assignment is partition-count
+        # invariant (rank over a unique key), so this is purely physical.
+        partitions = max(3 * spark.sparkContext.defaultParallelism, 1)
 
     part = (
         df.repartitionByRange(partitions, *sort_cols)
