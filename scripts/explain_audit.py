@@ -200,6 +200,69 @@ def main() -> None:
         [("all self-joins keyed on LSH bands (no all-pairs cross join)", not bad_vec_join)],
     ))
 
+    # 14. spatial geodist sort: pure JVM expressions (no Python eval
+    #     stage anywhere) and the top-k is TakeOrderedAndProject — no
+    #     global sort shuffle before the limit
+    from solr_spark.operators.spatial import geodist, geofilt, synth_coords
+
+    sdf = synth_coords(docs_tbl, "doc_id")
+    p = plan_of(
+        geodist(sdf, "lat", "lon", (40.0, -74.0))
+        .select("doc_id", "dist_km").orderBy("dist_km", "doc_id").limit(10)
+    )
+    sections.append((
+        "Spatial geodist top-k (haversine sort)", p,
+        [
+            ("no Python eval stages (all JVM expressions)",
+             "MapInPandas" not in p and "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+            ("top-k via TakeOrderedAndProject (no global sort)", "TakeOrderedAndProject" in p),
+            ("haversine inside WholeStageCodegen", "codegen id" in p),
+        ],
+    ))
+
+    # 15. geofilt: the radius predicate is a plain Filter over codegen'd
+    #     expressions — on a table with STORED lat/lon the bbox
+    #     rectangle pushes to the parquet scan; here coords are derived,
+    #     so the check is filter-before-anything-wide + no Python
+    p = plan_of(geofilt(sdf, "lat", "lon", (40.0, -74.0), 2000.0).select("doc_id"))
+    sections.append((
+        "Spatial geofilt (radius filter)", p,
+        [
+            ("single map-only stage (no exchange)", "Exchange" not in p),
+            ("no Python eval stages", "MapInPandas" not in p and "BatchEvalPython" not in p),
+        ],
+    ))
+
+    # 16. zscores evaluator: deliberately NOT a window function — group
+    #     stats broadcast-joined back, so no per-group sort and no
+    #     single-partition funnel
+    from solr_spark import evaluators as ev
+
+    events_tbl = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    p = plan_of(ev.zscores(events_tbl, "value", by="event_type"))
+    sections.append((
+        "zscores evaluator (broadcast-stats, no window)", p,
+        [
+            ("no Window operator (no per-group sort)", "Window" not in p),
+            ("stats joined back via broadcast", "BroadcastHashJoin" in p),
+            ("map-side partial aggregation for the stats", p.count("HashAggregate") >= 2),
+        ],
+    ))
+
+    # 17. moving_avg evaluator: grouped window — partitionBy(group)
+    #     spreads series across the cluster instead of one global sort
+    daily = events_tbl.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    p = plan_of(ev.moving_avg(daily, "day", "n", n=7, by="event_type"))
+    sections.append((
+        "moving_avg evaluator (grouped window)", p,
+        [
+            ("window partitioned by group key (no single-partition funnel)",
+             bool(re.search(r"Window.*partition", p, re.S)) and "SinglePartition" not in p),
+        ],
+    ))
+
     # --- per-query driver-action counts (VERDICT r2 #1: measured, not
     # guessed — the r2 regression was driver-round-trip-bound) ---
     import time
