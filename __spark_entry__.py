@@ -396,6 +396,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["switch_case_query"] = switch_q
 
+    def executor_q(s, d):
+        """ExecutorStream analog: three stored lucene expressions compiled
+        into one unioned DAG — Spark interleaves all branches' tasks (the
+        cluster-wide form of the reference's executor thread pool)."""
+        from solr_spark.streaming.executor import executor_stream
+
+        stored = [
+            ("qA", "spark merge"),
+            ("qB", "(batch OR stream) AND customer -merge"),
+            ("qC", "table^2 customer"),
+        ]
+        return _rounded(executor_stream(_engine(s, d), stored, k=10)).orderBy(
+            "query_id", F.desc("score"), "doc_id"
+        )
+
+    q["executor_stored_queries"] = executor_q
+
     q["rank_feature_satu"] = lambda s, d: qx.rank_feature(
         _read(s, d, "documents"), "n_chars", "satu", k_param=100.0, k=10
     ).select("doc_id", F.round("score", 6).alias("score"))
@@ -1375,6 +1392,18 @@ ORDER BY CAST(score_raw AS REAL) DESC, sc.doc_id ASC LIMIT 10
         not_terms=["merge"],
     )
     o["switch_case_query"] = bm25_topk_sql(tok.tokenize_py("spark merge"), "OR")
+    _exec_parts = [
+        ("qA", bm25_topk_sql(tok.tokenize_py("spark merge"), "OR")),
+        ("qB", boosted_bool_sql(
+            {"batch": 1.0, "stream": 1.0, "customer": 1.0},
+            must_any=[["batch", "stream"], ["customer"]],
+            not_terms=["merge"],
+        )),
+        ("qC", boosted_bool_sql({"table": 2.0, "customer": 1.0})),
+    ]
+    o["executor_stored_queries"] = "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS query_id, t.* FROM ({sql}) t" for qid, sql in _exec_parts
+    )
     o["rank_feature_satu"] = """
 SELECT doc_id, ROUND(CAST(n_chars AS DOUBLE) / (n_chars + 100.0), 6) AS score
 FROM documents

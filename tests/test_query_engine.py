@@ -297,3 +297,48 @@ def test_parse_simple_shapes():
     assert parse_simple('foo* "unclosed ~x (') is not None
     ph = parse_simple('"big data"~2')
     assert isinstance(ph, PhraseQ) and ph.slop == 2
+
+
+# ---------------------------------------------------------------------------
+# executor stream (stored expressions unioned into one DAG)
+# ---------------------------------------------------------------------------
+
+from solr_spark.streaming.executor import executor_stream  # noqa: E402
+
+
+def test_executor_stream_matches_individual_queries(engine):
+    stored = [
+        ("a", "server parse"),
+        ("b", "(server OR client) AND parse"),
+        ("c", "server^2 client"),
+    ]
+    got = executor_stream(engine, stored, k=10).collect()
+    by_qid = {}
+    for r in got:
+        by_qid.setdefault(r["query_id"], {})[r["doc_id"]] = round(r["score"], 4)
+    assert set(by_qid) == {"a", "b", "c"}
+    for qid, qstr in stored:
+        solo = {
+            r["doc_id"]: round(r["score"], 4)
+            for r in execute_query(engine, qstr, k=10).collect()
+        }
+        assert by_qid[qid] == solo, qid
+
+
+def test_executor_stream_is_one_unioned_plan(engine):
+    # the N branches must form ONE lazy DAG collected by a single action
+    # (no driver-side per-expression dispatch loop) — that is the scale
+    # property vs the reference's single-node pool. AQE may split the
+    # action into several scheduler jobs; the structural invariant is
+    # the Union in one plan.
+    df = executor_stream(engine, [("a", "server"), ("b", "client")], k=5)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in plan
+    assert [f.name for f in df.schema.fields] == ["query_id", "doc_id", "score"]
+
+
+def test_executor_stream_empty_raises(engine):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        executor_stream(engine, [])
