@@ -1005,6 +1005,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_zscores"] = eval_zscores
 
+    def eval_ema(s, d):
+        """ExponentialMovingAverageEvaluator analog: seed = mean of the
+        first 7 daily counts, then y = 0.25*(x-y)+y per day, per type."""
+        daily = (
+            _read(s, d, "events")
+            .groupBy("event_type", F.to_date("ts").alias("day"))
+            .agg(F.count("*").cast("double").alias("n_events"))
+        )
+        out = ev.ema(daily, "day", "n_events", window=7, by="event_type")
+        return out.select(
+            "event_type", "day", F.round("ema", 4).alias("ema")
+        ).orderBy("event_type", "day")
+
+    q["eval_ema"] = eval_ema
+
+    def eval_ttest_welch(s, d):
+        """TTestEvaluator analog (two-sample Welch): click vs error
+        values — one grouped aggregation, no collect."""
+        out = ev.welch_ttest(
+            _read(s, d, "events"), "value", "event_type", "click", "error"
+        )
+        return out.select(
+            F.round("t_stat", 6).alias("t_stat"), F.round("df", 4).alias("df")
+        )
+
+    q["eval_ttest_welch"] = eval_ttest_welch
+
+    def eval_minmax_scale(s, d):
+        """MinMaxScaleEvaluator analog: per-type rescale of value to
+        [0,1]; broadcast-stats join (same shape as zscores)."""
+        out = ev.minmax_scale(
+            _read(s, d, "events").where(F.col("event_id") < 1000),
+            "value", by="event_type",
+        )
+        return out.select(
+            "event_id", "event_type", F.round("scaled", 6).alias("scaled")
+        ).orderBy("event_id")
+
+    q["eval_minmax_scale"] = eval_minmax_scale
+
     # --- training-data pipeline: text analysis ---
     def text_analysis(s, d):
         docs = _read(s, d, "documents").where(F.col("doc_id") < 20)
@@ -1713,6 +1753,49 @@ SELECT e.event_id, e.event_type, e.value,
        ROUND((e.value - st.mu) / st.sd, 4) AS zscore
 FROM events e JOIN st USING (event_type)
 WHERE abs((e.value - st.mu) / st.sd) > 2.5
+ORDER BY e.event_id
+""".strip()
+    o["eval_ema"] = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS n_events
+  FROM events GROUP BY 1, 2),
+ord AS (
+  SELECT event_type, day, n_events,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily),
+seed AS (
+  SELECT event_type, AVG(n_events) AS val,
+         MAX(day) AS day
+  FROM ord WHERE rn <= 7 GROUP BY event_type),
+r AS (
+  SELECT s.event_type, 7 AS rn, s.day, s.val FROM seed s
+  UNION ALL
+  SELECT o.event_type, o.rn, o.day,
+         0.25 * (o.n_events - r.val) + r.val AS val
+  FROM r JOIN ord o ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+SELECT event_type, day, ROUND(CAST(val AS DOUBLE), 4) AS ema
+FROM r ORDER BY event_type, day
+""".strip()
+    o["eval_ttest_welch"] = """
+WITH st AS (
+  SELECT event_type, avg(value) AS m, var_samp(value) AS v,
+         CAST(count(value) AS DOUBLE) AS n
+  FROM events WHERE event_type IN ('click', 'error') GROUP BY 1),
+a AS (SELECT m AS m1, v AS v1, n AS n1 FROM st WHERE event_type = 'click'),
+b AS (SELECT m AS m2, v AS v2, n AS n2 FROM st WHERE event_type = 'error')
+SELECT ROUND((m1 - m2) / sqrt(v1/n1 + v2/n2), 6) AS t_stat,
+       ROUND((v1/n1 + v2/n2) * (v1/n1 + v2/n2)
+             / ((v1/n1)*(v1/n1)/(n1-1) + (v2/n2)*(v2/n2)/(n2-1)), 4) AS df
+FROM a, b
+""".strip()
+    o["eval_minmax_scale"] = """
+WITH st AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx
+  FROM events WHERE event_id < 1000 GROUP BY 1)
+SELECT e.event_id, e.event_type,
+       ROUND((e.value - st.mn) / (st.mx - st.mn), 6) AS scaled
+FROM events e JOIN st USING (event_type)
+WHERE e.event_id < 1000
 ORDER BY e.event_id
 """.strip()
     o["dedup_embedding_cosine"] = embedding_lsh_sql(0.45)

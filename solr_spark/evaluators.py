@@ -151,3 +151,117 @@ def zscores(df: DataFrame, val_col: str, by: str | None = None) -> DataFrame:
     return joined.select(
         *df.columns, ((F.col(val_col) - F.col("_mu")) / F.col("_sd")).alias("zscore")
     )
+
+
+def ema(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    window: int,
+    alpha: float | None = None,
+    by: str | None = None,
+) -> DataFrame:
+    """ExponentialMovingAverageEvaluator analog (``io/eval/
+    ExponentialMovingAverageEvaluator.java:115-140``): seed = mean of the
+    first ``window`` points, then ``y = alpha*(x - y_prev) + y_prev`` for
+    every later point; ``alpha`` defaults to ``2/(window+1)``. Output
+    rows start at the window-th point of each group (the reference
+    shortens the series the same way).
+
+    Scale shape: grouped ``applyInPandas`` — the recurrence is inherently
+    serial *within* a series, so each group runs in one task (pandas'
+    C-loop ewm, not a Python loop) while groups spread across the
+    cluster. The reference evaluates driver-side over one materialized
+    vector; one machine per series is the same ceiling, minus the
+    single-driver funnel.
+    """
+    import pandas as pd
+
+    a = 2.0 / (window + 1.0) if alpha is None else float(alpha)
+    keep = [by] if by else []
+    out_schema = ", ".join(
+        [f"`{c}` {t}" for c, t in df.select(*keep, order_col).dtypes]
+        + ["ema double"]
+    )
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        if len(pdf) < window:
+            return pdf.iloc[0:0][[*keep, order_col]].assign(ema=pd.Series(dtype="float64"))
+        x = pdf[val_col].astype("float64")
+        seed = float(x.iloc[:window].mean())
+        # y_0 = seed; y_t = (1-a)*y_{t-1} + a*x_t  ==  ewm(adjust=False)
+        # over [seed, x_w, x_{w+1}, ...]
+        series = pd.concat([pd.Series([seed]), x.iloc[window:]], ignore_index=True)
+        y = series.ewm(alpha=a, adjust=False).mean()
+        res = pdf.iloc[window - 1 :][[*keep, order_col]].reset_index(drop=True)
+        res["ema"] = y.values
+        return res
+
+    if by:
+        return df.groupBy(by).applyInPandas(_one, out_schema)
+    return df.groupBy().applyInPandas(_one, out_schema)
+
+
+def welch_ttest(
+    df: DataFrame, val_col: str, group_col: str, g1: str, g2: str
+) -> DataFrame:
+    """TTestEvaluator analog (``io/eval/TTestEvaluator.java:88`` — the
+    two-sample form delegates to commons-math ``TTest.t``, Welch's
+    unequal-variance statistic). Returns one row
+    ``(t_stat, df)`` with the Satterthwaite degrees of freedom.
+
+    Pure grouped aggregation + scalar crossjoin — no UDF, no collect;
+    the p-value (a t-CDF lookup over two scalars) is left to the caller
+    since it is O(1) driver work.
+    """
+    st = (
+        df.where(F.col(group_col).isin([g1, g2]))
+        .groupBy(group_col)
+        .agg(
+            F.mean(val_col).alias("m"),
+            F.var_samp(val_col).alias("v"),
+            F.count(val_col).cast("double").alias("n"),
+        )
+    )
+    a = st.where(F.col(group_col) == g1).select(
+        F.col("m").alias("m1"), F.col("v").alias("v1"), F.col("n").alias("n1")
+    )
+    b = st.where(F.col(group_col) == g2).select(
+        F.col("m").alias("m2"), F.col("v").alias("v2"), F.col("n").alias("n2")
+    )
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    return a.crossJoin(b).select(
+        ((F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2)).alias("t_stat"),
+        (
+            (se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1))
+        ).alias("df"),
+    )
+
+
+def minmax_scale(
+    df: DataFrame, val_col: str, lo: float = 0.0, hi: float = 1.0, by: str | None = None
+) -> DataFrame:
+    """MinMaxScaleEvaluator analog: rescale to [lo, hi] per group via
+    ``lo + (x - min) * (hi - lo) / (max - min)``. Same broadcast-stats
+    shape as :func:`zscores` — no window, no per-group sort.
+    """
+    if by:
+        stats = df.groupBy(by).agg(
+            F.min(val_col).alias("_mn"), F.max(val_col).alias("_mx")
+        )
+        joined = df.join(F.broadcast(stats), by)
+    else:
+        stats = df.agg(F.min(val_col).alias("_mn"), F.max(val_col).alias("_mx"))
+        joined = df.crossJoin(F.broadcast(stats))
+    span = F.col("_mx") - F.col("_mn")
+    return joined.select(
+        *df.columns,
+        (
+            F.lit(float(lo))
+            + (F.col(val_col) - F.col("_mn")) * F.lit(float(hi) - float(lo))
+            / span
+        ).alias("scaled"),
+    )
