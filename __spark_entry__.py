@@ -1020,6 +1020,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_ema"] = eval_ema
 
+    def _daily(s, d):
+        return (
+            _read(s, d, "events")
+            .groupBy("event_type", F.to_date("ts").alias("day"))
+            .agg(F.count("*").cast("double").alias("n_events"))
+        )
+
+    def eval_moving_median(s, d):
+        """MovingMedianEvaluator analog: median of each full 7-day
+        trailing window (all-JVM array ops, grouped window)."""
+        out = ev.moving_median(_daily(s, d), "day", "n_events", n=7, by="event_type")
+        return out.select(
+            "event_type", "day", F.round("moving_median", 4).alias("moving_median")
+        ).orderBy("event_type", "day")
+
+    q["eval_moving_median"] = eval_moving_median
+
+    def eval_moving_mad(s, d):
+        """MovingMADEvaluator analog: mean absolute deviation around each
+        full 7-day window's mean (higher-order functions, no Python)."""
+        out = ev.moving_mad(_daily(s, d), "day", "n_events", n=7, by="event_type")
+        return out.select(
+            "event_type", "day", F.round("moving_mad", 4).alias("moving_mad")
+        ).orderBy("event_type", "day")
+
+    q["eval_moving_mad"] = eval_moving_mad
+
     def eval_ttest_welch(s, d):
         """TTestEvaluator analog (two-sample Welch): click vs error
         values — one grouped aggregation, no collect."""
@@ -1775,6 +1802,38 @@ r AS (
   FROM r JOIN ord o ON o.event_type = r.event_type AND o.rn = r.rn + 1)
 SELECT event_type, day, ROUND(CAST(val AS DOUBLE), 4) AS ema
 FROM r ORDER BY event_type, day
+""".strip()
+    _daily_ord_sql = """daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS n_events
+  FROM events GROUP BY 1, 2),
+ord AS (
+  SELECT event_type, day, n_events,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily)"""
+    o["eval_moving_median"] = f"""
+WITH {_daily_ord_sql},
+win AS (
+  SELECT event_type, day, rn,
+         median(n_events) OVER w AS med
+  FROM ord
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT event_type, day, ROUND(CAST(med AS DOUBLE), 4) AS moving_median
+FROM win WHERE rn >= 7 ORDER BY event_type, day
+""".strip()
+    o["eval_moving_mad"] = f"""
+WITH {_daily_ord_sql},
+win AS (
+  SELECT event_type, day, rn,
+         list(n_events) OVER w AS l
+  FROM ord
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+m AS (SELECT event_type, day, rn, l, list_avg(l) AS mn FROM win)
+SELECT event_type, day,
+       ROUND(CAST(list_avg(list_transform(l, x -> abs(x - mn))) AS DOUBLE), 4)
+         AS moving_mad
+FROM m WHERE rn >= 7 ORDER BY event_type, day
 """.strip()
     o["eval_ttest_welch"] = """
 WITH st AS (

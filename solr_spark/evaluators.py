@@ -265,3 +265,69 @@ def minmax_scale(
             / span
         ).alias("scaled"),
     )
+
+
+def _full_window(order_col: str, n: int, by: str | None):
+    from pyspark.sql.window import Window
+
+    keep = [by] if by else []
+    w = Window.partitionBy(*keep).orderBy(order_col).rowsBetween(-(n - 1), 0)
+    rn = Window.partitionBy(*keep).orderBy(order_col)
+    return keep, w, rn
+
+
+def moving_median(
+    df: DataFrame, order_col: str, val_col: str, n: int, by: str | None = None
+) -> DataFrame:
+    """MovingMedianEvaluator analog (``io/eval/MovingMedianEvaluator.
+    java``): median of each full n-point trailing window; the first n-1
+    points are dropped (the reference shortens the series).
+
+    All-JVM: collect_list over the grouped window + array_sort +
+    element_at — no Python stage, no per-group funnel beyond the
+    grouped sort every trailing-window evaluator needs.
+    """
+    keep, w, rn = _full_window(order_col, n, by)
+    arr = F.array_sort(F.collect_list(F.col(val_col).cast("double")).over(w))
+    m = F.size(arr)
+    mid_hi = (m / 2 + 1).cast("int")          # upper middle (1-based)
+    mid_lo = ((m + 1) / 2).cast("int")        # lower middle (1-based)
+    med = (F.element_at(arr, mid_lo) + F.element_at(arr, mid_hi)) / 2.0
+    return (
+        df.select(
+            *keep, order_col,
+            med.alias("moving_median"),
+            F.row_number().over(rn).alias("_rn"),
+        )
+        .where(F.col("_rn") >= n)
+        .drop("_rn")
+    )
+
+
+def moving_mad(
+    df: DataFrame, order_col: str, val_col: str, n: int, by: str | None = None
+) -> DataFrame:
+    """MovingMADEvaluator analog (``io/eval/MovingMADEvaluator.java:70-82``):
+    mean absolute deviation around each full n-point window's mean,
+    Σ|x - mean|/n; first n-1 points dropped.
+
+    All-JVM higher-order functions over the window-collected array
+    (aggregate for the mean, transform+aggregate for the deviations).
+    """
+    keep, w, rn = _full_window(order_col, n, by)
+    arr = F.collect_list(F.col(val_col).cast("double")).over(w)
+    mean = F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v) / F.size(arr)
+
+    def _mad_of(a, m):
+        dev = F.transform(a, lambda v: F.abs(v - m))
+        return F.aggregate(dev, F.lit(0.0), lambda acc, v: acc + v) / F.size(a)
+
+    return (
+        df.select(
+            *keep, order_col,
+            _mad_of(arr, mean).alias("moving_mad"),
+            F.row_number().over(rn).alias("_rn"),
+        )
+        .where(F.col("_rn") >= n)
+        .drop("_rn")
+    )

@@ -128,3 +128,43 @@ def test_minmax_scale_bounds(series_df):
     merged = got.sort_values(["grp", "t"]).reset_index(drop=True)
     pdf2 = pdf.assign(exp=exp).sort_values(["grp", "t"]).reset_index(drop=True)
     assert np.allclose(merged["scaled"].to_numpy(), pdf2["exp"].to_numpy())
+
+
+def test_moving_median_matches_pandas(series_df):
+    df, pdf = series_df
+    got = (
+        ev.moving_median(df, "t", "x", n=5, by="grp")
+        .orderBy("grp", "t")
+        .toPandas()
+    )
+    exp = (
+        pdf.sort_values(["grp", "t"])
+        .groupby("grp")["x"]
+        .rolling(5)          # full windows only (NaN head)
+        .median()
+        .dropna()
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert np.allclose(got["moving_median"].to_numpy(), exp.to_numpy())
+
+
+def test_moving_mad_matches_reference_formula(series_df):
+    # MAD = mean |x - window mean| over full windows
+    # (ref: io/eval/MovingMADEvaluator.java:70-82)
+    df, pdf = series_df
+    got = (
+        ev.moving_mad(df, "t", "x", n=5, by="grp")
+        .orderBy("grp", "t")
+        .toPandas()
+    )
+    exp = (
+        pdf.sort_values(["grp", "t"])
+        .groupby("grp")["x"]
+        .rolling(5)
+        .apply(lambda w: np.mean(np.abs(w - w.mean())), raw=True)
+        .dropna()
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert np.allclose(got["moving_mad"].to_numpy(), exp.to_numpy())
