@@ -1072,6 +1072,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_minmax_scale"] = eval_minmax_scale
 
+    def eval_spearman(s, d):
+        """CorrelationEvaluator type=spearmans analog: average-rank
+        transform over the value dictionary (no row-level window), then
+        one grouped Pearson corr of the ranks."""
+        out = ev.spearman_corr(
+            _read(s, d, "lineitem"), "l_quantity", "l_extendedprice",
+            by="l_returnflag",
+        )
+        return out.select(
+            "l_returnflag", "n", F.round("spearman", 4).alias("spearman")
+        ).orderBy("l_returnflag")
+
+    q["eval_spearman"] = eval_spearman
+
+    def eval_mann_whitney(s, d):
+        """MannWhitneyUEvaluator analog: pooled average ranks (value-
+        dictionary window), tie-corrected normal-approximation z."""
+        out = ev.mann_whitney(
+            _read(s, d, "events"), "value", "event_type", "click", "error"
+        )
+        return out.select(
+            F.round("u1", 4).alias("u1"),
+            F.round("u2", 4).alias("u2"),
+            F.round("z", 6).alias("z"),
+        )
+
+    q["eval_mann_whitney"] = eval_mann_whitney
+
+    def eval_chi_square(s, d):
+        """ChiSquareDataSetEvaluator analog: independence over the
+        returnflag × linestatus contingency table."""
+        out = ev.chi_square(_read(s, d, "lineitem"), "l_returnflag", "l_linestatus")
+        return out.select(
+            F.round("chi2", 4).alias("chi2"), F.col("dof"), F.col("n")
+        )
+
+    q["eval_chi_square"] = eval_chi_square
+
+    def eval_anova(s, d):
+        """AnovaEvaluator analog: one-way F of value across event types."""
+        out = ev.anova1(_read(s, d, "events"), "value", "event_type")
+        return out.select(
+            F.round("f_stat", 6).alias("f_stat"), F.col("df1"), F.col("df2")
+        )
+
+    q["eval_anova"] = eval_anova
+
+    def eval_moments(s, d):
+        """Skewness / excess-kurtosis / geometric / harmonic means from
+        raw power sums (price pre-scaled by 1e4 — the moments are
+        scale-invariant and the scaling keeps E[x⁴] in clean-double
+        range; both engines compute the identical formula)."""
+        li = _read(s, d, "lineitem").withColumn(
+            "x", F.col("l_extendedprice") / F.lit(10000.0)
+        )
+        out = ev.moments(li, "x", by="l_returnflag")
+        return out.select(
+            "l_returnflag", "n",
+            F.round("mean", 4).alias("mean"),
+            F.round("skewness", 4).alias("skewness"),
+            F.round("kurtosis", 4).alias("kurtosis"),
+            F.round("geo_mean", 4).alias("geo_mean"),
+            F.round("harm_mean", 4).alias("harm_mean"),
+        ).orderBy("l_returnflag")
+
+    q["eval_moments"] = eval_moments
+
+    def eval_outliers(s, d):
+        """OutliersEvaluator analog (normalDistribution fit): rows whose
+        per-type normal CDF is < 0.005 or > 0.995 — inverse CDF once on
+        the driver, JVM z-score filter executor-side."""
+        out = ev.outliers_normal(
+            _read(s, d, "events"), "value", 0.005, 0.995, by="event_type"
+        )
+        return out.select(
+            "event_id", "event_type", F.round("value", 4).alias("value")
+        ).orderBy("event_id")
+
+    q["eval_outliers"] = eval_outliers
+
     # --- training-data pipeline: text analysis ---
     def text_analysis(s, d):
         docs = _read(s, d, "documents").where(F.col("doc_id") < 20)
@@ -1855,6 +1935,85 @@ SELECT e.event_id, e.event_type,
        ROUND((e.value - st.mn) / (st.mx - st.mn), 6) AS scaled
 FROM events e JOIN st USING (event_type)
 WHERE e.event_id < 1000
+ORDER BY e.event_id
+""".strip()
+    o["eval_spearman"] = """
+WITH r AS (
+  SELECT l_returnflag,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+           + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0 AS rx,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+           + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0 AS ry
+  FROM lineitem)
+SELECT l_returnflag, count(*) AS n, ROUND(corr(rx, ry), 4) AS spearman
+FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+""".strip()
+    o["eval_mann_whitney"] = """
+WITH d AS (SELECT value AS v, event_type AS g FROM events
+           WHERE event_type IN ('click', 'error')),
+r AS (SELECT g, rank() OVER (ORDER BY v)
+             + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS rk FROM d),
+t AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM d GROUP BY v),
+st AS (SELECT (SELECT sum(rk) FROM r WHERE g = 'click') AS r1,
+              (SELECT CAST(count(*) AS DOUBLE) FROM d WHERE g = 'click') AS n1,
+              (SELECT CAST(count(*) AS DOUBLE) FROM d) AS n,
+              (SELECT sum(tt*tt*tt - tt) FROM t) AS ties)
+SELECT ROUND(r1 - n1*(n1+1)/2.0, 4) AS u1,
+       ROUND(n1*(n-n1) - (r1 - n1*(n1+1)/2.0), 4) AS u2,
+       ROUND(((r1 - n1*(n1+1)/2.0) - n1*(n-n1)/2.0)
+             / sqrt(n1*(n-n1)/12.0 * ((n+1) - ties/(n*(n-1)))), 6) AS z
+FROM st
+""".strip()
+    o["eval_chi_square"] = """
+WITH obs AS (SELECT l_returnflag AS a, l_linestatus AS b,
+                    CAST(count(*) AS DOUBLE) AS o
+             FROM lineitem GROUP BY 1, 2),
+ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY a),
+cb AS (SELECT b, sum(o) AS cb FROM obs GROUP BY b),
+tot AS (SELECT sum(o) AS n, CAST(count(DISTINCT a) AS DOUBLE) AS ka,
+               CAST(count(DISTINCT b) AS DOUBLE) AS kb FROM obs)
+SELECT ROUND(sum((o - ra*cb/n) * (o - ra*cb/n) / (ra*cb/n))
+             + any_value(n) - sum(ra*cb/n), 4) AS chi2,
+       (any_value(ka) - 1) * (any_value(kb) - 1) AS dof,
+       any_value(n) AS n
+FROM obs JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+""".strip()
+    o["eval_anova"] = """
+WITH g AS (SELECT event_type, CAST(count(value) AS DOUBLE) AS ng,
+                  avg(value) AS mg, var_samp(value) AS vg
+           FROM events GROUP BY 1),
+gr AS (SELECT sum(ng) AS n, sum(ng * mg) AS s FROM g),
+st AS (SELECT sum(ng * (mg - s/n) * (mg - s/n)) AS ssb,
+              sum((ng - 1) * vg) AS ssw,
+              CAST(count(*) AS DOUBLE) AS k, any_value(n) AS n
+       FROM g CROSS JOIN gr)
+SELECT ROUND((ssb / (k-1)) / (ssw / (n-k)), 6) AS f_stat,
+       k - 1 AS df1, n - k AS df2
+FROM st
+""".strip()
+    o["eval_moments"] = """
+WITH li AS (SELECT l_returnflag, l_extendedprice / 10000.0 AS x FROM lineitem),
+b AS (SELECT l_returnflag, CAST(count(x) AS DOUBLE) AS n, avg(x) AS mean,
+             avg(x*x) AS e2, avg(x*x*x) AS e3, avg(x*x*x*x) AS e4,
+             exp(avg(ln(x))) AS geo, count(x) / sum(1.0/x) AS harm
+      FROM li GROUP BY 1)
+SELECT l_returnflag, n, ROUND(mean, 4) AS mean,
+       ROUND((e3 - 3*mean*e2 + 2*mean*mean*mean)
+             / pow(e2 - mean*mean, 1.5), 4) AS skewness,
+       ROUND((e4 - 4*mean*e3 + 6*mean*mean*e2 - 3*pow(mean, 4))
+             / pow(e2 - mean*mean, 2) - 3.0, 4) AS kurtosis,
+       ROUND(geo, 4) AS geo_mean, ROUND(harm, 4) AS harm_mean
+FROM b ORDER BY l_returnflag
+""".strip()
+    from statistics import NormalDist as _ND
+
+    _zlo, _zhi = _ND().inv_cdf(0.005), _ND().inv_cdf(0.995)
+    o["eval_outliers"] = f"""
+WITH st AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+            FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type, ROUND(e.value, 4) AS value
+FROM events e JOIN st USING (event_type)
+WHERE (e.value - mu) / sd < {_zlo!r} OR (e.value - mu) / sd > {_zhi!r}
 ORDER BY e.event_id
 """.strip()
     o["dedup_embedding_cosine"] = embedding_lsh_sql(0.45)

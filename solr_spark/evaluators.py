@@ -267,6 +267,244 @@ def minmax_scale(
     )
 
 
+def rank_transform(df: DataFrame, val_col: str, by: str | None = None) -> DataFrame:
+    """RankEvaluator analog (``io/eval/RankEvaluator.java`` — commons-math
+    NaturalRanking with ties=average): fractional/average ranks.
+
+    Scale shape: ranks are computed over DISTINCT values, not rows — one
+    groupBy collapses the column to (value, count), a cumulative-sum
+    window over that (much smaller) value dictionary yields
+    ``avg_rank(v) = #less(v) + (ties(v)+1)/2``, and a join fans the rank
+    back to rows. The per-group value dictionary sorts in one task;
+    rows never funnel through a single partition. (The reference ranks a
+    driver-side materialized vector — same math, one-machine ceiling.)
+    """
+    keep = [by] if by else []
+    return df.join(_rank_dict(df, val_col, by), [*keep, val_col])
+
+
+def _rank_dict(df: DataFrame, val_col: str, by: str | None) -> DataFrame:
+    """(group, value) → average rank, computed over the DISTINCT-value
+    dictionary: ``avg_rank(v) = #less(v) + (ties(v)+1)/2`` via one
+    cumulative-sum window over the (small) dictionary."""
+    from pyspark.sql.window import Window
+
+    keep = [by] if by else []
+    per_val = df.groupBy(*keep, val_col).agg(F.count("*").alias("_t"))
+    w = (
+        Window.partitionBy(*keep)
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return per_val.select(
+        *keep,
+        val_col,
+        (
+            F.coalesce(F.sum("_t").over(w), F.lit(0)).cast("double")
+            + (F.col("_t") + 1) / 2.0
+        ).alias("rank"),
+    )
+
+
+def spearman_corr(df: DataFrame, x: str, y: str, by: str | None = None) -> DataFrame:
+    """CorrelationEvaluator type=spearmans analog (``io/eval/
+    CorrelationEvaluator.java:119`` — commons-math SpearmansCorrelation =
+    Pearson over average-ranked vectors). Two rank transforms (each a
+    value-dictionary window + join-back, see :func:`rank_transform`) and
+    one grouped ``corr`` aggregation; everything JVM-side."""
+    keep = [by] if by else []
+    rx = _rank_dict(df, x, by).withColumnRenamed("rank", "_rx")
+    ry = _rank_dict(df, y, by).withColumnRenamed("rank", "_ry")
+    # rank is a function of the value, so joining the two dictionaries
+    # back on (group, value) re-pairs the rank vectors through the rows
+    both = df.select(*keep, x, y).join(rx, [*keep, x]).join(ry, [*keep, y])
+    aggs = [F.count("*").alias("n"), F.corr("_rx", "_ry").alias("spearman")]
+    return both.groupBy(by).agg(*aggs) if by else both.agg(*aggs)
+
+
+def mann_whitney(
+    df: DataFrame, val_col: str, group_col: str, g1: str, g2: str
+) -> DataFrame:
+    """MannWhitneyUEvaluator analog (``io/eval/MannWhitneyUEvaluator.
+    java`` — commons-math MannWhitneyUTest): rank-sum U over the pooled
+    sample with average ranks for ties. Returns one row
+    ``(u1, u2, z)`` where z is the tie-corrected normal approximation
+    ``(u1 - n1*n2/2) / sigma`` (the reference's p-value is the normal
+    CDF over this scalar — O(1) driver work left to the caller).
+
+    Pooled ranks come from the value-dictionary trick (groupBy value →
+    cumulative window over distinct values), so the only window runs
+    over the value dictionary, and the tie-correction term
+    ``Σ(t³-t)`` falls out of the same dictionary for free.
+    """
+    from pyspark.sql.window import Window
+
+    d = df.where(F.col(group_col).isin([g1, g2])).select(
+        F.col(val_col).alias("_v"), F.col(group_col).alias("_g")
+    )
+    per_val = d.groupBy("_v").agg(
+        F.count("*").alias("_t"),
+        F.sum(F.when(F.col("_g") == g1, 1).otherwise(0)).alias("_t1"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_val.select(
+        "_t",
+        "_t1",
+        (
+            F.coalesce(F.sum("_t").over(w), F.lit(0)).cast("double")
+            + (F.col("_t") + 1) / 2.0
+        ).alias("_rank"),
+    )
+    st = ranked.agg(
+        F.sum(F.col("_t1") * F.col("_rank")).alias("r1"),
+        F.sum("_t1").cast("double").alias("n1"),
+        F.sum("_t").cast("double").alias("n"),
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t"))
+        .cast("double")
+        .alias("ties"),
+    )
+    n1, n = F.col("n1"), F.col("n")
+    n2 = n - n1
+    u1 = F.col("r1") - n1 * (n1 + 1) / 2.0
+    u2 = n1 * n2 - u1
+    mu = n1 * n2 / 2.0
+    sigma = F.sqrt(
+        n1 * n2 / 12.0 * ((n + 1) - F.col("ties") / (n * (n - 1)))
+    )
+    return st.select(
+        u1.alias("u1"), u2.alias("u2"), ((u1 - mu) / sigma).alias("z")
+    )
+
+
+def chi_square(df: DataFrame, a: str, b: str) -> DataFrame:
+    """ChiSquareDataSetEvaluator analog (``io/eval/
+    ChiSquareDataSetEvaluator.java`` — independence test over a
+    contingency table). One groupBy builds the observed table; row/col
+    totals are tiny aggregates broadcast back; returns one row
+    ``(chi2, dof, n)``. Expected counts never materialize a dense
+    table — only observed cells contribute, plus the missing-cell
+    correction ``n - Σ_observed e`` (a cell with o=0 contributes e)."""
+    obs = df.groupBy(a, b).agg(F.count("*").cast("double").alias("o"))
+    ra = obs.groupBy(a).agg(F.sum("o").alias("_ra"))
+    cb = obs.groupBy(b).agg(F.sum("o").alias("_cb"))
+    tot = obs.agg(
+        F.sum("o").alias("_n"),
+        F.countDistinct(a).cast("double").alias("_ka"),
+        F.countDistinct(b).cast("double").alias("_kb"),
+    )
+    j = (
+        obs.join(F.broadcast(ra), a)
+        .join(F.broadcast(cb), b)
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("_ra") * F.col("_cb") / F.col("_n")
+    # Σ (o-e)²/e over observed cells + Σ e over unobserved cells;
+    # the latter equals n - Σ_observed e because Σ_all e = n.
+    return j.agg(
+        (
+            F.sum((F.col("o") - e) * (F.col("o") - e) / e)
+            + F.first("_n")
+            - F.sum(e)
+        ).alias("chi2"),
+        ((F.first("_ka") - 1) * (F.first("_kb") - 1)).alias("dof"),
+        F.first("_n").alias("n"),
+    )
+
+
+def anova1(df: DataFrame, val_col: str, by: str) -> DataFrame:
+    """AnovaEvaluator analog (``io/eval/AnovaEvaluator.java`` —
+    commons-math OneWayAnova): one-way F statistic. One grouped
+    aggregation to per-group (n, mean, var), a broadcast of the grand
+    totals, and a final k-row aggregation — no collect, no window."""
+    g = df.groupBy(by).agg(
+        F.count(val_col).cast("double").alias("_ng"),
+        F.mean(val_col).alias("_mg"),
+        F.var_samp(val_col).alias("_vg"),
+    )
+    grand = g.agg(
+        F.sum("_ng").alias("_n"), F.sum(F.col("_ng") * F.col("_mg")).alias("_s")
+    )
+    j = g.crossJoin(F.broadcast(grand))
+    gm = F.col("_s") / F.col("_n")
+    st = j.agg(
+        F.sum(F.col("_ng") * (F.col("_mg") - gm) * (F.col("_mg") - gm)).alias("ssb"),
+        F.sum((F.col("_ng") - 1) * F.col("_vg")).alias("ssw"),
+        F.count("*").cast("double").alias("k"),
+        F.first("_n").alias("n"),
+    )
+    df1 = F.col("k") - 1
+    df2 = F.col("n") - F.col("k")
+    return st.select(
+        ((F.col("ssb") / df1) / (F.col("ssw") / df2)).alias("f_stat"),
+        df1.alias("df1"),
+        df2.alias("df2"),
+    )
+
+
+def moments(df: DataFrame, col: str, by: str | None = None) -> DataFrame:
+    """Higher-moment + mean-family evaluators (``io/eval/`` Skewness/
+    Kurtosis via commons-math DescriptiveStatistics; GeometricMean /
+    HarmonicMean): population skewness ``m3/m2^1.5``, EXCESS kurtosis
+    ``m4/m2² - 3``, geometric and harmonic means — one grouped
+    aggregation from raw power sums.
+
+    Numerical note: raw fourth moments cancel catastrophically when
+    |x| ≫ 1 — callers should pre-scale the column (skew/kurtosis are
+    scale-invariant; the entry divides price by 1e4) so E[x⁴] stays
+    O(1..1e6) and the subtraction keeps ~10 clean digits.
+    """
+    x = F.col(col).cast("double")
+    aggs = [
+        F.count(col).cast("double").alias("n"),
+        F.mean(x).alias("mean"),
+        F.mean(x * x).alias("_e2"),
+        F.mean(x * x * x).alias("_e3"),
+        F.mean(x * x * x * x).alias("_e4"),
+        F.exp(F.mean(F.log(x))).alias("geo_mean"),
+        (F.count(col) / F.sum(F.lit(1.0) / x)).alias("harm_mean"),
+    ]
+    base = df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
+    mu = F.col("mean")
+    m2 = F.col("_e2") - mu * mu
+    m3 = F.col("_e3") - 3 * mu * F.col("_e2") + 2 * mu * mu * mu
+    m4 = (
+        F.col("_e4")
+        - 4 * mu * F.col("_e3")
+        + 6 * mu * mu * F.col("_e2")
+        - 3 * mu * mu * mu * mu
+    )
+    keep = [by] if by else []
+    return base.select(
+        *keep,
+        "n",
+        "mean",
+        (m3 / F.pow(m2, 1.5)).alias("skewness"),
+        (m4 / (m2 * m2) - 3.0).alias("kurtosis"),
+        "geo_mean",
+        "harm_mean",
+    )
+
+
+def outliers_normal(
+    df: DataFrame, col: str, low: float, high: float, by: str | None = None
+) -> DataFrame:
+    """OutliersEvaluator analog (``io/eval/OutliersEvaluator.java`` —
+    rows whose fitted-distribution CDF falls below ``low`` or above
+    ``high``; normalDistribution fit). For the normal fit,
+    ``CDF(x) < low  ⟺  z < Φ⁻¹(low)``, so the inverse CDF is computed
+    ONCE driver-side (stdlib ``statistics.NormalDist``) and the filter
+    is a pure JVM z-score comparison — no erf needed executor-side.
+    Broadcast-stats join, same shape as :func:`zscores`."""
+    from statistics import NormalDist
+
+    z_lo = NormalDist().inv_cdf(low)
+    z_hi = NormalDist().inv_cdf(high)
+    scored = zscores(df, col, by=by)
+    return scored.where(
+        (F.col("zscore") < F.lit(z_lo)) | (F.col("zscore") > F.lit(z_hi))
+    )
+
+
 def _full_window(order_col: str, n: int, by: str | None):
     from pyspark.sql.window import Window
 

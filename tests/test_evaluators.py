@@ -168,3 +168,101 @@ def test_moving_mad_matches_reference_formula(series_df):
     )
     assert len(got) == len(exp)
     assert np.allclose(got["moving_mad"].to_numpy(), exp.to_numpy())
+
+
+def test_rank_transform_average_ties(spark):
+    rows = [("a", 5.0), ("a", 5.0), ("a", 1.0), ("a", 9.0), ("b", 2.0), ("b", 2.0)]
+    df = spark.createDataFrame(rows, ["grp", "x"])
+    got = ev.rank_transform(df, "x", by="grp").orderBy("grp", "x").toPandas()
+    exp = (
+        pd.DataFrame(rows, columns=["grp", "x"])
+        .groupby("grp")["x"]
+        .rank(method="average")
+    )
+    # pandas.rank(average) is the commons-math NaturalRanking tie policy
+    assert np.allclose(sorted(got["rank"]), sorted(exp))
+
+
+def test_spearman_matches_pandas(series_df):
+    df, pdf = series_df
+    pdf = pdf.assign(y=pdf["x"] ** 2 + np.sin(pdf["t"]))
+    df2 = df.sparkSession.createDataFrame(pdf)
+    got = (
+        ev.spearman_corr(df2, "x", "y", by="grp").orderBy("grp").toPandas()
+    )
+    for _, row in got.iterrows():
+        sub = pdf[pdf["grp"] == row["grp"]]
+        # spearman = Pearson over average ranks (no scipy in sandbox)
+        exp = sub["x"].rank(method="average").corr(sub["y"].rank(method="average"))
+        assert abs(row["spearman"] - exp) < 1e-9
+
+
+def test_mann_whitney_u_identities(series_df):
+    df, pdf = series_df
+    got = ev.mann_whitney(df, "x", "grp", "a", "b").collect()[0]
+    n1 = (pdf["grp"] == "a").sum()
+    n2 = (pdf["grp"] == "b").sum()
+    # U1 + U2 == n1*n2; with disjoint ranges (a~10, b~50) U1 must be 0
+    assert got["u1"] + got["u2"] == pytest.approx(n1 * n2)
+    r = pdf["x"].rank(method="average")
+    r1 = r[pdf["grp"] == "a"].sum()
+    assert got["u1"] == pytest.approx(r1 - n1 * (n1 + 1) / 2)
+    assert got["z"] < -5  # far in the left tail for disjoint samples
+
+
+def test_chi_square_contingency(spark):
+    rows = [("x", "p")] * 30 + [("x", "q")] * 10 + [("y", "p")] * 15 + [("y", "q")] * 25
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = ev.chi_square(df, "a", "b").collect()[0]
+    obs = np.array([[30.0, 10.0], [15.0, 25.0]])
+    e = obs.sum(1)[:, None] * obs.sum(0)[None, :] / obs.sum()
+    assert got["chi2"] == pytest.approx(((obs - e) ** 2 / e).sum())
+    assert got["dof"] == 1.0 and got["n"] == 80.0
+
+
+def test_chi_square_counts_unobserved_cells(spark):
+    # cell (y, q) has zero observations -> contributes its expected count
+    rows = [("x", "p")] * 8 + [("x", "q")] * 4 + [("y", "p")] * 6
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = ev.chi_square(df, "a", "b").collect()[0]
+    obs = np.array([[8.0, 4.0], [6.0, 0.0]])
+    e = obs.sum(1)[:, None] * obs.sum(0)[None, :] / obs.sum()
+    assert got["chi2"] == pytest.approx(((obs - e) ** 2 / e).sum())
+
+
+def test_anova_one_way_f(series_df):
+    df, pdf = series_df
+    got = ev.anova1(df, "x", "grp").collect()[0]
+    groups = [sub["x"].to_numpy() for _, sub in pdf.groupby("grp")]
+    n, k = len(pdf), len(groups)
+    grand = pdf["x"].mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got["f_stat"] == pytest.approx(f)
+    assert (got["df1"], got["df2"]) == (k - 1, n - k)
+
+
+def test_moments_formulas(series_df):
+    df, pdf = series_df
+    got = ev.moments(df, "x", by="grp").orderBy("grp").toPandas()
+    for _, row in got.iterrows():
+        x = pdf[pdf["grp"] == row["grp"]]["x"].to_numpy()
+        m = x.mean()
+        m2, m3, m4 = [((x - m) ** p).mean() for p in (2, 3, 4)]
+        assert row["skewness"] == pytest.approx(m3 / m2**1.5, rel=1e-6)
+        assert row["kurtosis"] == pytest.approx(m4 / m2**2 - 3.0, rel=1e-6)
+        assert row["geo_mean"] == pytest.approx(np.exp(np.log(x).mean()))
+        assert row["harm_mean"] == pytest.approx(len(x) / (1.0 / x).sum())
+
+
+def test_outliers_normal_matches_z_threshold(series_df):
+    from statistics import NormalDist
+
+    df, pdf = series_df
+    got = ev.outliers_normal(df, "x", 0.10, 0.90, by="grp").toPandas()
+    zlo, zhi = NormalDist().inv_cdf(0.10), NormalDist().inv_cdf(0.90)
+    z = pdf.groupby("grp")["x"].transform(lambda v: (v - v.mean()) / v.std(ddof=1))
+    exp = pdf[(z < zlo) | (z > zhi)]
+    assert len(got) == len(exp) > 0
+    assert sorted(got["t"]) == sorted(exp["t"])
