@@ -123,11 +123,59 @@ class SearchEngine:
         return self.config.chain().tokenize_py(text)
 
     def invalidate_caches(self) -> None:
-        """Drop the per-engine stats/g memos (call after the underlying
-        index directory is rewritten under this handle — normally not
-        needed: incremental commits return a FRESH InvertedIndex)."""
+        """Drop the per-engine stats/g/query-result memos (call after the
+        underlying index directory is rewritten under this handle —
+        normally not needed: incremental commits return a FRESH
+        InvertedIndex)."""
         self.__dict__.pop("_stats_cache", None)
         self.__dict__.pop("_g_cache", None)
+        self.__dict__.pop("_qresult_cache", None)
+
+    # ------------------------------------------------------------------
+    _QUERY_CACHE_SIZE = 128   # queryResultCache entry cap (LRU)
+    _QUERY_WINDOW = 20        # queryResultWindowSize: round k up to this
+
+    def search(self, query_text: str, k: int = 10, mode: str = "OR") -> DataFrame:
+        """Cached top-k — the queryResultCache analog (ref:
+        ``core/src/java/org/apache/solr/search/SolrIndexSearcher.java:
+        164-165,1624-1703``: result windows keyed by (query, sort),
+        rounded up to queryResultWindowSize).
+
+        Memoizes the MATERIALIZED top-k window per (analyzed terms, mode)
+        on this engine's index snapshot: a hit costs ZERO Spark jobs (the
+        cached rows come back as a local relation). The requested ``k``
+        is rounded up to ``_QUERY_WINDOW`` before executing, so paging
+        within the window (k=10 after k=20) is also a pure hit —
+        exactly Solr's window-rounding behavior. Snapshot-consistency is
+        structural: the engine binds an immutable InvertedIndex handle
+        (NRT commits return a fresh index → fresh engine), and
+        :meth:`invalidate_caches` clears this cache with the stats memo.
+        LRU-capped at ``_QUERY_CACHE_SIZE`` entries (k rows each).
+        """
+        from collections import OrderedDict
+
+        terms = tuple(self.analyze_query(query_text))
+        key = (terms, mode.upper())
+        cache: OrderedDict = self.__dict__.setdefault(
+            "_qresult_cache", OrderedDict()
+        )
+        hit = cache.get(key)
+        # a cached window serves any k within it; a window that came back
+        # short (fewer matches than requested) is exhaustive for ALL k
+        if hit is not None and (hit["k"] >= k or hit["exhausted"]):
+            cache.move_to_end(key)
+            rows = hit["rows"][:k]
+        else:
+            window = max(k, self._QUERY_WINDOW)
+            rows = self.topk(query_text, k=window, mode=mode).collect()
+            cache[key] = {
+                "rows": rows, "k": window, "exhausted": len(rows) < window
+            }
+            cache.move_to_end(key)
+            while len(cache) > self._QUERY_CACHE_SIZE:
+                cache.popitem(last=False)
+            rows = rows[:k]
+        return self.spark.createDataFrame(rows, "doc_id long, score float")
 
     def _term_stats(self, terms: list[str]) -> list[TermStats]:
         """Global stats for the query terms — the ExactStatsCache analog.

@@ -342,3 +342,69 @@ def test_executor_stream_empty_raises(engine):
 
     with _pytest.raises(ValueError):
         executor_stream(engine, [])
+
+
+# --- queryResultCache analog (SolrIndexSearcher result windows) ---
+
+def _is_local_relation(df):
+    # a cache hit comes back as a driver-local relation: no parquet scan
+    # of the index, no exchange — just the materialized rows
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return (
+        ("LocalTableScan" in plan or "Scan ExistingRDD" in plan)
+        and "Exchange" not in plan
+        and "parquet" not in plan.lower()
+    )
+
+
+def test_search_cache_hit_is_local_relation(index):
+    eng = SearchEngine(index)
+    sc = eng.spark.sparkContext
+    first = eng.search("server client", k=10).collect()
+    assert first == eng.topk("server client", k=10).collect()
+    sc.setJobGroup("qcache_hit", "cache-hit probe")
+    again = eng.search("server client", k=10)  # serving = zero jobs
+    sc.setJobGroup("idle", "idle")
+    assert sc.statusTracker().getJobIdsForGroup("qcache_hit") == []
+    assert _is_local_relation(again)
+    assert again.collect() == first
+
+
+def test_search_window_serves_smaller_k(index):
+    eng = SearchEngine(index)
+    eng.search("config", k=10)  # executes with window=max(10, 20)=20
+    small = eng.search("config", k=3)
+    assert _is_local_relation(small)
+    assert small.collect() == eng.topk("config", k=3).collect()
+
+
+def test_search_cache_respects_mode_and_analysis(index):
+    eng = SearchEngine(index)
+    eng.search("server client", k=10, mode="OR")
+    and_rows = eng.search("server client", k=10, mode="AND").collect()
+    assert len(eng.__dict__["_qresult_cache"]) == 2  # one key per mode
+    assert and_rows == eng.topk("server client", k=10, mode="AND").collect()
+    # analysis-equivalent spellings share one key (analyzed-terms key)
+    key_count = len(eng.__dict__["_qresult_cache"])
+    eng.search("Server  CLIENT", k=10, mode="OR")
+    assert len(eng.__dict__["_qresult_cache"]) == key_count
+
+
+def test_search_cache_invalidation_and_eviction(index):
+    eng = SearchEngine(index)
+    eng._QUERY_CACHE_SIZE = 2
+    for q in ("import", "config", "server"):
+        eng.search(q, k=5)
+    cache = eng.__dict__["_qresult_cache"]
+    assert len(cache) == 2  # LRU evicted the oldest entry
+    eng.invalidate_caches()
+    assert "_qresult_cache" not in eng.__dict__
+
+
+def test_search_exhausted_short_window_serves_any_k(index):
+    eng = SearchEngine(index)
+    rows = eng.search("zzzznotaterm config", k=5, mode="AND").collect()
+    assert rows == []
+    bigger = eng.search("zzzznotaterm config", k=50, mode="AND")
+    assert _is_local_relation(bigger)  # short window is exhaustive
+    assert bigger.collect() == []
