@@ -1152,6 +1152,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_outliers"] = eval_outliers
 
+    def _daily_xy(s, d):
+        """Per-type daily series with a numeric x (day offset from
+        2024-01-01) — shared input for the series-calculus entries."""
+        return (
+            _read(s, d, "events")
+            .groupBy(
+                "event_type",
+                F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+                .cast("double")
+                .alias("x"),
+            )
+            .agg(F.count("*").cast("double").alias("y"))
+        )
+
+    def eval_integrate(s, d):
+        """IntegrateEvaluator analog: cumulative trapezoid integral of
+        the daily count series per event type."""
+        out = ev.integrate_trapezoid(_daily_xy(s, d), "x", "y", by="event_type")
+        return out.select(
+            "event_type", "x", F.round("integral", 4).alias("integral")
+        ).orderBy("event_type", "x")
+
+    q["eval_integrate"] = eval_integrate
+
+    def eval_convolve(s, d):
+        """ConvolutionEvaluator analog: full discrete convolution of the
+        daily series with a smoothing kernel [0.25, 0.5, 0.25] — explode
+        + grouped sum, output length n+m-1 per group."""
+        out = ev.convolve(
+            _daily_xy(s, d), "x", "y", [0.25, 0.5, 0.25], by="event_type"
+        )
+        return out.select(
+            "event_type", "t", F.round("conv", 4).alias("conv")
+        ).orderBy("event_type", "t")
+
+    q["eval_convolve"] = eval_convolve
+
+    def eval_derivative(s, d):
+        """DerivativeEvaluator analog: central finite differences of the
+        daily series (one-sided at the series ends)."""
+        out = ev.derivative_fd(_daily_xy(s, d), "x", "y", by="event_type")
+        return out.select(
+            "event_type", "x", F.round("derivative", 4).alias("derivative")
+        ).orderBy("event_type", "x")
+
+    q["eval_derivative"] = eval_derivative
+
     # --- training-data pipeline: text analysis ---
     def text_analysis(s, d):
         docs = _read(s, d, "documents").where(F.col("doc_id") < 20)
@@ -2015,6 +2062,40 @@ SELECT e.event_id, e.event_type, ROUND(e.value, 4) AS value
 FROM events e JOIN st USING (event_type)
 WHERE (e.value - mu) / sd < {_zlo!r} OR (e.value - mu) / sd > {_zhi!r}
 ORDER BY e.event_id
+""".strip()
+    _daily_xy_sql = """daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2)"""
+    o["eval_integrate"] = f"""
+WITH {_daily_xy_sql},
+seg AS (SELECT event_type, x, y,
+               (x - lag(x) OVER w) * (y + lag(y) OVER w) / 2.0 AS s
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY x))
+SELECT event_type, x,
+       ROUND(sum(COALESCE(s, 0)) OVER (PARTITION BY event_type ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS integral
+FROM seg ORDER BY event_type, x
+""".strip()
+    o["eval_convolve"] = f"""
+WITH {_daily_xy_sql},
+idx AS (SELECT event_type,
+               row_number() OVER (PARTITION BY event_type ORDER BY x) - 1 AS i, y
+        FROM daily),
+k AS (SELECT j, CAST(kj AS DOUBLE) AS kj
+      FROM (VALUES (0, 0.25), (1, 0.5), (2, 0.25)) AS t(j, kj))
+SELECT event_type, i + j AS t, ROUND(sum(y * kj), 4) AS conv
+FROM idx CROSS JOIN k GROUP BY event_type, i + j ORDER BY event_type, t
+""".strip()
+    o["eval_derivative"] = f"""
+WITH {_daily_xy_sql}
+SELECT event_type, x,
+       ROUND((COALESCE(lead(y) OVER w, y) - COALESCE(lag(y) OVER w, y))
+             / (COALESCE(lead(x) OVER w, x) - COALESCE(lag(x) OVER w, x)), 4)
+         AS derivative
+FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY x)
+ORDER BY event_type, x
 """.strip()
     o["dedup_embedding_cosine"] = embedding_lsh_sql(0.45)
     o["dedup_embedding_exact"] = embedding_neardup_sql(0.45)

@@ -569,3 +569,86 @@ def moving_mad(
         .where(F.col("_rn") >= n)
         .drop("_rn")
     )
+
+
+def integrate_trapezoid(
+    df: DataFrame, x_col: str, y_col: str, by: str | None = None
+) -> DataFrame:
+    """IntegrateEvaluator analog (``io/eval/IntegrateEvaluator.java:76``
+    cumulative form — out[0]=0, out[i] integrates the sampled function
+    up to x[i]; the reference Romberg-integrates a spline through the
+    samples, which reduces to the trapezoid rule on linear segments):
+    cumulative trapezoid ``Σ (x_i - x_{i-1})·(y_i + y_{i-1})/2`` via one
+    grouped ordered window — no Python, no funnel beyond the per-group
+    sort every series evaluator needs."""
+    from pyspark.sql.window import Window
+
+    keep = [by] if by else []
+    w = Window.partitionBy(*keep).orderBy(x_col)
+    seg = (
+        (F.col(x_col) - F.lag(x_col).over(w))
+        * (F.col(y_col) + F.lag(y_col).over(w))
+        / 2.0
+    )
+    cum = F.sum(F.coalesce(seg, F.lit(0.0))).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.select(*keep, x_col, cum.alias("integral"))
+
+
+def convolve(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    kernel: list[float],
+    by: str | None = None,
+) -> DataFrame:
+    """ConvolutionEvaluator analog (``io/eval/ConvolutionEvaluator.
+    java`` — commons-math MathArrays.convolve, FULL convolution, output
+    length n+m-1): each series row (i, y) contributes ``kernel[j]·y`` to
+    output position ``t = i+j`` — one posexplode of the m-element
+    kernel per row (m ≪ n) and one grouped sum. No quadratic blowup,
+    no driver materialization; the only window is the per-group
+    row-index sort.
+
+    Returns (group?, t, conv) with t = 0..n+m-2 per group.
+    """
+    from pyspark.sql.window import Window
+
+    keep = [by] if by else []
+    w = Window.partitionBy(*keep).orderBy(order_col)
+    k = F.array(*[F.lit(float(v)) for v in kernel])
+    idx = df.select(
+        *keep,
+        (F.row_number().over(w) - 1).alias("_i"),
+        F.col(val_col).cast("double").alias("_y"),
+    )
+    expl = idx.select(
+        *keep, "_i", "_y", F.posexplode(k).alias("_j", "_kj")
+    )
+    return (
+        expl.groupBy(*keep, (F.col("_i") + F.col("_j")).alias("t"))
+        .agg(F.sum(F.col("_y") * F.col("_kj")).alias("conv"))
+    )
+
+
+def derivative_fd(
+    df: DataFrame, x_col: str, y_col: str, by: str | None = None
+) -> DataFrame:
+    """DerivativeEvaluator analog (``io/eval/DerivativeEvaluator.java``
+    differentiates the fitted spline; this is the finite-difference
+    form): central difference ``(y_{i+1}-y_{i-1})/(x_{i+1}-x_{i-1})``
+    interior, one-sided at the ends — the coalesce-to-self trick makes
+    one expression cover all three cases in a single ordered window."""
+    from pyspark.sql.window import Window
+
+    keep = [by] if by else []
+    w = Window.partitionBy(*keep).orderBy(x_col)
+    y, x = F.col(y_col).cast("double"), F.col(x_col).cast("double")
+    dy = F.coalesce(F.lead(y_col).over(w).cast("double"), y) - F.coalesce(
+        F.lag(y_col).over(w).cast("double"), y
+    )
+    dx = F.coalesce(F.lead(x_col).over(w).cast("double"), x) - F.coalesce(
+        F.lag(x_col).over(w).cast("double"), x
+    )
+    return df.select(*keep, x_col, (dy / dx).alias("derivative"))

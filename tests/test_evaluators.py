@@ -266,3 +266,42 @@ def test_outliers_normal_matches_z_threshold(series_df):
     exp = pdf[(z < zlo) | (z > zhi)]
     assert len(got) == len(exp) > 0
     assert sorted(got["t"]) == sorted(exp["t"])
+
+
+def test_integrate_trapezoid_matches_numpy(series_df):
+    df, pdf = series_df
+    got = (
+        ev.integrate_trapezoid(df, "t", "x", by="grp")
+        .orderBy("grp", "t")
+        .toPandas()
+    )
+    for g, sub in pdf.groupby("grp"):
+        sub = sub.sort_values("t")
+        x, y = sub["t"].to_numpy(float), sub["x"].to_numpy(float)
+        exp = np.concatenate([[0.0], np.cumsum(np.diff(x) * (y[1:] + y[:-1]) / 2)])
+        assert np.allclose(got[got["grp"] == g]["integral"].to_numpy(), exp)
+
+
+def test_convolve_matches_numpy_full(series_df):
+    df, pdf = series_df
+    kernel = [0.25, 0.5, 0.25]
+    got = ev.convolve(df, "t", "x", kernel, by="grp").orderBy("grp", "t").toPandas()
+    for g, sub in pdf.groupby("grp"):
+        y = sub.sort_values("t")["x"].to_numpy(float)
+        exp = np.convolve(y, kernel, mode="full")
+        sub_got = got[got["grp"] == g]
+        assert list(sub_got["t"]) == list(range(len(y) + len(kernel) - 1))
+        assert np.allclose(sub_got["conv"].to_numpy(), exp)
+
+
+def test_derivative_central_and_one_sided(series_df):
+    df, pdf = series_df
+    got = ev.derivative_fd(df, "t", "x", by="grp").orderBy("grp", "t").toPandas()
+    for g, sub in pdf.groupby("grp"):
+        sub = sub.sort_values("t")
+        x, y = sub["t"].to_numpy(float), sub["x"].to_numpy(float)
+        exp = np.empty_like(y)
+        exp[1:-1] = (y[2:] - y[:-2]) / (x[2:] - x[:-2])   # central
+        exp[0] = (y[1] - y[0]) / (x[1] - x[0])            # forward
+        exp[-1] = (y[-1] - y[-2]) / (x[-1] - x[-2])       # backward
+        assert np.allclose(got[got["grp"] == g]["derivative"].to_numpy(), exp)
