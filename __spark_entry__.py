@@ -1199,6 +1199,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_derivative"] = eval_derivative
 
+    def eval_find_delay(s, d):
+        """FindDelayEvaluator analog: best-alignment lag between the
+        daily click and error count series (cross-correlation arg-max,
+        group-keyed pair join — same O(n·m) as the reference, spread)."""
+        daily = (
+            _read(s, d, "events")
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+                .cast("double").alias("a"),
+                F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+                .cast("double").alias("b"),
+            )
+        )
+        return ev.find_delay(daily, "day", "a", "b")
+
+    q["eval_find_delay"] = eval_find_delay
+
+    def eval_kendall(s, d):
+        """CorrelationEvaluator type=kendalls analog (tau-b): pair-count
+        join on a deterministic lineitem subset (pair work is O(n²) by
+        definition — matching the reference — so the entry samples;
+        tau is rank-based, sampling is unbiased)."""
+        li = _read(s, d, "lineitem").where(F.col("l_orderkey") % 199 == 0)
+        out = ev.kendall_tau(li, "l_quantity", "l_extendedprice", by="l_returnflag")
+        return out.select(
+            "l_returnflag", F.round("kendall_tau", 4).alias("kendall_tau")
+        ).orderBy("l_returnflag")
+
+    q["eval_kendall"] = eval_kendall
+
     # --- training-data pipeline: text analysis ---
     def text_analysis(s, d):
         docs = _read(s, d, "documents").where(F.col("doc_id") < 20)
@@ -2096,6 +2127,37 @@ SELECT event_type, x,
          AS derivative
 FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY x)
 ORDER BY event_type, x
+""".strip()
+    o["eval_find_delay"] = """
+WITH s AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+                  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) AS b
+           FROM events GROUP BY 1),
+idx AS (SELECT row_number() OVER (ORDER BY day) - 1 AS i, a, b FROM s),
+m AS (SELECT count(*) AS m FROM idx),
+conv AS (SELECT ai.i + (SELECT m FROM m) - 1 - bi.i AS t, sum(ai.a * bi.b) AS r
+         FROM idx ai CROSS JOIN idx bi GROUP BY 1)
+SELECT CAST(t + 1 - (SELECT m FROM m) AS BIGINT) AS delay
+FROM conv ORDER BY abs(r) DESC, t ASC LIMIT 1
+""".strip()
+    o["eval_kendall"] = """
+WITH li AS (SELECT l_returnflag, l_quantity AS x, l_extendedprice AS y
+            FROM lineitem WHERE l_orderkey % 199 = 0),
+idx AS (SELECT l_returnflag, row_number() OVER (PARTITION BY l_returnflag ORDER BY x, y) AS i,
+               x, y FROM li),
+p AS (SELECT l.l_returnflag,
+             (l.x - r.x) * (l.y - r.y) AS s,
+             CAST(l.x = r.x AS INTEGER) AS tx, CAST(l.y = r.y AS INTEGER) AS ty
+      FROM idx l JOIN idx r ON l.l_returnflag = r.l_returnflag AND l.i < r.i),
+agg AS (SELECT l_returnflag,
+               sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS c,
+               sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS d,
+               sum(tx) AS tx, sum(ty) AS ty, count(*) AS n0
+        FROM p GROUP BY 1)
+SELECT l_returnflag,
+       ROUND((c - d) / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)), 4)
+         AS kendall_tau
+FROM agg ORDER BY l_returnflag
 """.strip()
     o["dedup_embedding_cosine"] = embedding_lsh_sql(0.45)
     o["dedup_embedding_exact"] = embedding_neardup_sql(0.45)

@@ -652,3 +652,101 @@ def derivative_fd(
         F.lag(x_col).over(w).cast("double"), x
     )
     return df.select(*keep, x_col, (dy / dx).alias("derivative"))
+
+
+def find_delay(
+    df: DataFrame, order_col: str, a_col: str, b_col: str, by: str | None = None
+) -> DataFrame:
+    """FindDelayEvaluator analog (``io/eval/FindDelayEvaluator.java:83-95``
+    — convolve a with reversed b = cross-correlation, take the index of
+    the max |value|, report ``(idx+1) - len(b)``): the lag at which
+    series b best aligns with series a.
+
+    Distributed shape: index both columns once (per-group ordered
+    window), pair the two indexed projections through a group-keyed
+    join, and group by output lag ``t = i + (m-1) - j`` — O(n·m) pair
+    work, the SAME asymptotics as the reference's driver-side full
+    convolution, but spread across the cluster and aggregated
+    map-side. The arg-max is a struct-max (largest |r|, then smallest
+    t, matching the reference's first-max tie break).
+    """
+    from pyspark.sql.window import Window
+
+    keep = [by] if by else []
+    w = Window.partitionBy(*keep).orderBy(order_col)
+    idx = df.select(
+        *keep,
+        (F.row_number().over(w) - 1).alias("_i"),
+        F.col(a_col).cast("double").alias("_a"),
+        F.col(b_col).cast("double").alias("_b"),
+    )
+    a = idx.select(*keep, F.col("_i").alias("_ia"), "_a")
+    m_df = idx.groupBy(*keep).agg(F.count("*").alias("_m"))
+    b = idx.select(*keep, F.col("_i").alias("_jb"), "_b").join(
+        F.broadcast(m_df), keep
+    ) if by else idx.select("_i", "_b").withColumnRenamed("_i", "_jb").crossJoin(
+        F.broadcast(m_df)
+    )
+    pairs = a.join(b, keep) if by else a.crossJoin(b)
+    conv = (
+        pairs.groupBy(
+            *keep,
+            (F.col("_ia") + F.col("_m") - 1 - F.col("_jb")).alias("_t"),
+            F.col("_m"),
+        )
+        .agg(F.sum(F.col("_a") * F.col("_b")).alias("_r"))
+    )
+    # arg-max by (|r| desc, t asc): max of struct(|r|, -t) is exact
+    best = conv.groupBy(*keep).agg(
+        F.max(F.struct(F.abs(F.col("_r")).alias("s"), (-F.col("_t")).alias("nt"))).alias("_mx"),
+        F.first("_m").alias("_m2"),
+    )
+    return best.select(
+        *keep,
+        ((-F.col("_mx.nt")) + 1 - F.col("_m2")).cast("long").alias("delay"),
+    )
+
+
+def kendall_tau(df: DataFrame, x: str, y: str, by: str | None = None) -> DataFrame:
+    """CorrelationEvaluator type=kendalls analog (``io/eval/
+    CorrelationEvaluator.java:111`` — commons-math KendallsCorrelation,
+    tau-b with tie correction): concordant/discordant pair counting.
+
+    Pair counting is inherently O(n²) — the reference materializes the
+    full vector driver-side and pays the same; here the i<j pair join is
+    keyed on the group column so pair work spreads across the cluster.
+    Callers at 100 TB should pre-aggregate or sample the series first
+    (tau is rank-based, so a uniform sample is unbiased).
+    """
+    from pyspark.sql.window import Window
+
+    keep = [by] if by else []
+    w = Window.partitionBy(*keep).orderBy(x, y)
+    idx = df.select(
+        *keep,
+        (F.row_number().over(w)).alias("_i"),
+        F.col(x).cast("double").alias("_x"),
+        F.col(y).cast("double").alias("_y"),
+    )
+    l = idx.select(*keep, F.col("_i").alias("_il"), F.col("_x").alias("_xl"), F.col("_y").alias("_yl"))
+    r = idx.select(*keep, F.col("_i").alias("_ir"), F.col("_x").alias("_xr"), F.col("_y").alias("_yr"))
+    pairs = (l.join(r, keep) if by else l.crossJoin(r)).where(F.col("_il") < F.col("_ir"))
+    s = (F.col("_xl") - F.col("_xr")) * (F.col("_yl") - F.col("_yr"))
+    agg = pairs.groupBy(by).agg(
+        F.sum((s > 0).cast("long")).alias("c"),
+        F.sum((s < 0).cast("long")).alias("d"),
+        F.sum((F.col("_xl") == F.col("_xr")).cast("long")).alias("tx"),
+        F.sum((F.col("_yl") == F.col("_yr")).cast("long")).alias("ty"),
+        F.count("*").alias("n0"),
+    ) if by else pairs.agg(
+        F.sum((s > 0).cast("long")).alias("c"),
+        F.sum((s < 0).cast("long")).alias("d"),
+        F.sum((F.col("_xl") == F.col("_xr")).cast("long")).alias("tx"),
+        F.sum((F.col("_yl") == F.col("_yr")).cast("long")).alias("ty"),
+        F.count("*").alias("n0"),
+    )
+    tau = (F.col("c") - F.col("d")) / F.sqrt(
+        (F.col("n0") - F.col("tx")).cast("double")
+        * (F.col("n0") - F.col("ty")).cast("double")
+    )
+    return agg.select(*keep, tau.alias("kendall_tau"))

@@ -305,3 +305,55 @@ def test_derivative_central_and_one_sided(series_df):
         exp[0] = (y[1] - y[0]) / (x[1] - x[0])            # forward
         exp[-1] = (y[-1] - y[-2]) / (x[-1] - x[-2])       # backward
         assert np.allclose(got[got["grp"] == g]["derivative"].to_numpy(), exp)
+
+
+def test_find_delay_matches_reference_convolution(spark):
+    rng = np.random.default_rng(11)
+    a = rng.normal(0.0, 1.0, 40)
+    b = np.roll(a, 5)  # b lags a by 5
+    rows = [(int(i), float(a[i]), float(b[i])) for i in range(40)]
+    df = spark.createDataFrame(rows, "t long, a double, b double")
+    got = ev.find_delay(df, "t", "a", "b").collect()[0]["delay"]
+    conv = np.convolve(a, b[::-1])  # io/eval/FindDelayEvaluator.java:83
+    exp = int(np.argmax(np.abs(conv))) + 1 - len(b)
+    assert got == exp == -5
+
+
+def test_find_delay_grouped(spark):
+    rng = np.random.default_rng(13)
+    rows = []
+    for g, shift in (("p", 2), ("q", -3)):
+        a = rng.normal(0.0, 1.0, 30)
+        b = np.roll(a, shift)
+        rows += [(g, int(i), float(a[i]), float(b[i])) for i in range(30)]
+    df = spark.createDataFrame(rows, "grp string, t long, a double, b double")
+    got = {r["grp"]: r["delay"] for r in ev.find_delay(df, "t", "a", "b", by="grp").collect()}
+    assert got == {"p": -2, "q": 3}
+
+
+def test_kendall_tau_b_with_ties(spark):
+    # hand-checkable vectors including ties in x and in y
+    x = [1.0, 1.0, 2.0, 3.0, 4.0, 4.0]
+    y = [1.0, 2.0, 2.0, 3.0, 5.0, 4.0]
+    df = spark.createDataFrame(list(zip(x, y)), "x double, y double")
+    got = ev.kendall_tau(df, "x", "y").collect()[0]["kendall_tau"]
+    C = D = tx = ty = 0
+    n = len(x)
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (x[i] - x[j]) * (y[i] - y[j])
+            C += s > 0
+            D += s < 0
+            tx += x[i] == x[j]
+            ty += y[i] == y[j]
+    n0 = n * (n - 1) // 2
+    exp = (C - D) / np.sqrt((n0 - tx) * (n0 - ty))
+    assert got == pytest.approx(exp)
+
+
+def test_kendall_tau_perfect_orderings(spark):
+    xs = [float(i) for i in range(10)]
+    df = spark.createDataFrame([(v, v * 2 + 1) for v in xs], "x double, y double")
+    assert ev.kendall_tau(df, "x", "y").collect()[0]["kendall_tau"] == pytest.approx(1.0)
+    df2 = spark.createDataFrame([(v, -v) for v in xs], "x double, y double")
+    assert ev.kendall_tau(df2, "x", "y").collect()[0]["kendall_tau"] == pytest.approx(-1.0)
