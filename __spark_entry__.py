@@ -1230,6 +1230,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_kendall"] = eval_kendall
 
+    def eval_corr_matrix(s, d):
+        """CorrelationEvaluator matrix form: full corr/cov matrix over
+        four lineitem measures — one aggregation, one shuffle."""
+        out = ev.corr_matrix(
+            _read(s, d, "lineitem"),
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        )
+        return out.select(
+            "col_x", "col_y",
+            # + 0.0 normalizes IEEE -0.0 from rounding tiny negatives
+            (F.round("corr", 4) + F.lit(0.0)).alias("corr"),
+            (F.round("cov", 4) + F.lit(0.0)).alias("cov"),
+        ).orderBy("col_x", "col_y")
+
+    q["eval_corr_matrix"] = eval_corr_matrix
+
     # --- training-data pipeline: text analysis ---
     def text_analysis(s, d):
         docs = _read(s, d, "documents").where(F.col("doc_id") < 20)
@@ -2159,6 +2175,14 @@ SELECT l_returnflag,
          AS kendall_tau
 FROM agg ORDER BY l_returnflag
 """.strip()
+    _cm_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    o["eval_corr_matrix"] = " UNION ALL ".join(
+        f"(SELECT '{cx}' AS col_x, '{cy}' AS col_y, "
+        f"ROUND(corr({cx}, {cy}), 4) + 0.0 AS corr, "
+        f"ROUND(covar_samp({cx}, {cy}), 4) + 0.0 AS cov FROM lineitem)"
+        for i, cx in enumerate(_cm_cols)
+        for cy in _cm_cols[i:]
+    ) + " ORDER BY col_x, col_y"
     o["dedup_embedding_cosine"] = embedding_lsh_sql(0.45)
     o["dedup_embedding_exact"] = embedding_neardup_sql(0.45)
     o["ann_cosine_top10"] = ann_topk_sql(query_id=0, k=10)

@@ -750,3 +750,39 @@ def kendall_tau(df: DataFrame, x: str, y: str, by: str | None = None) -> DataFra
         * (F.col("n0") - F.col("ty")).cast("double")
     )
     return agg.select(*keep, tau.alias("kendall_tau"))
+
+
+def corr_matrix(df: DataFrame, cols: list[str], by: str | None = None) -> DataFrame:
+    """CorrelationEvaluator / CovarianceEvaluator matrix form
+    (``io/eval/CorrelationEvaluator.java:87-110`` — a matrix argument
+    yields the full correlation matrix; commons-math PearsonsCorrelation
+    / Covariance): all k·(k+1)/2 column pairs in ONE grouped
+    aggregation — k² tiny aggregate expressions beat k² separate jobs,
+    and map-side partials make it one shuffle total. Returns long-form
+    rows (col_x, col_y, corr, cov) for the upper triangle incl. the
+    diagonal."""
+    pair_aggs = []
+    names = []
+    for i, cx in enumerate(cols):
+        for cy in cols[i:]:
+            pair_aggs += [
+                F.corr(cx, cy).alias(f"_r_{cx}_{cy}"),
+                F.covar_samp(cx, cy).alias(f"_c_{cx}_{cy}"),
+            ]
+            names.append((cx, cy))
+    base = df.groupBy(by).agg(*pair_aggs) if by else df.agg(*pair_aggs)
+    keep = [by] if by else []
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(cx).alias("col_x"),
+                F.lit(cy).alias("col_y"),
+                F.col(f"_r_{cx}_{cy}").alias("corr"),
+                F.col(f"_c_{cx}_{cy}").alias("cov"),
+            )
+            for cx, cy in names
+        ]
+    )
+    return base.select(*keep, F.explode(rows).alias("_p")).select(
+        *keep, "_p.col_x", "_p.col_y", "_p.corr", "_p.cov"
+    )

@@ -357,3 +357,17 @@ def test_kendall_tau_perfect_orderings(spark):
     assert ev.kendall_tau(df, "x", "y").collect()[0]["kendall_tau"] == pytest.approx(1.0)
     df2 = spark.createDataFrame([(v, -v) for v in xs], "x double, y double")
     assert ev.kendall_tau(df2, "x", "y").collect()[0]["kendall_tau"] == pytest.approx(-1.0)
+
+
+def test_corr_matrix_pairs_and_symmetry(series_df):
+    df, pdf = series_df
+    pdf = pdf.assign(y=pdf["x"] * 0.5 + np.cos(pdf["t"]), z=-pdf["x"])
+    df2 = df.sparkSession.createDataFrame(pdf)
+    got = ev.corr_matrix(df2, ["x", "y", "z"]).toPandas()
+    assert len(got) == 6  # upper triangle incl. diagonal of 3x3
+    by_pair = {(r["col_x"], r["col_y"]): r for _, r in got.iterrows()}
+    assert by_pair[("x", "x")]["corr"] == pytest.approx(1.0)
+    assert by_pair[("x", "z")]["corr"] == pytest.approx(-1.0)
+    assert by_pair[("x", "y")]["corr"] == pytest.approx(pdf["x"].corr(pdf["y"]))
+    assert by_pair[("x", "y")]["cov"] == pytest.approx(pdf["x"].cov(pdf["y"]))
+    assert by_pair[("x", "x")]["cov"] == pytest.approx(pdf["x"].var(ddof=1))
