@@ -1337,6 +1337,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vector_similarity_threshold"] = vec_threshold
 
+    def ann_hnsw(s, d):
+        """Partition-local HNSW (solr_spark/hnsw.py — Lucene HNSW analog,
+        ref schema/DenseVectorField.java:68-80): one graph per hash
+        shard, fan-out beam search, exact-cosine k-merge. Construction is
+        iterative (not SQL-expressible); the oracle below is brute-force
+        cosine top-k, which this must match when every shard's beam
+        surfaces its true locals — recall is additionally pytest-gated."""
+        from solr_spark import hnsw as hn
+
+        emb = _read(s, d, "embeddings")
+        graph = hn.build_hnsw(emb, "vec_id", "embedding", n_partitions=4)
+        qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        return hn.cosine_topk_hnsw(graph, qv, k=10, ef_search=96).select(
+            "id", F.round("cosine", 4).alias("cosine")
+        )
+
+    q["ann_hnsw_top10"] = ann_hnsw
+
     # --- training-data pipeline: multimodal plumbing ---
     def mm_features(s, d):
         docs = _read(s, d, "documents").where(F.col("doc_id") < 30)
@@ -2188,6 +2206,11 @@ FROM agg ORDER BY l_returnflag
     o["ann_cosine_top10"] = ann_topk_sql(query_id=0, k=10)
     o["ann_ivf_top10"] = ann_ivf_sql(query_id=0, k=10, n_probe=4)
     o["vector_similarity_threshold"] = vector_similarity_sql(query_id=0, threshold=0.2)
+    # HNSW must reproduce the exact top-10 when every shard's beam
+    # surfaces its true locals (deterministic: seeded level draws, fixed
+    # data/query); recall is ALSO pytest-gated so a future param change
+    # that dips below 1.0 fails loudly rather than silently
+    o["ann_hnsw_top10"] = ann_topk_sql(query_id=0, k=10)
     o["multimodal_features"] = """
         SELECT doc_id,
                (['image','audio','video'])[(doc_id % 3)+1] AS modality,

@@ -369,3 +369,47 @@ def test_embedding_lsh_plan_has_no_unconditioned_crossjoin(emb):
     for line in plan.splitlines():
         if "Join" in line:
             assert "band" in line, f"unconditioned vector join in plan: {line}"
+
+
+# ---------------------------------------------------------------------------
+# HNSW (partition-local graphs, solr_spark/hnsw.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hnsw_recall_vs_bruteforce(emb, tmp_path):
+    from solr_spark import hnsw
+
+    graph = hnsw.build_hnsw(emb, "vec_id", "embedding", n_partitions=4)
+    # graph survives a parquet roundtrip (nested neighbor arrays)
+    out = str(tmp_path / "hnsw_graph")
+    graph.write.parquet(out)
+    graph = emb.sparkSession.read.parquet(out)
+    rows = emb.where(F.col("vec_id") < 5).collect()
+    recalls = []
+    for r in rows:
+        q = [float(x) for x in r["embedding"]]
+        exact = [x["id"] for x in similarity.cosine_topk(emb, "vec_id", "embedding", q, k=10).collect()]
+        approx = [x["id"] for x in hnsw.cosine_topk_hnsw(graph, q, k=10, ef_search=96).collect()]
+        recalls.append(len(set(exact) & set(approx)) / 10)
+        # surfaced scores are EXACT cosines -> any overlap ranks identically
+    assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_hnsw_graph_structure_and_determinism(emb):
+    from solr_spark import hnsw
+
+    g1 = hnsw.build_hnsw(emb, "vec_id", "embedding", n_partitions=2).collect()
+    g2 = hnsw.build_hnsw(emb, "vec_id", "embedding", n_partitions=2).collect()
+    key = lambda r: r["id"]
+    for a, b in zip(sorted(g1, key=key), sorted(g2, key=key)):
+        assert (a["id"], a["level"], a["nbrs"]) == (b["id"], b["level"], b["nbrs"])
+    n = len(g1)
+    # degree bound: <= M at upper layers, <= 2M at layer 0 (M=8)
+    for r in g1:
+        assert len(r["nbrs"]) == r["level"] + 1
+        assert all(len(layer) <= 16 for layer in r["nbrs"])
+        # neighbors stay inside the node's own shard
+        for layer in r["nbrs"]:
+            for nb in layer:
+                assert nb % 2 == r["pid"]
+    assert n == emb.count()
