@@ -843,6 +843,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_hll_unique_users"] = agg_hll
 
+    def agg_percentile_sketch(s, d):
+        """Sketch percentile (search/facet/PercentileAgg.java — Solr's
+        JSON-facet percentile is an AVL t-digest, i.e. APPROXIMATE at
+        scale): Spark's approx_percentile sketch gated against the exact
+        linear-interpolation quantile — |approx − exact| within 2% of
+        the group's value range. Same contract shape as agg_hll: the
+        oracle checks the exact values and that the bound holds."""
+        li = _read(s, d, "lineitem")
+        out = li.groupBy("l_linestatus").agg(
+            F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_p50"),
+            (F.max("l_extendedprice") - F.min("l_extendedprice")).alias("rng"),
+        )
+        return out.select(
+            "l_linestatus",
+            F.round("exact_p50", 4).alias("exact_p50"),
+            (F.abs(F.col("approx_p50") - F.col("exact_p50"))
+             <= F.col("rng") * 0.02).alias("within_bounds"),
+        ).orderBy("l_linestatus")
+
+    q["agg_percentile_sketch"] = agg_percentile_sketch
+
     q["stats_percentiles_price"] = lambda s, d: _read(s, d, "orders").agg(
         F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
         F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
@@ -1547,6 +1569,11 @@ SELECT 'big', CAST(count(CASE WHEN n_chars >= 300 THEN 1 END) AS BIGINT) FROM do
     o["agg_hll_unique_users"] = """
 SELECT event_type, count(DISTINCT user_id) AS exact, TRUE AS within_bounds
 FROM events GROUP BY event_type ORDER BY event_type
+""".strip()
+    o["agg_percentile_sketch"] = """
+SELECT l_linestatus, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+       TRUE AS within_bounds
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
 """.strip()
     o["export_sorted_documents"] = """
         SELECT doc_id, n_chars, lang FROM documents
