@@ -1268,6 +1268,290 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_corr_matrix"] = eval_corr_matrix
 
+    def _daily_ab(s, d):
+        """Paired daily (click, error) count series — shared input for the
+        distance / paired-t-test / KS evaluator entries."""
+        return (
+            _read(s, d, "events")
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+                .cast("double").alias("a"),
+                F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+                .cast("double").alias("b"),
+            )
+        )
+
+    def eval_dft(s, d):
+        """FFTEvaluator analog: frequency spectrum of the per-type daily
+        count series (DFT as a group-keyed pair join — the reference's
+        commons-math FFT needs the whole series on one machine)."""
+        out = ev.dft_magnitude(_daily_xy(s, d), "x", "y", by="event_type")
+        return out.select(
+            "event_type", "k",
+            (F.round("re", 4) + F.lit(0.0)).alias("re"),
+            (F.round("im", 4) + F.lit(0.0)).alias("im"),
+            F.round("magnitude", 4).alias("magnitude"),
+        ).orderBy("event_type", "k")
+
+    q["eval_dft"] = eval_dft
+
+    def eval_frequency_table(s, d):
+        """FrequencyTableEvaluator analog: value dictionary with counts,
+        pct, and cumulative freq/pct per return flag."""
+        out = ev.frequency_table(
+            _read(s, d, "lineitem"), "l_quantity", by="l_returnflag"
+        )
+        return out.select(
+            "l_returnflag",
+            F.col("l_quantity").cast("long").alias("quantity"),
+            "count",
+            F.round("pct", 6).alias("pct"),
+            "cum_freq",
+            F.round("cum_pct", 6).alias("cum_pct"),
+        ).orderBy("l_returnflag", "quantity")
+
+    q["eval_frequency_table"] = eval_frequency_table
+
+    def eval_mode(s, d):
+        """ModeEvaluator analog: most frequent quantity per return flag,
+        smallest-value tie-break."""
+        out = ev.mode_value(_read(s, d, "lineitem"), "l_quantity", by="l_returnflag")
+        return out.select(
+            "l_returnflag",
+            F.col("mode").cast("long").alias("mode"),
+            "mode_count",
+        ).orderBy("l_returnflag")
+
+    q["eval_mode"] = eval_mode
+
+    def eval_distances(s, d):
+        """Distance-evaluator family (euclidean/manhattan/chebyshev/
+        canberra/cosine/dotProduct) over the paired daily series — all six
+        in ONE grouped aggregation."""
+        out = ev.distance_family(_daily_ab(s, d), "a", "b")
+        return out.select(
+            F.round("euclidean", 4).alias("euclidean"),
+            F.round("manhattan", 4).alias("manhattan"),
+            F.round("chebyshev", 4).alias("chebyshev"),
+            F.round("canberra", 4).alias("canberra"),
+            F.round("cosine_similarity", 6).alias("cosine_similarity"),
+            F.round("dot_product", 4).alias("dot_product"),
+        )
+
+    q["eval_distances"] = eval_distances
+
+    def eval_normalize(s, d):
+        """Norm/normalize evaluator family (l1/l2/lInf norms, normalizeSum,
+        unitize, standardize) on a deterministic lineitem subset."""
+        li = _read(s, d, "lineitem").where(F.col("l_orderkey") % 499 == 0).select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+        )
+        out = ev.normalize_family(li, "l_quantity", by="l_returnflag")
+        return out.select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            F.col("l_quantity").cast("long").alias("quantity"),
+            F.round("l1_norm", 4).alias("l1_norm"),
+            F.round("l2_norm", 4).alias("l2_norm"),
+            F.round("linf_norm", 4).alias("linf_norm"),
+            F.round("normalize_sum", 6).alias("normalize_sum"),
+            F.round("unitize", 6).alias("unitize"),
+            (F.round("standardize", 4) + F.lit(0.0)).alias("standardize"),
+        ).orderBy("l_orderkey", "l_linenumber")
+
+    q["eval_normalize"] = eval_normalize
+
+    def eval_polyfit(s, d):
+        """PolyFitEvaluator analog: degree-2 least squares on the daily
+        series (x scaled /10 to keep the normal-equation sums O(10) so the
+        closed-form Cramer solve is rounding-stable cross-engine)."""
+        daily = _daily_xy(s, d).withColumn("xs", F.col("x") / F.lit(10.0))
+        out = ev.polyfit2(daily, "xs", "y", by="event_type")
+        return out.select(
+            "event_type",
+            (F.round("c0", 4) + F.lit(0.0)).alias("c0"),
+            (F.round("c1", 4) + F.lit(0.0)).alias("c1"),
+            (F.round("c2", 4) + F.lit(0.0)).alias("c2"),
+            (F.round("d0", 4) + F.lit(0.0)).alias("d0"),
+            (F.round("d1", 4) + F.lit(0.0)).alias("d1"),
+        ).orderBy("event_type")
+
+    q["eval_polyfit"] = eval_polyfit
+
+    def eval_ks(s, d):
+        """KolmogorovSmirnovEvaluator analog (two-sample): D statistic
+        between the click and error value distributions."""
+        out = ev.ks_two_sample(
+            _read(s, d, "events"), "value", "event_type", "click", "error"
+        )
+        return out.select("n1", "n2", F.round("ks_d", 6).alias("ks_d"))
+
+    q["eval_ks"] = eval_ks
+
+    def eval_paired_ttest(s, d):
+        """PairedTTestEvaluator / meanDifference / sumDifference analog
+        over the paired daily series."""
+        out = ev.paired_ttest(_daily_ab(s, d), "a", "b")
+        return out.select(
+            "n",
+            F.round("sum_difference", 4).alias("sum_difference"),
+            F.round("mean_difference", 4).alias("mean_difference"),
+            F.round("t_stat", 4).alias("t_stat"),
+        )
+
+    q["eval_paired_ttest"] = eval_paired_ttest
+
+    def eval_matmul(s, d):
+        """MatrixMultiplyEvaluator analog: COO sparse matmul — join on the
+        inner dimension + one grouped sum (A: 7×5 order/part buckets of
+        summed quantity; B: 5×4 part/supp buckets of mean discount)."""
+        li = _read(s, d, "lineitem")
+        a = li.groupBy(
+            (F.col("l_orderkey") % 7).alias("i"), (F.col("l_partkey") % 5).alias("k")
+        ).agg(F.sum("l_quantity").alias("v"))
+        b = li.groupBy(
+            (F.col("l_partkey") % 5).alias("k"), (F.col("l_suppkey") % 4).alias("j")
+        ).agg(F.avg("l_discount").alias("v"))
+        out = ev.matrix_multiply(a, b)
+        return out.select("i", "j", F.round("v", 4).alias("v")).orderBy("i", "j")
+
+    q["eval_matmul"] = eval_matmul
+
+    def eval_markov(s, d):
+        """MarkovChainEvaluator analog: global event-type transition
+        matrix over per-user event chains (lead window bounded per user,
+        cells aggregated across all chains)."""
+        out = ev.markov_transitions(
+            _read(s, d, "events"), ["ts", "event_id"], "event_type", seq_col="user_id"
+        )
+        return out.select(
+            "state", "next_state", "transitions", F.round("prob", 6).alias("prob")
+        ).orderBy("state", "next_state")
+
+    q["eval_markov"] = eval_markov
+
+    def eval_emd(s, d):
+        """EarthMoversEvaluator analog: bin-aligned histogram EMD between
+        the daily click and error count series (prefix-sum recurrence)."""
+        daily = _daily_ab(s, d)
+        out = ev.earth_movers(daily, "day", "a", "b")
+        return out.select(F.round("emd", 4).alias("emd"))
+
+    q["eval_emd"] = eval_emd
+
+    def eval_ols2(s, d):
+        """OLSRegressionEvaluator analog: two-feature least squares
+        (quantity ~ discount + tax) per return flag, closed-form normal
+        equations in one aggregation pass."""
+        out = ev.ols_regress2(
+            _read(s, d, "lineitem"), "l_quantity", "l_discount", "l_tax",
+            by="l_returnflag",
+        )
+        return out.select(
+            "l_returnflag",
+            (F.round("b0", 4) + F.lit(0.0)).alias("b0"),
+            (F.round("b1", 4) + F.lit(0.0)).alias("b1"),
+            (F.round("b2", 4) + F.lit(0.0)).alias("b2"),
+            (F.round("r_squared", 6) + F.lit(0.0)).alias("r_squared"),
+        ).orderBy("l_returnflag")
+
+    q["eval_ols2"] = eval_ols2
+
+    def eval_predict(s, d):
+        """PredictEvaluator analog: broadcast the fitted degree-2
+        coefficients (eval_polyfit's model) onto a forecast grid of
+        x = 0..9 and evaluate ŷ as a JVM expression."""
+        daily = _daily_xy(s, d).withColumn("xs", F.col("x") / F.lit(10.0))
+        coef = ev.polyfit2(daily, "xs", "y", by="event_type")
+        grid = (
+            coef.select("event_type")
+            .crossJoin(
+                s.range(10).select((F.col("id") / F.lit(10.0)).alias("xs"))
+            )
+        )
+        out = ev.predict_poly2(coef, grid, "xs", by="event_type")
+        return out.select(
+            "event_type",
+            F.round("xs", 1).alias("xs"),
+            (F.round("predicted", 3) + F.lit(0.0)).alias("predicted"),
+        ).orderBy("event_type", "xs")
+
+    q["eval_predict"] = eval_predict
+
+    def eval_matrix_ebe(s, d):
+        """EBEAdd/Sub/Mul + Transpose + SumRows/SumColumns/GrandSum
+        analog: element-wise ops between A (7×5 summed quantity) and Bᵀ
+        (B: 5×7 mean discount, transposed inside the op) on COO cells,
+        with row/col/grand sums as windows over the cell dictionary."""
+        li = _read(s, d, "lineitem")
+        a = li.groupBy(
+            (F.col("l_orderkey") % 7).alias("i"), (F.col("l_partkey") % 5).alias("j")
+        ).agg(F.sum("l_quantity").alias("v"))
+        b = li.groupBy(
+            (F.col("l_partkey") % 5).alias("i"), (F.col("l_orderkey") % 7).alias("j")
+        ).agg(F.avg("l_discount").alias("v"))
+        out = ev.matrix_ebe_sums(a, b)
+        return out.select(
+            "i", "j",
+            F.round("add", 4).alias("add"),
+            F.round("sub", 4).alias("sub"),
+            F.round("mul", 4).alias("mul"),
+            F.round("row_sum", 4).alias("row_sum"),
+            F.round("col_sum", 4).alias("col_sum"),
+            F.round("grand_sum", 4).alias("grand_sum"),
+        ).orderBy("i", "j")
+
+    q["eval_matrix_ebe"] = eval_matrix_ebe
+
+    def eval_temporal(s, d):
+        """TemporalEvaluator family analog: year/quarter/month/week/day/
+        dayOfYear/dayOfQuarter/hour/minute/second/epoch as pure column
+        expressions (UTC session) on a deterministic event subset."""
+        evs = _read(s, d, "events").where(F.col("event_id") % 997 == 0)
+        return ev.temporal_family(evs, "ts").orderBy("epoch")
+
+    q["eval_temporal"] = eval_temporal
+
+    def eval_gtest(s, d):
+        """GTestDataSetEvaluator analog: G log-likelihood-ratio
+        independence test over the event_type × day-of-week contingency
+        table."""
+        evs = _read(s, d, "events").select(
+            "event_type", F.dayofweek("ts").alias("dow")
+        )
+        out = ev.gtest(evs, "event_type", "dow")
+        return out.select(F.round("g_stat", 4).alias("g_stat"), "dof", "n")
+
+    q["eval_gtest"] = eval_gtest
+
+    def eval_knn_regress(s, d):
+        """KnnRegressionEvaluator analog: ŷ(xq) = mean extended price of
+        the k=5 nearest rows by quantity, for a literal broadcast query
+        grid — window top-k per query, total tie-break."""
+        out = ev.knn_regress(
+            _read(s, d, "lineitem"), "l_quantity", "l_extendedprice",
+            [5.0, 20.0, 35.0], k=5,
+        )
+        return out.select(
+            F.round("query_x", 1).alias("query_x"),
+            "k",
+            F.round("predicted", 4).alias("predicted"),
+        ).orderBy("query_x")
+
+    q["eval_knn_regress"] = eval_knn_regress
+
+    def eval_corr_significance(s, d):
+        """CorrelationSignificanceEvaluator analog: Pearson r between the
+        daily click and error counts plus its t statistic."""
+        out = ev.corr_significance(_daily_ab(s, d), "a", "b")
+        return out.select(
+            "n",
+            F.round("corr", 6).alias("corr"),
+            F.round("t_stat", 4).alias("t_stat"),
+        )
+
+    q["eval_corr_significance"] = eval_corr_significance
+
     # --- training-data pipeline: text analysis ---
     def text_analysis(s, d):
         docs = _read(s, d, "documents").where(F.col("doc_id") < 20)
@@ -2228,6 +2512,273 @@ FROM agg ORDER BY l_returnflag
         for i, cx in enumerate(_cm_cols)
         for cy in _cm_cols[i:]
     ) + " ORDER BY col_x, col_y"
+    o["eval_dft"] = f"""
+WITH {_daily_xy_sql},
+idx AS (SELECT event_type,
+               row_number() OVER (PARTITION BY event_type ORDER BY x) - 1 AS i, y
+        FROM daily),
+n AS (SELECT event_type, count(*) AS n FROM idx GROUP BY 1),
+bins AS (SELECT event_type, n, unnest(range(n)) AS k FROM n),
+sums AS (SELECT b.event_type, b.k,
+                sum(i.y * cos(-2 * pi() * b.k * i.i / b.n)) AS re,
+                sum(i.y * sin(-2 * pi() * b.k * i.i / b.n)) AS im
+         FROM bins b JOIN idx i ON b.event_type = i.event_type
+         GROUP BY 1, 2)
+SELECT event_type, k,
+       ROUND(re, 4) + 0.0 AS re, ROUND(im, 4) + 0.0 AS im,
+       ROUND(sqrt(re * re + im * im), 4) AS magnitude
+FROM sums ORDER BY event_type, k
+""".strip()
+    o["eval_frequency_table"] = """
+WITH pv AS (SELECT l_returnflag, l_quantity, count(*) AS count
+            FROM lineitem GROUP BY 1, 2)
+SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS quantity,
+       CAST(count AS BIGINT) AS count,
+       ROUND(count * 1.0 / sum(count) OVER (PARTITION BY l_returnflag), 6) AS pct,
+       CAST(sum(count) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_freq,
+       ROUND(sum(count) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            * 1.0 / sum(count) OVER (PARTITION BY l_returnflag), 6) AS cum_pct
+FROM pv ORDER BY l_returnflag, quantity
+""".strip()
+    o["eval_mode"] = """
+WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
+           FROM lineitem GROUP BY 1, 2),
+m AS (SELECT l_returnflag, max(n) AS mx FROM c GROUP BY 1)
+SELECT c.l_returnflag, CAST(min(c.l_quantity) AS BIGINT) AS mode,
+       CAST(min(m.mx) AS BIGINT) AS mode_count
+FROM c JOIN m ON c.l_returnflag = m.l_returnflag AND c.n = m.mx
+GROUP BY 1 ORDER BY 1
+""".strip()
+    _daily_ab_sql = """ab AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) AS b
+  FROM events GROUP BY 1)"""
+    o["eval_distances"] = f"""
+WITH {_daily_ab_sql}
+SELECT ROUND(sqrt(sum((a - b) * (a - b))), 4) AS euclidean,
+       ROUND(sum(abs(a - b)), 4) AS manhattan,
+       ROUND(max(abs(a - b)), 4) AS chebyshev,
+       ROUND(sum(CASE WHEN abs(a) + abs(b) > 0
+                      THEN abs(a - b) / (abs(a) + abs(b)) ELSE 0.0 END), 4) AS canberra,
+       ROUND(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))), 6) AS cosine_similarity,
+       ROUND(sum(a * b), 4) AS dot_product
+FROM ab
+""".strip()
+    o["eval_normalize"] = """
+WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                   CAST(l_quantity AS DOUBLE) AS x
+            FROM lineitem WHERE l_orderkey % 499 = 0)
+SELECT l_orderkey, l_linenumber, l_returnflag, CAST(x AS BIGINT) AS quantity,
+       ROUND(sum(abs(x)) OVER w, 4) AS l1_norm,
+       ROUND(sqrt(sum(x * x) OVER w), 4) AS l2_norm,
+       ROUND(max(abs(x)) OVER w, 4) AS linf_norm,
+       ROUND(x / sum(x) OVER w, 6) AS normalize_sum,
+       ROUND(x / sqrt(sum(x * x) OVER w), 6) AS unitize,
+       ROUND((x - avg(x) OVER w) / stddev_samp(x) OVER w, 4) + 0.0 AS standardize
+FROM li WINDOW w AS (PARTITION BY l_returnflag)
+ORDER BY l_orderkey, l_linenumber
+""".strip()
+    o["eval_polyfit"] = f"""
+WITH {_daily_xy_sql},
+sc AS (SELECT event_type, x / 10.0 AS x, y FROM daily),
+a AS (SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS s0, sum(x) AS s1, sum(x * x) AS s2,
+             sum(x * x * x) AS s3, sum(x * x * x * x) AS s4,
+             sum(y) AS t0, sum(x * y) AS t1, sum(x * x * y) AS t2
+      FROM sc GROUP BY 1),
+c AS (SELECT event_type,
+             s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s2 * s3)
+               + s2 * (s1 * s3 - s2 * s2) AS det,
+             t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - t2 * s3)
+               + s2 * (t1 * s3 - t2 * s2) AS n0,
+             s0 * (t1 * s4 - t2 * s3) - t0 * (s1 * s4 - s2 * s3)
+               + s2 * (s1 * t2 - s2 * t1) AS n1,
+             s0 * (s2 * t2 - s3 * t1) - s1 * (s1 * t2 - s2 * t1)
+               + t0 * (s1 * s3 - s2 * s2) AS n2
+      FROM a)
+SELECT event_type,
+       ROUND(n0 / det, 4) + 0.0 AS c0,
+       ROUND(n1 / det, 4) + 0.0 AS c1,
+       ROUND(n2 / det, 4) + 0.0 AS c2,
+       ROUND(n1 / det, 4) + 0.0 AS d0,
+       ROUND(2.0 * (n2 / det), 4) + 0.0 AS d1
+FROM c ORDER BY event_type
+""".strip()
+    o["eval_ks"] = """
+WITH pv AS (SELECT value,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS b
+            FROM events WHERE event_type IN ('click', 'error') GROUP BY 1),
+t AS (SELECT CAST(sum(a) AS DOUBLE) AS n1, CAST(sum(b) AS DOUBLE) AS n2 FROM pv),
+e AS (SELECT sum(a) OVER w AS ca, sum(b) OVER w AS cb
+      FROM pv WINDOW w AS (ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT CAST((SELECT n1 FROM t) AS BIGINT) AS n1,
+       CAST((SELECT n2 FROM t) AS BIGINT) AS n2,
+       ROUND(max(abs(ca / (SELECT n1 FROM t) - cb / (SELECT n2 FROM t))), 6) AS ks_d
+FROM e
+""".strip()
+    o["eval_paired_ttest"] = f"""
+WITH {_daily_ab_sql}
+SELECT CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(a - b), 4) AS sum_difference,
+       ROUND(avg(a - b), 4) AS mean_difference,
+       ROUND(avg(a - b) / (stddev_samp(a - b) / sqrt(count(*))), 4) AS t_stat
+FROM ab
+""".strip()
+    o["eval_matmul"] = """
+WITH a AS (SELECT l_orderkey % 7 AS i, l_partkey % 5 AS k, sum(l_quantity) AS v
+           FROM lineitem GROUP BY 1, 2),
+b AS (SELECT l_partkey % 5 AS k, l_suppkey % 4 AS j, avg(l_discount) AS v
+      FROM lineitem GROUP BY 1, 2)
+SELECT a.i, b.j, ROUND(sum(a.v * b.v), 4) AS v
+FROM a JOIN b ON a.k = b.k GROUP BY 1, 2 ORDER BY i, j
+""".strip()
+    o["eval_markov"] = """
+WITH pairs AS (
+  SELECT event_type AS state,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_state
+  FROM events),
+cells AS (SELECT state, next_state, count(*) AS transitions
+          FROM pairs WHERE next_state IS NOT NULL GROUP BY 1, 2)
+SELECT state, next_state, transitions,
+       ROUND(transitions * 1.0 / sum(transitions) OVER (PARTITION BY state), 6)
+         AS prob
+FROM cells ORDER BY state, next_state
+""".strip()
+    o["eval_emd"] = f"""
+WITH {_daily_ab_sql},
+run AS (SELECT sum(a - b) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS emd
+        FROM ab)
+SELECT ROUND(sum(abs(emd)), 4) AS emd FROM run
+""".strip()
+    o["eval_ols2"] = """
+WITH g AS (SELECT l_returnflag,
+                  CAST(count(*) AS DOUBLE) AS s0,
+                  sum(l_discount) AS a, sum(l_tax) AS b,
+                  sum(l_discount * l_discount) AS c,
+                  sum(l_discount * l_tax) AS d,
+                  sum(l_tax * l_tax) AS e,
+                  sum(l_quantity) AS t0,
+                  sum(l_discount * l_quantity) AS t1,
+                  sum(l_tax * l_quantity) AS t2,
+                  sum(l_quantity * l_quantity) AS syy
+           FROM lineitem GROUP BY 1),
+c2 AS (SELECT l_returnflag, s0, a, b, t0, t1, t2, syy,
+              s0 * (c * e - d * d) - a * (a * e - d * b) + b * (a * d - c * b)
+                AS det,
+              t0 * (c * e - d * d) - a * (t1 * e - t2 * d) + b * (t1 * d - t2 * c)
+                AS n0,
+              s0 * (t1 * e - t2 * d) - t0 * (a * e - b * d) + b * (a * t2 - t1 * b)
+                AS n1,
+              s0 * (c * t2 - d * t1) - a * (a * t2 - b * t1) + t0 * (a * d - c * b)
+                AS n2
+       FROM g)
+SELECT l_returnflag,
+       ROUND(n0 / det, 4) + 0.0 AS b0,
+       ROUND(n1 / det, 4) + 0.0 AS b1,
+       ROUND(n2 / det, 4) + 0.0 AS b2,
+       ROUND(1.0 - (syy - (n0 / det) * t0 - (n1 / det) * t1 - (n2 / det) * t2)
+                   / (syy - t0 * t0 / s0), 6) + 0.0 AS r_squared
+FROM c2 ORDER BY l_returnflag
+""".strip()
+    o["eval_predict"] = f"""
+WITH {_daily_xy_sql},
+sc AS (SELECT event_type, x / 10.0 AS x, y FROM daily),
+a AS (SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS s0, sum(x) AS s1, sum(x * x) AS s2,
+             sum(x * x * x) AS s3, sum(x * x * x * x) AS s4,
+             sum(y) AS t0, sum(x * y) AS t1, sum(x * x * y) AS t2
+      FROM sc GROUP BY 1),
+c AS (SELECT event_type,
+             s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s2 * s3)
+               + s2 * (s1 * s3 - s2 * s2) AS det,
+             t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - t2 * s3)
+               + s2 * (t1 * s3 - t2 * s2) AS n0,
+             s0 * (t1 * s4 - t2 * s3) - t0 * (s1 * s4 - s2 * s3)
+               + s2 * (s1 * t2 - s2 * t1) AS n1,
+             s0 * (s2 * t2 - s3 * t1) - s1 * (s1 * t2 - s2 * t1)
+               + t0 * (s1 * s3 - s2 * s2) AS n2
+      FROM a),
+grid AS (SELECT event_type, det, n0, n1, n2, unnest(range(10)) / 10.0 AS xs
+         FROM c)
+SELECT event_type, ROUND(xs, 1) AS xs,
+       ROUND(n0 / det + (n1 / det) * xs + (n2 / det) * xs * xs, 3) + 0.0
+         AS predicted
+FROM grid ORDER BY event_type, xs
+""".strip()
+    o["eval_matrix_ebe"] = """
+WITH a AS (SELECT l_orderkey % 7 AS i, l_partkey % 5 AS j,
+                  sum(l_quantity) AS va
+           FROM lineitem GROUP BY 1, 2),
+b AS (SELECT l_partkey % 5 AS i, l_orderkey % 7 AS j, avg(l_discount) AS vb
+      FROM lineitem GROUP BY 1, 2),
+bt AS (SELECT j AS i, i AS j, vb FROM b),
+cells AS (SELECT COALESCE(a.i, bt.i) AS i, COALESCE(a.j, bt.j) AS j,
+                 COALESCE(va, 0.0) AS va, COALESCE(vb, 0.0) AS vb
+          FROM a FULL OUTER JOIN bt ON a.i = bt.i AND a.j = bt.j)
+SELECT i, j,
+       ROUND(va + vb, 4) AS "add",
+       ROUND(va - vb, 4) AS "sub",
+       ROUND(va * vb, 4) AS "mul",
+       ROUND(sum(va + vb) OVER (PARTITION BY i), 4) AS row_sum,
+       ROUND(sum(va + vb) OVER (PARTITION BY j), 4) AS col_sum,
+       ROUND(sum(va + vb) OVER (), 4) AS grand_sum
+FROM cells ORDER BY i, j
+""".strip()
+    o["eval_temporal"] = """
+SELECT ts,
+       CAST(year(ts) AS INT) AS year,
+       CAST(quarter(ts) AS INT) AS quarter,
+       CAST(month(ts) AS INT) AS month,
+       CAST(week(ts) AS INT) AS week,
+       CAST(day(ts) AS INT) AS day,
+       CAST(dayofyear(ts) AS INT) AS day_of_year,
+       CAST(date_diff('day', CAST(date_trunc('quarter', ts) AS DATE),
+                      CAST(ts AS DATE)) + 1 AS INT) AS day_of_quarter,
+       CAST(hour(ts) AS INT) AS hour,
+       CAST(minute(ts) AS INT) AS minute,
+       CAST(second(ts) AS INT) AS second,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+FROM events WHERE event_id % 997 = 0 ORDER BY epoch
+""".strip()
+    o["eval_gtest"] = """
+WITH obs AS (SELECT event_type, dayofweek(ts) AS dow,
+                    CAST(count(*) AS DOUBLE) AS o
+             FROM events GROUP BY 1, 2),
+ra AS (SELECT event_type, sum(o) AS ra FROM obs GROUP BY 1),
+cb AS (SELECT dow, sum(o) AS cb FROM obs GROUP BY 1),
+t AS (SELECT sum(o) AS n, CAST(count(DISTINCT event_type) AS DOUBLE) AS ka,
+             CAST(count(DISTINCT dow) AS DOUBLE) AS kb
+      FROM obs)
+SELECT ROUND(2.0 * sum(o * ln(o / (ra.ra * cb.cb / t.n))), 4) AS g_stat,
+       min((t.ka - 1) * (t.kb - 1)) AS dof,
+       CAST(min(t.n) AS BIGINT) AS n
+FROM obs JOIN ra USING (event_type) JOIN cb USING (dow) CROSS JOIN t
+""".strip()
+    o["eval_knn_regress"] = """
+WITH q(qx) AS (VALUES (5.0), (20.0), (35.0)),
+r AS (SELECT CAST(q.qx AS DOUBLE) AS qx, l.l_extendedprice AS y,
+             row_number() OVER (PARTITION BY q.qx
+               ORDER BY abs(l.l_quantity - q.qx), l.l_quantity,
+                        l.l_extendedprice) AS rn
+      FROM lineitem l CROSS JOIN q)
+SELECT ROUND(qx, 1) AS query_x, 5 AS k, ROUND(avg(y), 4) AS predicted
+FROM r WHERE rn <= 5 GROUP BY qx ORDER BY query_x
+""".strip()
+    o["eval_corr_significance"] = f"""
+WITH {_daily_ab_sql}
+SELECT CAST(count(*) AS BIGINT) AS n,
+       ROUND(corr(a, b), 6) AS corr,
+       ROUND(corr(a, b) * sqrt((count(*) - 2) / (1 - corr(a, b) * corr(a, b))),
+             4) AS t_stat
+FROM ab
+""".strip()
     o["dedup_embedding_cosine"] = embedding_lsh_sql(0.45)
     o["dedup_embedding_exact"] = embedding_neardup_sql(0.45)
     o["ann_cosine_top10"] = ann_topk_sql(query_id=0, k=10)

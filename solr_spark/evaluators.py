@@ -786,3 +786,554 @@ def corr_matrix(df: DataFrame, cols: list[str], by: str | None = None) -> DataFr
     return base.select(*keep, F.explode(rows).alias("_p")).select(
         *keep, "_p.col_x", "_p.col_y", "_p.corr", "_p.cov"
     )
+
+
+def dft_magnitude(
+    df: DataFrame, order_col: str, val_col: str, by: str | None = None
+) -> DataFrame:
+    """FFTEvaluator analog (``io/eval/FFTEvaluator.java`` — commons-math
+    FastFourierTransformer over a driver-side vector; this is the DFT
+    restated as a distributed pair join, same O(n²) work as the naive
+    transform but spread across the cluster — the reference's FFT needs
+    the whole series on one machine, which is the one-machine ceiling
+    this engine avoids):
+
+    ``X_k = Σ_i y_i · e^(-2πi·k·i/n)`` — index the series once (per-group
+    ordered window), cross the (i, y) rows with the k = 0..n-1 frequency
+    bins inside each group, and reduce re/im with one grouped sum.
+    Returns (group?, k, re, im, magnitude).
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    keep = [by] if by else []
+    w = Window.partitionBy(*keep).orderBy(order_col)
+    idx = df.select(
+        *keep,
+        (F.row_number().over(w) - 1).alias("_i"),
+        F.col(val_col).cast("double").alias("_y"),
+    )
+    n = idx.groupBy(*keep).agg(F.count("*").alias("_n"))
+    bins = n.select(*keep, "_n", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("k"))
+    pairs = idx.join(bins, keep) if keep else idx.crossJoin(bins)
+    theta = F.lit(-2.0 * math.pi) * F.col("k") * F.col("_i") / F.col("_n")
+    return (
+        pairs.groupBy(*keep, "k")
+        .agg(
+            F.sum(F.col("_y") * F.cos(theta)).alias("re"),
+            F.sum(F.col("_y") * F.sin(theta)).alias("im"),
+        )
+        .select(
+            *keep, "k", "re", "im",
+            F.sqrt(F.col("re") ** 2 + F.col("im") ** 2).alias("magnitude"),
+        )
+    )
+
+
+def frequency_table(df: DataFrame, val_col: str, by: str | None = None) -> DataFrame:
+    """FrequencyTableEvaluator analog (``io/eval/FrequencyTableEvaluator.
+    java`` — commons-math Frequency: per value count/pct/cumFreq/cumPct).
+    One groupBy collapses rows to the (value, count) dictionary; the
+    cumulative window runs over that small dictionary, never over rows
+    (same scale shape as :func:`rank_transform`)."""
+    from pyspark.sql.window import Window
+
+    keep = [by] if by else []
+    per_val = df.groupBy(*keep, val_col).agg(F.count("*").alias("count"))
+    wtot = Window.partitionBy(*keep)
+    wcum = (
+        Window.partitionBy(*keep)
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = F.sum("count").over(wtot)
+    cum = F.sum("count").over(wcum)
+    return per_val.select(
+        *keep,
+        val_col,
+        "count",
+        (F.col("count") / tot).alias("pct"),
+        cum.alias("cum_freq"),
+        (cum / tot).alias("cum_pct"),
+    )
+
+
+def mode_value(df: DataFrame, val_col: str, by: str | None = None) -> DataFrame:
+    """ModeEvaluator analog (``io/eval/ModeEvaluator.java``): the most
+    frequent value per group, smallest-value tie-break — max_by over the
+    (value, count) dictionary, no row-level window."""
+    keep = [by] if by else []
+    per_val = df.groupBy(*keep, val_col).agg(F.count("*").alias("_c"))
+    winner = F.min_by(
+        F.col(val_col), F.struct((F.lit(0) - F.col("_c")).alias("_nc"), F.col(val_col))
+    ).alias("mode")
+    g = per_val.groupBy(*keep) if keep else per_val.groupBy()
+    return g.agg(winner, F.max("_c").alias("mode_count"))
+
+
+def distance_family(
+    df: DataFrame, a_col: str, b_col: str, by: str | None = None
+) -> DataFrame:
+    """Distance/similarity evaluator family over two paired series —
+    EuclideanDistanceEvaluator, ManhattanEvaluator, CanberraEvaluator,
+    ChebyshevDistanceEvaluator, CosineSimilarityEvaluator,
+    DotProductEvaluator (``io/eval/*.java``, each commons-math
+    DistanceMeasure over driver vectors): all six reduce over the same
+    paired rows, so they are ONE grouped aggregation — one shuffle for
+    the whole family, map-side partials for free."""
+    a = F.col(a_col).cast("double")
+    b = F.col(b_col).cast("double")
+    d = a - b
+    aggs = [
+        F.sqrt(F.sum(d * d)).alias("euclidean"),
+        F.sum(F.abs(d)).alias("manhattan"),
+        F.max(F.abs(d)).alias("chebyshev"),
+        F.sum(
+            F.when(F.abs(a) + F.abs(b) > 0, F.abs(d) / (F.abs(a) + F.abs(b))).otherwise(0.0)
+        ).alias("canberra"),
+        (
+            F.sum(a * b) / (F.sqrt(F.sum(a * a)) * F.sqrt(F.sum(b * b)))
+        ).alias("cosine_similarity"),
+        F.sum(a * b).alias("dot_product"),
+    ]
+    return df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
+
+
+def normalize_family(df: DataFrame, val_col: str, by: str | None = None) -> DataFrame:
+    """Norm/normalize evaluator family — L1NormEvaluator, NormEvaluator
+    (L2), LInfNormEvaluator, NormalizeSumEvaluator (x/Σx), UnitEvaluator
+    (x/‖x‖₂), NormalizeEvaluator (standardize; the ``zscores`` twin)
+    (``io/eval/*.java``): one stats aggregation per group, broadcast
+    join-back, all JVM expressions — same shape as :func:`minmax_scale`."""
+    x = F.col(val_col).cast("double")
+    stats_aggs = [
+        F.sum(x).alias("_s1"),
+        F.sum(F.abs(x)).alias("_l1"),
+        F.sqrt(F.sum(x * x)).alias("_l2"),
+        F.max(F.abs(x)).alias("_linf"),
+        F.avg(x).alias("_mu"),
+        F.stddev_samp(x).alias("_sd"),
+    ]
+    if by:
+        stats = df.groupBy(by).agg(*stats_aggs)
+        joined = df.join(F.broadcast(stats), by)
+    else:
+        stats = df.agg(*stats_aggs)
+        joined = df.crossJoin(F.broadcast(stats))
+    return joined.select(
+        *df.columns,
+        F.col("_l1").alias("l1_norm"),
+        F.col("_l2").alias("l2_norm"),
+        F.col("_linf").alias("linf_norm"),
+        (x / F.col("_s1")).alias("normalize_sum"),
+        (x / F.col("_l2")).alias("unitize"),
+        ((x - F.col("_mu")) / F.col("_sd")).alias("standardize"),
+    )
+
+
+def polyfit2(
+    df: DataFrame, x_col: str, y_col: str, by: str | None = None
+) -> DataFrame:
+    """PolyFitEvaluator / PolyFitDerivativeEvaluator analog
+    (``io/eval/PolyFitEvaluator.java`` — commons-math PolynomialCurveFitter,
+    default degree 3; degree-2 here): least-squares parabola via the
+    normal equations. The Vandermonde power sums S0..S4, T0..T2 are ONE
+    grouped aggregation; the 3×3 Cramer solve is a closed-form JVM
+    expression over those sums — no driver matrix, no second pass.
+    Returns (group?, c0, c1, c2) for ŷ = c0 + c1·x + c2·x² plus the
+    derivative coefficients (d0, d1) of ŷ' = c1 + 2·c2·x."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    aggs = [
+        F.count("*").cast("double").alias("s0"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+        F.sum(y).alias("t0"),
+        F.sum(x * y).alias("t1"),
+        F.sum(x * x * y).alias("t2"),
+    ]
+    base = df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
+    s0, s1, s2, s3, s4 = (F.col(c) for c in ("s0", "s1", "s2", "s3", "s4"))
+    t0, t1, t2 = (F.col(c) for c in ("t0", "t1", "t2"))
+    det = (
+        s0 * (s2 * s4 - s3 * s3)
+        - s1 * (s1 * s4 - s2 * s3)
+        + s2 * (s1 * s3 - s2 * s2)
+    )
+    c0 = (
+        t0 * (s2 * s4 - s3 * s3)
+        - s1 * (t1 * s4 - t2 * s3)
+        + s2 * (t1 * s3 - t2 * s2)
+    ) / det
+    c1 = (
+        s0 * (t1 * s4 - t2 * s3)
+        - t0 * (s1 * s4 - s2 * s3)
+        + s2 * (s1 * t2 - s2 * t1)
+    ) / det
+    c2 = (
+        s0 * (s2 * t2 - s3 * t1)
+        - s1 * (s1 * t2 - s2 * t1)
+        + t0 * (s1 * s3 - s2 * s2)
+    ) / det
+    keep = [by] if by else []
+    return base.select(
+        *keep,
+        c0.alias("c0"),
+        c1.alias("c1"),
+        c2.alias("c2"),
+        c1.alias("d0"),
+        (F.lit(2.0) * c2).alias("d1"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame, val_col: str, group_col: str, g1: str, g2: str
+) -> DataFrame:
+    """KolmogorovSmirnovEvaluator analog (``io/eval/
+    KolmogorovSmirnovEvaluator.java`` — commons-math
+    kolmogorovSmirnovTest; two-sample form): D = max |F1(v) − F2(v)|
+    over the pooled sample. Scale shape: both ECDFs are step functions
+    that only change at DISTINCT values, so one groupBy collapses the
+    pool to the (value, n1(v), n2(v)) dictionary, a cumulative window
+    over that small dictionary yields both ECDFs, and one max finishes.
+    Rows never funnel through a single partition."""
+    from pyspark.sql.window import Window
+
+    pool = df.where(F.col(group_col).isin([g1, g2]))
+    per_val = pool.groupBy(val_col).agg(
+        F.sum(F.when(F.col(group_col) == g1, 1).otherwise(0)).alias("_a"),
+        F.sum(F.when(F.col(group_col) == g2, 1).otherwise(0)).alias("_b"),
+    )
+    tot = per_val.agg(
+        F.sum("_a").cast("double").alias("_n1"),
+        F.sum("_b").cast("double").alias("_n2"),
+    )
+    wcum = Window.orderBy(val_col).rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = per_val.select(
+        F.sum("_a").over(wcum).alias("_ca"),
+        F.sum("_b").over(wcum).alias("_cb"),
+    )
+    return ecdf.crossJoin(F.broadcast(tot)).agg(
+        F.max("_n1").cast("long").alias("n1"),
+        F.max("_n2").cast("long").alias("n2"),
+        F.max(F.abs(F.col("_ca") / F.col("_n1") - F.col("_cb") / F.col("_n2"))).alias(
+            "ks_d"
+        ),
+    )
+
+
+def paired_ttest(df: DataFrame, a_col: str, b_col: str, by: str | None = None) -> DataFrame:
+    """PairedTTestEvaluator / MeanDifferenceEvaluator /
+    SumDifferenceEvaluator analog (``io/eval/PairedTTestEvaluator.java``
+    — commons-math TTest.pairedTTest): t = mean(d) / (sd(d)/√n) over the
+    per-row differences; one grouped aggregation."""
+    d = F.col(a_col).cast("double") - F.col(b_col).cast("double")
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(d).alias("sum_difference"),
+        F.avg(d).alias("mean_difference"),
+        (F.avg(d) / (F.stddev_samp(d) / F.sqrt(F.count("*")))).alias("t_stat"),
+    ]
+    return df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
+
+
+def matrix_multiply(
+    dfa: DataFrame, dfb: DataFrame, i: str = "i", k: str = "k", j: str = "j", v: str = "v"
+) -> DataFrame:
+    """MatrixMultiplyEvaluator analog (``io/eval/MatrixMultiplyEvaluator.
+    java`` — commons-math RealMatrix.multiply over driver matrices; here
+    the COO sparse form: matrices are (i, k, v) row streams):
+    C(i,j) = Σ_k A(i,k)·B(k,j) — a join on the inner dimension plus one
+    grouped sum, the canonical distributed matmul. At 100 TB the inner-
+    dimension join shuffles both sides on k; a skewed k (dense column)
+    is exactly the hot-term problem and AQE skew-join splits it."""
+    a = dfa.select(F.col(i).alias("_i"), F.col(k).alias("_k"), F.col(v).alias("_va"))
+    b = dfb.select(F.col(k).alias("_k"), F.col(j).alias("_j"), F.col(v).alias("_vb"))
+    return (
+        a.join(b, "_k")
+        .groupBy(F.col("_i").alias(i), F.col("_j").alias(j))
+        .agg(F.sum(F.col("_va") * F.col("_vb")).alias(v))
+    )
+
+
+def markov_transitions(
+    df: DataFrame,
+    order_col: str | list[str],
+    state_col: str,
+    seq_col: str | None = None,
+    by: str | None = None,
+) -> DataFrame:
+    """MarkovChainEvaluator analog (``io/eval/MarkovChainEvaluator.java:27,60``
+    — builds a row-stochastic transition matrix from a sequence of
+    states). The reference holds the whole chain on the driver; here the
+    transition COUNTS are the distributed object: a per-sequence ``lead``
+    window pairs each state with its successor (``seq_col`` bounds each
+    chain, e.g. one chain per user), one groupBy counts the
+    (state, next_state) cells across all chains, and the row-normalizing
+    total is a window over the tiny cell dictionary — raw rows never
+    leave the cluster. Returns (group?, state, next_state, transitions,
+    prob)."""
+    from pyspark.sql.window import Window
+
+    keep = [by] if by else []
+    part = keep + ([seq_col] if seq_col else [])
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(*part).orderBy(*order)
+    pairs = df.select(
+        *keep,
+        F.col(state_col).alias("state"),
+        F.lead(state_col).over(w).alias("next_state"),
+    ).where(F.col("next_state").isNotNull())
+    cells = pairs.groupBy(*keep, "state", "next_state").agg(
+        F.count("*").alias("transitions")
+    )
+    wrow = Window.partitionBy(*keep, "state")
+    return cells.select(
+        *keep,
+        "state",
+        "next_state",
+        "transitions",
+        (F.col("transitions") / F.sum("transitions").over(wrow)).alias("prob"),
+    )
+
+
+def earth_movers(df: DataFrame, order_col: str, a_col: str, b_col: str) -> DataFrame:
+    """EarthMoversEvaluator analog (``io/eval/EarthMoversEvaluator.java:27``
+    — commons-math ``EarthMoversDistance`` over two bin-aligned
+    histograms: ``emd_{i+1} = a_i + emd_i - b_i``, distance = Σ|emd_i|).
+    The recurrence is a plain prefix sum of (a−b), so one cumulative
+    window over the bin axis + one sum of absolutes — same scale shape
+    as :func:`ks_two_sample` (windows run over the bin dictionary, not
+    the raw rows)."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    run = df.select(
+        F.sum(F.col(a_col).cast("double") - F.col(b_col).cast("double"))
+        .over(w)
+        .alias("_emd")
+    )
+    return run.agg(F.sum(F.abs(F.col("_emd"))).alias("emd"))
+
+
+def ols_regress2(
+    df: DataFrame, y_col: str, x1_col: str, x2_col: str, by: str | None = None
+) -> DataFrame:
+    """OLSRegressionEvaluator analog (``io/eval/OLSRegressionEvaluator.java:31,41``
+    — commons-math OLSMultipleLinearRegression; two-feature form):
+    ŷ = b0 + b1·x1 + b2·x2 by the normal equations. The Gram sums are
+    ONE grouped aggregation; the 3×3 Cramer solve and R² are closed-form
+    JVM expressions over those sums (same shape as :func:`polyfit2` —
+    no driver matrix, no second pass). Returns (group?, b0, b1, b2,
+    r_squared)."""
+    x1 = F.col(x1_col).cast("double")
+    x2 = F.col(x2_col).cast("double")
+    y = F.col(y_col).cast("double")
+    aggs = [
+        F.count("*").cast("double").alias("s0"),
+        F.sum(x1).alias("sx1"),
+        F.sum(x2).alias("sx2"),
+        F.sum(x1 * x1).alias("sx11"),
+        F.sum(x1 * x2).alias("sx12"),
+        F.sum(x2 * x2).alias("sx22"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * y).alias("sx1y"),
+        F.sum(x2 * y).alias("sx2y"),
+        F.sum(y * y).alias("syy"),
+    ]
+    base = df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
+    s0 = F.col("s0")
+    a, b, c = F.col("sx1"), F.col("sx2"), F.col("sx11")
+    d, e = F.col("sx12"), F.col("sx22")
+    t0, t1, t2 = F.col("sy"), F.col("sx1y"), F.col("sx2y")
+    # | s0 a  b |   | t0 |
+    # | a  c  d | · | t1 |   (symmetric Gram matrix)
+    # | b  d  e |   | t2 |
+    det = s0 * (c * e - d * d) - a * (a * e - d * b) + b * (a * d - c * b)
+    b0 = (t0 * (c * e - d * d) - a * (t1 * e - t2 * d) + b * (t1 * d - t2 * c)) / det
+    b1 = (s0 * (t1 * e - t2 * d) - t0 * (a * e - b * d) + b * (a * t2 - t1 * b)) / det
+    b2 = (s0 * (c * t2 - d * t1) - a * (a * t2 - b * t1) + t0 * (a * d - c * b)) / det
+    sse = (
+        F.col("syy")
+        - b0 * t0
+        - b1 * t1
+        - b2 * t2
+    )
+    sst = F.col("syy") - t0 * t0 / s0
+    keep = [by] if by else []
+    return base.select(
+        *keep,
+        b0.alias("b0"),
+        b1.alias("b1"),
+        b2.alias("b2"),
+        (F.lit(1.0) - sse / sst).alias("r_squared"),
+    )
+
+
+def predict_poly2(
+    coef_df: DataFrame, points_df: DataFrame, x_col: str, by: str | None = None
+) -> DataFrame:
+    """PredictEvaluator analog (``io/eval/PredictEvaluator.java:29`` —
+    applies a fitted model to new points). The coefficient frame is one
+    row per group (output of :func:`polyfit2`), so it broadcasts; the
+    points stay distributed and the prediction is a pure JVM expression
+    — the canonical broadcast-model-apply pattern."""
+    j = (
+        points_df.join(F.broadcast(coef_df), by)
+        if by
+        else points_df.crossJoin(F.broadcast(coef_df))
+    )
+    x = F.col(x_col).cast("double")
+    keep = [by] if by else []
+    return j.select(
+        *keep,
+        x.alias(x_col),
+        (F.col("c0") + F.col("c1") * x + F.col("c2") * x * x).alias("predicted"),
+    )
+
+
+def matrix_ebe_sums(
+    dfa: DataFrame, dfb: DataFrame, i: str = "i", j: str = "j", v: str = "v"
+) -> DataFrame:
+    """EBEAdd/EBESubtract/EBEMultiply + SumRows/SumColumns/GrandSum +
+    Transpose analog (``io/eval/EBEAddEvaluator.java:28``,
+    ``GrandSumEvaluator.java:24``, ``SumRowsEvaluator``,
+    ``TransposeEvaluator.java:25`` — commons-math dense RealMatrix ops
+    on the driver). COO form: element-wise ops are a full-outer join on
+    the (i, j) key with absent cells as 0; row/col/grand sums are
+    windows over the joined cells; transpose is the same data with the
+    key swapped (exposed here by also emitting the transposed-B cell).
+    Returns (i, j, add, sub, mul, row_sum, col_sum, grand_sum) where the
+    sums run over the ``add`` matrix."""
+    from pyspark.sql.window import Window
+
+    a = dfa.select(F.col(i).alias("i"), F.col(j).alias("j"), F.col(v).alias("_va"))
+    bt = dfb.select(  # transpose: swap the key
+        F.col(j).alias("i"), F.col(i).alias("j"), F.col(v).alias("_vb")
+    )
+    cells = (
+        a.join(bt, ["i", "j"], "full_outer")
+        .select(
+            "i",
+            "j",
+            F.coalesce("_va", F.lit(0.0)).alias("_a"),
+            F.coalesce("_vb", F.lit(0.0)).alias("_b"),
+        )
+    )
+    add = F.col("_a") + F.col("_b")
+    return cells.select(
+        "i",
+        "j",
+        add.alias("add"),
+        (F.col("_a") - F.col("_b")).alias("sub"),
+        (F.col("_a") * F.col("_b")).alias("mul"),
+        F.sum(add).over(Window.partitionBy("i")).alias("row_sum"),
+        F.sum(add).over(Window.partitionBy("j")).alias("col_sum"),
+        F.sum(add).over(Window.partitionBy()).alias("grand_sum"),
+    )
+
+
+def temporal_family(df: DataFrame, ts_col: str) -> DataFrame:
+    """TemporalEvaluator family analog (``io/eval/TemporalEvaluatorYear.java:27``
+    and siblings: Quarter/Month/Week/Day/DayOfYear/DayOfQuarter/Hour/
+    Minute/Second/Epoch — per-tuple field extraction). Pure column
+    expressions; stays inside whole-stage codegen."""
+    ts = F.col(ts_col)
+    return df.select(
+        ts.alias(ts_col),
+        F.year(ts).alias("year"),
+        F.quarter(ts).alias("quarter"),
+        F.month(ts).alias("month"),
+        F.weekofyear(ts).alias("week"),
+        F.dayofmonth(ts).alias("day"),
+        F.dayofyear(ts).alias("day_of_year"),
+        (F.datediff(F.to_date(ts), F.to_date(F.date_trunc("quarter", ts))) + 1).alias(
+            "day_of_quarter"
+        ),
+        F.hour(ts).alias("hour"),
+        F.minute(ts).alias("minute"),
+        F.second(ts).alias("second"),
+        F.unix_timestamp(ts).alias("epoch"),
+    )
+
+
+def gtest(df: DataFrame, a: str, b: str) -> DataFrame:
+    """GTestDataSetEvaluator analog (``io/eval/GTestDataSetEvaluator.java:28``
+    — commons-math GTest log-likelihood-ratio independence test):
+    G = 2·Σ o·ln(o/e) over the contingency table. Same distributed
+    shape as :func:`chi_square` — one groupBy builds observed cells,
+    row/col totals broadcast back; cells with o=0 contribute 0 to G
+    (o·ln(o/e) → 0), so the dense table never materializes at all."""
+    obs = df.groupBy(a, b).agg(F.count("*").cast("double").alias("o"))
+    ra = obs.groupBy(a).agg(F.sum("o").alias("_ra"))
+    cb = obs.groupBy(b).agg(F.sum("o").alias("_cb"))
+    tot = obs.agg(
+        F.sum("o").alias("_n"),
+        F.countDistinct(a).cast("double").alias("_ka"),
+        F.countDistinct(b).cast("double").alias("_kb"),
+    )
+    jn = (
+        obs.join(F.broadcast(ra), a)
+        .join(F.broadcast(cb), b)
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("_ra") * F.col("_cb") / F.col("_n")
+    return jn.agg(
+        (F.lit(2.0) * F.sum(F.col("o") * F.log(F.col("o") / e))).alias("g_stat"),
+        ((F.first("_ka") - 1) * (F.first("_kb") - 1)).alias("dof"),
+        F.first("_n").cast("long").alias("n"),
+    )
+
+
+def knn_regress(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    query_points: list[float],
+    k: int = 5,
+) -> DataFrame:
+    """KnnRegressionEvaluator analog (``io/eval/KnnRegressionEvaluator.java:33,57``
+    — predict y at a query point as the mean y of its k nearest training
+    rows; 1-D feature form). The query points are a LITERAL broadcast
+    array (exploded), distances are JVM expressions, and the per-query
+    top-k is a window rank — the training rows never leave the cluster
+    and never cross-join each other, only the O(|queries|) fan-out.
+    Tie-break on (distance, x, y) is total, so results are deterministic
+    cross-engine. Returns (query_x, k, predicted)."""
+    from pyspark.sql.window import Window
+
+    qs = F.array(*[F.lit(float(p)) for p in query_points])
+    fan = df.select(
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+        F.explode(qs).alias("query_x"),
+    )
+    dist = F.abs(F.col("_x") - F.col("query_x"))
+    w = Window.partitionBy("query_x").orderBy(
+        dist.asc(), F.col("_x").asc(), F.col("_y").asc()
+    )
+    ranked = fan.select("query_x", "_y", F.row_number().over(w).alias("_r"))
+    return (
+        ranked.where(F.col("_r") <= k)
+        .groupBy("query_x")
+        .agg(F.lit(k).alias("k"), F.avg("_y").alias("predicted"))
+    )
+
+
+def corr_significance(
+    df: DataFrame, x: str, y: str, by: str | None = None
+) -> DataFrame:
+    """CorrelationSignificanceEvaluator analog (``io/eval/
+    CorrelationSignificanceEvaluator.java`` — t statistic of a Pearson
+    correlation: t = r·√((n−2)/(1−r²))). One grouped aggregation."""
+    r = F.corr(F.col(x).cast("double"), F.col(y).cast("double"))
+    n = F.count("*").cast("double")
+    aggs = [
+        F.count("*").alias("n"),
+        r.alias("corr"),
+        (r * F.sqrt((n - 2) / (1 - r * r))).alias("t_stat"),
+    ]
+    return df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)

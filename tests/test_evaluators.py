@@ -10,6 +10,7 @@ window/group semantics at unit scale.
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from solr_spark import evaluators as ev
 
@@ -371,3 +372,288 @@ def test_corr_matrix_pairs_and_symmetry(series_df):
     assert by_pair[("x", "y")]["corr"] == pytest.approx(pdf["x"].corr(pdf["y"]))
     assert by_pair[("x", "y")]["cov"] == pytest.approx(pdf["x"].cov(pdf["y"]))
     assert by_pair[("x", "x")]["cov"] == pytest.approx(pdf["x"].var(ddof=1))
+
+
+def test_dft_matches_numpy_fft(series_df):
+    df, pdf = series_df
+    got = ev.dft_magnitude(df, "t", "x", by="grp").orderBy("grp", "k").toPandas()
+    for g in ("a", "b"):
+        y = pdf[pdf["grp"] == g].sort_values("t")["x"].to_numpy()
+        exp = np.fft.fft(y)
+        sub = got[got["grp"] == g]
+        assert np.allclose(sub["re"].to_numpy(), exp.real)
+        assert np.allclose(sub["im"].to_numpy(), exp.imag)
+        assert np.allclose(sub["magnitude"].to_numpy(), np.abs(exp))
+
+
+def test_frequency_table_cumulative(spark):
+    df = spark.createDataFrame(
+        [("a", v) for v in [1, 1, 2, 3, 3, 3]], "grp string, x int"
+    )
+    got = {
+        r["x"]: r
+        for r in ev.frequency_table(df, "x", by="grp").orderBy("x").collect()
+    }
+    assert got[1]["count"] == 2 and got[1]["cum_freq"] == 2
+    assert got[3]["count"] == 3 and got[3]["cum_freq"] == 6
+    assert got[3]["cum_pct"] == pytest.approx(1.0)
+    assert got[2]["pct"] == pytest.approx(1 / 6)
+
+
+def test_mode_smallest_value_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("a", v) for v in [5, 5, 3, 3, 9]] + [("b", 7)], "grp string, x int"
+    )
+    got = {r["grp"]: r for r in ev.mode_value(df, "x", by="grp").collect()}
+    assert got["a"]["mode"] == 3 and got["a"]["mode_count"] == 2  # tie 3 vs 5
+    assert got["b"]["mode"] == 7 and got["b"]["mode_count"] == 1
+
+
+def test_distance_family_matches_numpy(series_df):
+    df, pdf = series_df
+    a_ = pdf[pdf["grp"] == "a"].sort_values("t")["x"].to_numpy()[:20]
+    b_ = pdf[pdf["grp"] == "b"].sort_values("t")["x"].to_numpy()[:20]
+    df2 = df.sparkSession.createDataFrame(
+        pd.DataFrame({"a": a_, "b": b_})
+    )
+    r = ev.distance_family(df2, "a", "b").collect()[0]
+    d = a_ - b_
+    assert r["euclidean"] == pytest.approx(np.sqrt((d * d).sum()))
+    assert r["manhattan"] == pytest.approx(np.abs(d).sum())
+    assert r["chebyshev"] == pytest.approx(np.abs(d).max())
+    assert r["canberra"] == pytest.approx(
+        (np.abs(d) / (np.abs(a_) + np.abs(b_))).sum()
+    )
+    assert r["cosine_similarity"] == pytest.approx(
+        (a_ * b_).sum() / (np.linalg.norm(a_) * np.linalg.norm(b_))
+    )
+    assert r["dot_product"] == pytest.approx((a_ * b_).sum())
+
+
+def test_normalize_family_identities(series_df):
+    df, pdf = series_df
+    got = ev.normalize_family(df, "x", by="grp").orderBy("grp", "t").toPandas()
+    for g in ("a", "b"):
+        x = pdf[pdf["grp"] == g].sort_values("t")["x"].to_numpy()
+        sub = got[got["grp"] == g]
+        assert np.allclose(sub["l1_norm"], np.abs(x).sum())
+        assert np.allclose(sub["l2_norm"], np.linalg.norm(x))
+        assert np.allclose(sub["linf_norm"], np.abs(x).max())
+        assert np.allclose(sub["normalize_sum"], x / x.sum())
+        assert np.allclose(sub["unitize"], x / np.linalg.norm(x))
+        assert np.allclose(sub["standardize"], (x - x.mean()) / x.std(ddof=1))
+        assert np.linalg.norm(sub["unitize"]) == pytest.approx(1.0)
+
+
+def test_polyfit2_matches_numpy(series_df):
+    df, pdf = series_df
+    pdf2 = pdf.assign(y=2.0 + 3.0 * pdf["t"] - 0.5 * pdf["t"] ** 2 + pdf["x"] * 0.01)
+    df2 = df.sparkSession.createDataFrame(pdf2)
+    got = {
+        r["grp"]: r for r in ev.polyfit2(df2, "t", "y", by="grp").collect()
+    }
+    for g in ("a", "b"):
+        sub = pdf2[pdf2["grp"] == g]
+        c2, c1, c0 = np.polyfit(sub["t"], sub["y"], 2)
+        assert got[g]["c0"] == pytest.approx(c0)
+        assert got[g]["c1"] == pytest.approx(c1)
+        assert got[g]["c2"] == pytest.approx(c2)
+        assert got[g]["d0"] == pytest.approx(c1)
+        assert got[g]["d1"] == pytest.approx(2 * c2)
+
+
+def test_ks_two_sample_ecdf(spark):
+    # hand-checkable: F1 steps at 1,2,3,4 / F2 steps at 3,4,5,6
+    rows = [("g1", float(v)) for v in (1, 2, 3, 4)] + [
+        ("g2", float(v)) for v in (3, 4, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = ev.ks_two_sample(df, "x", "grp", "g1", "g2").collect()[0]
+    assert (r["n1"], r["n2"]) == (4, 4)
+    assert r["ks_d"] == pytest.approx(0.5)  # at v=2: F1=0.5, F2=0.0
+
+
+def test_paired_ttest_formula(series_df):
+    df, pdf = series_df
+    a_ = pdf[pdf["grp"] == "a"].sort_values("t")["x"].to_numpy()
+    b_ = a_ * 0.9 + 1.0
+    df2 = df.sparkSession.createDataFrame(pd.DataFrame({"a": a_, "b": b_}))
+    r = ev.paired_ttest(df2, "a", "b").collect()[0]
+    d = a_ - b_
+    assert r["n"] == len(d)
+    assert r["mean_difference"] == pytest.approx(d.mean())
+    assert r["sum_difference"] == pytest.approx(d.sum())
+    assert r["t_stat"] == pytest.approx(
+        d.mean() / (d.std(ddof=1) / np.sqrt(len(d)))
+    )
+
+
+def test_matrix_multiply_coo(spark):
+    A = np.array([[1.0, 2.0], [0.0, 3.0], [4.0, 0.0]])
+    B = np.array([[5.0, 0.0, 1.0], [2.0, 7.0, 0.0]])
+    rows_a = [
+        (i, k, float(A[i, k]))
+        for i in range(3) for k in range(2) if A[i, k] != 0
+    ]
+    rows_b = [
+        (k, j, float(B[k, j]))
+        for k in range(2) for j in range(3) if B[k, j] != 0
+    ]
+    dfa = spark.createDataFrame(rows_a, "i int, k int, v double")
+    dfb = spark.createDataFrame(rows_b, "k int, j int, v double")
+    got = ev.matrix_multiply(dfa, dfb).collect()
+    C = A @ B
+    exp = {(i, j): C[i, j] for i in range(3) for j in range(3) if C[i, j] != 0}
+    assert {(r["i"], r["j"]): r["v"] for r in got} == pytest.approx(exp)
+
+
+def test_markov_transitions_row_stochastic(spark):
+    chains = {1: "abab", 2: "aabb", 3: "ba"}
+    rows = [
+        (u, t, c) for u, s in chains.items() for t, c in enumerate(s)
+    ]
+    df = spark.createDataFrame(rows, "user int, t int, state string")
+    got = ev.markov_transitions(df, "t", "state", seq_col="user").collect()
+    counts = {(r["state"], r["next_state"]): r["transitions"] for r in got}
+    # pairs: ab,ba,ab | aa,ab,bb | ba  ->  aa:1 ab:3 ba:2 bb:1
+    assert counts == {("a", "b"): 3, ("b", "a"): 2, ("a", "a"): 1, ("b", "b"): 1}
+    probs = {}
+    for r in got:
+        probs.setdefault(r["state"], 0.0)
+        probs[r["state"]] += r["prob"]
+    assert probs == pytest.approx({"a": 1.0, "b": 1.0})
+    # row probs match counts / row totals
+    by_pair = {(r["state"], r["next_state"]): r["prob"] for r in got}
+    assert by_pair[("a", "b")] == pytest.approx(3 / 4)
+    assert by_pair[("b", "a")] == pytest.approx(2 / 3)
+
+
+def test_earth_movers_matches_recurrence(spark):
+    a = [3.0, 0.0, 1.0, 2.0]
+    b = [1.0, 2.0, 2.0, 1.0]
+    df = spark.createDataFrame(
+        [(i, a[i], b[i]) for i in range(4)], "t int, a double, b double"
+    )
+    got = ev.earth_movers(df, "t", "a", "b").collect()[0]["emd"]
+    emd, total = 0.0, 0.0
+    for x, y in zip(a, b):
+        emd = x + emd - y
+        total += abs(emd)
+    assert got == pytest.approx(total)
+
+
+def test_ols_regress2_matches_lstsq(spark):
+    rng = np.random.default_rng(11)
+    x1 = rng.normal(0, 1, 200)
+    x2 = rng.normal(5, 2, 200)
+    y = 2.0 + 0.5 * x1 - 1.5 * x2 + rng.normal(0, 0.3, 200)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 double, x2 double, y double",
+    )
+    got = ev.ols_regress2(df, "y", "x1", "x2").collect()[0]
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, res, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert [got["b0"], got["b1"], got["b2"]] == pytest.approx(list(beta))
+    sst = np.sum((y - y.mean()) ** 2)
+    assert got["r_squared"] == pytest.approx(1.0 - res[0] / sst)
+
+
+def test_predict_poly2_applies_coefficients(spark):
+    pts = spark.createDataFrame([(float(x),) for x in range(5)], "x double")
+    coef = spark.createDataFrame([(1.0, 2.0, 3.0)], "c0 double, c1 double, c2 double")
+    got = {
+        r["x"]: r["predicted"]
+        for r in ev.predict_poly2(coef, pts, "x").collect()
+    }
+    assert got == pytest.approx({x: 1 + 2 * x + 3 * x * x for x in range(5)})
+
+
+def test_matrix_ebe_sums(spark):
+    A = np.array([[1.0, 2.0], [3.0, 0.0]])
+    B = np.array([[5.0, 0.0], [7.0, 2.0]])  # stored transposed below
+    dfa = spark.createDataFrame(
+        [(i, j, float(A[i, j])) for i in range(2) for j in range(2) if A[i, j]],
+        "i int, j int, v double",
+    )
+    dfb = spark.createDataFrame(  # B given as Bᵀ cells; op transposes it back
+        [(j, i, float(B[i, j])) for i in range(2) for j in range(2) if B[i, j]],
+        "i int, j int, v double",
+    )
+    got = {(r["i"], r["j"]): r for r in ev.matrix_ebe_sums(dfa, dfb).collect()}
+    S = A + B
+    for i in range(2):
+        for j in range(2):
+            r = got[(i, j)]
+            assert r["add"] == pytest.approx(S[i, j])
+            assert r["sub"] == pytest.approx(A[i, j] - B[i, j])
+            assert r["mul"] == pytest.approx(A[i, j] * B[i, j])
+            assert r["row_sum"] == pytest.approx(S[i].sum())
+            assert r["col_sum"] == pytest.approx(S[:, j].sum())
+            assert r["grand_sum"] == pytest.approx(S.sum())
+
+
+def test_temporal_family_fields(spark):
+    import datetime
+
+    ts = datetime.datetime(2024, 5, 17, 13, 45, 7, 500000)
+    df = spark.createDataFrame([(ts,)], "ts timestamp")
+    r = ev.temporal_family(df, "ts").collect()[0]
+    assert (r["year"], r["quarter"], r["month"], r["day"]) == (2024, 2, 5, 17)
+    assert r["day_of_year"] == 31 + 29 + 31 + 30 + 17
+    assert r["day_of_quarter"] == 30 + 17  # Apr + 17 May
+    assert (r["hour"], r["minute"], r["second"]) == (13, 45, 7)
+    assert r["epoch"] == int(ts.replace(tzinfo=datetime.timezone.utc).timestamp())
+
+
+def test_gtest_independent_table_near_zero(spark):
+    # perfectly proportional table -> G == 0
+    rows = []
+    for a, b, n in [("x", "u", 10), ("x", "v", 20), ("y", "u", 5), ("y", "v", 10)]:
+        rows += [(a, b)] * n
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = ev.gtest(df, "a", "b").collect()[0]
+    assert r["g_stat"] == pytest.approx(0.0, abs=1e-9)
+    assert r["dof"] == 1.0 and r["n"] == 45
+
+
+def test_gtest_matches_manual(spark):
+    rows = [("x", "u")] * 30 + [("x", "v")] * 10 + [("y", "u")] * 15 + [("y", "v")] * 25
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = ev.gtest(df, "a", "b").collect()[0]
+    obs = np.array([[30.0, 10.0], [15.0, 25.0]])
+    e = obs.sum(1)[:, None] * obs.sum(0)[None, :] / obs.sum()
+    g = 2.0 * np.sum(obs * np.log(obs / e))
+    assert r["g_stat"] == pytest.approx(g)
+
+
+def test_knn_regress_mean_of_k_nearest(spark):
+    rows = [(float(x), float(10 * x)) for x in range(10)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = {
+        r["query_x"]: r["predicted"]
+        for r in ev.knn_regress(df, "x", "y", [2.0, 8.5], k=3).collect()
+    }
+    # at 2.0 -> x in {1,2,3}; at 8.5 -> x in {8,9,7} (dist .5,.5,1.5)
+    assert got[2.0] == pytest.approx(np.mean([10, 20, 30]))
+    assert got[8.5] == pytest.approx(np.mean([80, 90, 70]))
+
+
+def test_corr_significance_t_stat(series_df):
+    df, pdf = series_df
+    wide = (
+        df.where("grp = 'a'")
+        .select(F.col("t").alias("t"), F.col("x").alias("xa"))
+        .join(
+            df.where("grp = 'b'").select(
+                F.col("t").alias("t"), F.col("x").alias("xb")
+            ),
+            "t",
+        )
+    )
+    r = ev.corr_significance(wide, "xa", "xb").collect()[0]
+    pw = pdf.pivot_table(index="t", columns="grp", values="x")
+    rho = pw["a"].corr(pw["b"])
+    n = len(pw)
+    assert r["corr"] == pytest.approx(rho)
+    assert r["t_stat"] == pytest.approx(rho * np.sqrt((n - 2) / (1 - rho * rho)))
