@@ -37,6 +37,7 @@ from solr_spark.operators.relational import (
     graph_traverse,
     join_filter,
     realtime_get,
+    shortest_path,
 )
 from solr_spark.oracle_sql import (
     ann_ivf_sql,
@@ -1552,6 +1553,173 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_corr_significance"] = eval_corr_significance
 
+    def eval_cosine_sim(s, d):
+        """CosineSimilarityEvaluator / CosineDistanceEvaluator analog:
+        cosine between the paired daily click/error count series — one
+        fused aggregation."""
+        out = ev.cosine_similarity(_daily_ab(s, d), "a", "b")
+        return out.select(
+            "n",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            F.round("cosine_dist", 6).alias("cosine_dist"),
+        )
+
+    q["eval_cosine_sim"] = eval_cosine_sim
+
+    def eval_loess(s, d):
+        """LoessEvaluator analog: tricube-kernel local regression of the
+        per-type daily counts (bandwidth 5 days) via the banded bucket
+        join — no O(n²) self-join."""
+        daily = _daily(s, d).withColumn(
+            "x", F.datediff("day", F.lit("2024-01-01")).cast("double")
+        )
+        out = ev.loess_smooth(daily, "x", "n_events", bandwidth=5.0, by="event_type")
+        return out.select(
+            "event_type",
+            F.col("x").cast("int").alias("day_idx"),
+            F.round("smoothed", 4).alias("smoothed"),
+        ).orderBy("event_type", "day_idx")
+
+    q["eval_loess"] = eval_loess
+
+    def eval_poisson(s, d):
+        """PoissonDistributionEvaluator + ProbabilityEvaluator analog:
+        fit λ per event type over the daily counts, emit P(K=k) for each
+        observed day (ln k! as a JVM higher-order sequence-sum)."""
+        out = ev.poisson_pmf(
+            _daily(s, d).withColumn("k", F.col("n_events").cast("int")),
+            "k",
+            by="event_type",
+        )
+        return (
+            out.groupBy("event_type", "k", F.round("lam", 6).alias("lam"))
+            .agg(F.count("*").alias("n_days"), F.round(F.min("pmf"), 8).alias("pmf"))
+            .orderBy("event_type", "k")
+        )
+
+    q["eval_poisson"] = eval_poisson
+
+    def eval_lerp(s, d):
+        """LerpEvaluator analog: linear interpolation of the per-type
+        daily series onto a half-day grid (lead-window segments + banded
+        range join)."""
+        daily = _daily(s, d).withColumn(
+            "x", F.datediff("day", F.lit("2024-01-01")).cast("double")
+        )
+        grid = (
+            daily.select("event_type").distinct()
+            .crossJoin(s.range(0, 29).select((F.col("id") + 0.5).alias("gx")))
+        )
+        out = ev.lerp(daily, grid, "x", "n_events", "gx", by="event_type")
+        return out.select(
+            "event_type", "gx", F.round("lerp_y", 4).alias("lerp_y")
+        ).orderBy("event_type", "gx")
+
+    q["eval_lerp"] = eval_lerp
+
+    def eval_kmeans_1d(s, d):
+        """KmeansEvaluator analog: one distributed Lloyd step over the
+        event values with centroids (2, 8, 15, 30) frozen as literals —
+        JVM argmin assignment, one grouped aggregation for the update."""
+        out = ev.kmeans_step_1d(
+            _read(s, d, "events"), "value", [2.0, 8.0, 15.0, 30.0]
+        )
+        return out.select(
+            "cluster", "n", F.round("new_centroid", 6).alias("new_centroid")
+        ).orderBy("cluster")
+
+    q["eval_kmeans_1d"] = eval_kmeans_1d
+
+    def eval_fuzzy_kmeans(s, d):
+        """FuzzyKmeansEvaluator analog: one fuzzy-c-means (m=2) step over
+        the event values, centroids (2, 8, 15, 30) frozen — soft counts
+        and updated centroids from a single fused aggregation."""
+        out = ev.fuzzy_kmeans_step_1d(
+            _read(s, d, "events"), "value", [2.0, 8.0, 15.0, 30.0], m=2.0
+        )
+        return out.select(
+            "cluster",
+            F.round("soft_n", 4).alias("soft_n"),
+            F.round("new_centroid", 6).alias("new_centroid"),
+        ).orderBy("cluster")
+
+    q["eval_fuzzy_kmeans"] = eval_fuzzy_kmeans
+
+    def eval_harmonic_fit(s, d):
+        """HarmonicFitEvaluator analog at known ω = 2π/7 (weekly cycle)
+        over the per-type daily counts: a + b·sin + c·cos via the
+        closed-form 3×3 normal equations, one aggregation per type."""
+        daily = _daily(s, d).withColumn(
+            "x", F.datediff("day", F.lit("2024-01-01")).cast("double")
+        )
+        omega = 2.0 * 3.141592653589793 / 7.0
+        out = ev.harmonic_fit(daily, "x", "n_events", omega, by="event_type")
+        return out.select(
+            "event_type",
+            F.round("fit_a", 4).alias("fit_a"),
+            F.round("fit_b", 4).alias("fit_b"),
+            F.round("fit_c", 4).alias("fit_c"),
+        ).orderBy("event_type")
+
+    q["eval_harmonic_fit"] = eval_harmonic_fit
+
+    def eval_matrix_sums(s, d):
+        """GrandSum / SumRows / SumColumns analog over the COO matrix
+        (day index × event-type index, daily count)."""
+        li = _daily(s, d)
+        coo = li.select(
+            F.datediff("day", F.lit("2024-01-01")).cast("long").alias("i"),
+            (F.length("event_type") % 7).cast("long").alias("j"),
+            F.col("n_events").alias("v"),
+        )
+        out = ev.matrix_sums(coo, "i", "j", "v")
+        return out.select(
+            "axis", "idx", F.round("total", 4).alias("total")
+        ).orderBy("axis", "idx")
+
+    q["eval_matrix_sums"] = eval_matrix_sums
+
+    def eval_ecdf(s, d):
+        """EmpiricalDistribution + cumulativeProbability analog: F̂(x)
+        over the distinct event values per type (dictionary-sized window,
+        not a row-level sort)."""
+        out = ev.ecdf(
+            _read(s, d, "events").where(F.col("event_id") < 2000),
+            "value",
+            by="event_type",
+        )
+        return out.select(
+            "event_type", "x", F.round("cdf", 6).alias("cdf")
+        ).orderBy("event_type", "x")
+
+    q["eval_ecdf"] = eval_ecdf
+
+    def graph_shortest_path_q(s, d):
+        """shortestPath stream analog over the bipartite order↔supplier
+        graph (lineitem edges, node ids order·2 / supp·2+1): shortest
+        path from the smallest order to the smallest other order sharing
+        a supplier; lexicographic tie-break makes the path unique."""
+        li = _read(s, d, "lineitem")
+        fwd = li.select(
+            (F.col("l_orderkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        edges = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        o1 = li.agg(F.min("l_orderkey")).collect()[0][0]
+        o2 = (
+            li.alias("a")
+            .where(F.col("a.l_orderkey") == o1)
+            .join(li.alias("b"), F.col("a.l_suppkey") == F.col("b.l_suppkey"))
+            .where(F.col("b.l_orderkey") != o1)
+            .agg(F.min("b.l_orderkey"))
+            .collect()[0][0]
+        )
+        return shortest_path(edges, "src", "dst", o1 * 2, o2 * 2, max_depth=4)
+
+    q["graph_shortest_path"] = graph_shortest_path_q
+
     # --- training-data pipeline: text analysis ---
     def text_analysis(s, d):
         docs = _read(s, d, "documents").where(F.col("doc_id") < 20)
@@ -2802,4 +2970,179 @@ FROM ab
                        (a, b) -> a + b) * 1.0 / (length(text) + 4), 4) AS mean_byte
         FROM documents WHERE doc_id < 30 ORDER BY doc_id
     """
+
+    _daily_sql = """daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS n_events
+  FROM events GROUP BY 1, 2)"""
+    o["eval_cosine_sim"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) AS b
+  FROM events GROUP BY 1)
+SELECT count(*) AS n,
+       ROUND(sum(a*b) / (sqrt(sum(a*a)) * sqrt(sum(b*b))), 6) AS cosine_sim,
+       ROUND(1 - sum(a*b) / (sqrt(sum(a*a)) * sqrt(sum(b*b))), 6) AS cosine_dist
+FROM daily
+""".strip()
+    o["eval_loess"] = f"""
+WITH {_daily_sql},
+pts AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', day) AS DOUBLE) AS x,
+         n_events
+  FROM daily)
+SELECT a.event_type, CAST(a.x AS INT) AS day_idx,
+       ROUND(sum(pow(1 - pow(abs(a.x - b.x) / 5.0, 3), 3) * b.n_events)
+             / sum(pow(1 - pow(abs(a.x - b.x) / 5.0, 3), 3)), 4) AS smoothed
+FROM pts a JOIN pts b
+  ON a.event_type = b.event_type AND abs(a.x - b.x) < 5.0
+GROUP BY a.event_type, a.x
+ORDER BY a.event_type, day_idx
+""".strip()
+    o["eval_poisson"] = f"""
+WITH {_daily_sql},
+ks AS (SELECT event_type, CAST(n_events AS INT) AS k FROM daily),
+lam AS (SELECT event_type, avg(k) AS lam FROM ks GROUP BY 1)
+SELECT d.event_type, d.k, ROUND(l.lam, 6) AS lam,
+       count(*) AS n_days,
+       ROUND(min(exp(-l.lam + d.k * ln(l.lam) - lgamma(d.k + 1.0))), 8) AS pmf
+FROM ks d JOIN lam l USING (event_type)
+GROUP BY d.event_type, d.k, l.lam
+ORDER BY d.event_type, d.k
+""".strip()
+    o["eval_lerp"] = f"""
+WITH {_daily_sql},
+pts AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', day) AS DOUBLE) AS x,
+         n_events AS y
+  FROM daily),
+seg AS (
+  SELECT event_type, x AS x0, y AS y0,
+         lead(x) OVER (PARTITION BY event_type ORDER BY x) AS x1,
+         lead(y) OVER (PARTITION BY event_type ORDER BY x) AS y1
+  FROM pts),
+grid AS (
+  SELECT DISTINCT d.event_type, CAST(g.i AS DOUBLE) + 0.5 AS gx
+  FROM daily d, generate_series(0, 28) g(i))
+SELECT g.event_type, g.gx,
+       ROUND(s.y0 + (g.gx - s.x0) / (s.x1 - s.x0) * (s.y1 - s.y0), 4) AS lerp_y
+FROM grid g JOIN seg s
+  ON g.event_type = s.event_type AND g.gx >= s.x0 AND g.gx < s.x1
+ORDER BY g.event_type, g.gx
+""".strip()
+    o["eval_kmeans_1d"] = """
+WITH a AS (
+  SELECT value,
+         least(abs(value - 2.0), abs(value - 8.0),
+               abs(value - 15.0), abs(value - 30.0)) AS m
+  FROM events WHERE value IS NOT NULL)
+SELECT CASE WHEN abs(value - 2.0) = m THEN 0
+            WHEN abs(value - 8.0) = m THEN 1
+            WHEN abs(value - 15.0) = m THEN 2
+            ELSE 3 END AS cluster,
+       count(*) AS n, ROUND(avg(value), 6) AS new_centroid
+FROM a GROUP BY 1 ORDER BY 1
+""".strip()
+    o["eval_fuzzy_kmeans"] = """
+WITH r AS (
+  SELECT value,
+         pow(greatest(abs(value - 2.0), 1e-12), -2.0) AS i0,
+         pow(greatest(abs(value - 8.0), 1e-12), -2.0) AS i1,
+         pow(greatest(abs(value - 15.0), 1e-12), -2.0) AS i2,
+         pow(greatest(abs(value - 30.0), 1e-12), -2.0) AS i3
+  FROM events WHERE value IS NOT NULL),
+u AS (
+  SELECT value,
+         i0 / (i0 + i1 + i2 + i3) AS u0, i1 / (i0 + i1 + i2 + i3) AS u1,
+         i2 / (i0 + i1 + i2 + i3) AS u2, i3 / (i0 + i1 + i2 + i3) AS u3
+  FROM r),
+a AS (
+  SELECT sum(u0) AS n0, sum(u0*u0*value)/sum(u0*u0) AS c0,
+         sum(u1) AS n1, sum(u1*u1*value)/sum(u1*u1) AS c1,
+         sum(u2) AS n2, sum(u2*u2*value)/sum(u2*u2) AS c2,
+         sum(u3) AS n3, sum(u3*u3*value)/sum(u3*u3) AS c3
+  FROM u)
+SELECT 0 AS cluster, ROUND(n0, 4) AS soft_n, ROUND(c0, 6) AS new_centroid FROM a
+UNION ALL SELECT 1, ROUND(n1, 4), ROUND(c1, 6) FROM a
+UNION ALL SELECT 2, ROUND(n2, 4), ROUND(c2, 6) FROM a
+UNION ALL SELECT 3, ROUND(n3, 4), ROUND(c3, 6) FROM a
+ORDER BY cluster
+""".strip()
+    o["eval_harmonic_fit"] = f"""
+WITH {_daily_sql},
+pts AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', day) AS DOUBLE) AS x,
+         n_events AS y
+  FROM daily),
+t AS (
+  SELECT event_type,
+         sin(2.0 * pi() / 7.0 * x) AS s, cos(2.0 * pi() / 7.0 * x) AS c, y
+  FROM pts),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(s) AS ss, sum(c) AS sc,
+         sum(s*s) AS sss, sum(c*c) AS scc, sum(s*c) AS ssc,
+         sum(y) AS sy, sum(y*s) AS sys, sum(y*c) AS syc
+  FROM t GROUP BY 1)
+SELECT event_type,
+  ROUND((sy*(sss*scc - ssc*ssc) - ss*(sys*scc - ssc*syc) + sc*(sys*ssc - sss*syc))
+      / (n*(sss*scc - ssc*ssc) - ss*(ss*scc - ssc*sc) + sc*(ss*ssc - sss*sc)), 4) AS fit_a,
+  ROUND((n*(sys*scc - ssc*syc) - sy*(ss*scc - ssc*sc) + sc*(ss*syc - sys*sc))
+      / (n*(sss*scc - ssc*ssc) - ss*(ss*scc - ssc*sc) + sc*(ss*ssc - sss*sc)), 4) AS fit_b,
+  ROUND((n*(sss*syc - sys*ssc) - ss*(ss*syc - sys*sc) + sy*(ss*ssc - sss*sc))
+      / (n*(sss*scc - ssc*ssc) - ss*(ss*scc - ssc*sc) + sc*(ss*ssc - sss*sc)), 4) AS fit_c
+FROM g ORDER BY event_type
+""".strip()
+    o["eval_matrix_sums"] = f"""
+WITH {_daily_sql},
+coo AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT) AS i,
+         CAST(length(event_type) % 7 AS BIGINT) AS j,
+         n_events AS v
+  FROM daily)
+SELECT axis, idx, total FROM (
+  SELECT 'row' AS axis, i AS idx, ROUND(sum(v), 4) AS total FROM coo GROUP BY i
+  UNION ALL
+  SELECT 'col' AS axis, j AS idx, ROUND(sum(v), 4) AS total FROM coo GROUP BY j
+  UNION ALL
+  SELECT 'grand' AS axis, CAST(NULL AS BIGINT) AS idx, ROUND(sum(v), 4) AS total FROM coo)
+ORDER BY axis, idx
+""".strip()
+    o["eval_ecdf"] = """
+WITH f AS (
+  SELECT event_type, value AS x, CAST(count(*) AS DOUBLE) AS c
+  FROM events WHERE event_id < 2000 AND value IS NOT NULL
+  GROUP BY 1, 2),
+n AS (SELECT event_type, sum(c) AS n FROM f GROUP BY 1)
+SELECT f.event_type, f.x,
+       ROUND(sum(f.c) OVER (PARTITION BY f.event_type ORDER BY f.x) / n.n, 6) AS cdf
+FROM f JOIN n USING (event_type)
+ORDER BY event_type, x
+""".strip()
+    o["graph_shortest_path"] = """
+WITH RECURSIVE
+e0 AS (SELECT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+edges AS (SELECT DISTINCT src, dst FROM
+          (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+o1 AS (SELECT min(l_orderkey) AS k FROM lineitem),
+o2 AS (SELECT min(b.l_orderkey) AS k
+       FROM lineitem a JOIN lineitem b ON a.l_suppkey = b.l_suppkey
+       WHERE a.l_orderkey = (SELECT k FROM o1)
+         AND b.l_orderkey <> (SELECT k FROM o1)),
+walk(node, depth, path) AS (
+  SELECT (SELECT k * 2 FROM o1), 0, [(SELECT CAST(k * 2 AS BIGINT) FROM o1)]
+  UNION ALL
+  SELECT e.dst, w.depth + 1, list_append(w.path, CAST(e.dst AS BIGINT))
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.depth < 2 AND NOT list_contains(w.path, e.dst))
+SELECT (SELECT CAST(k * 2 AS BIGINT) FROM o1) AS from_node,
+       (SELECT CAST(k * 2 AS BIGINT) FROM o2) AS to_node,
+       depth, path
+FROM walk WHERE node = (SELECT k * 2 FROM o2)
+ORDER BY depth, path LIMIT 1
+""".strip()
     return o

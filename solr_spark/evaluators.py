@@ -20,7 +20,7 @@ aggregates are order-of-merge dependent in the last ulps); DuckDB's
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1337,3 +1337,305 @@ def corr_significance(
         (r * F.sqrt((n - 2) / (1 - r * r))).alias("t_stat"),
     ]
     return df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
+
+def cosine_similarity(df: DataFrame, x: str, y: str, by: str | None = None) -> DataFrame:
+    """CosineSimilarityEvaluator / CosineDistanceEvaluator analog
+    (``io/eval/CosineSimilarityEvaluator.java:40-56``): cosine of two
+    aligned series — Σxy / (‖x‖₂·‖y‖₂) — as ONE grouped aggregation
+    (three sums fused into a single shuffle; the reference materializes
+    both vectors driver-side)."""
+    xs = F.col(x).cast("double")
+    ys = F.col(y).cast("double")
+    sim = F.sum(xs * ys) / (F.sqrt(F.sum(xs * xs)) * F.sqrt(F.sum(ys * ys)))
+    aggs = [
+        F.count("*").alias("n"),
+        sim.alias("cosine_sim"),
+        (F.lit(1.0) - sim).alias("cosine_dist"),
+    ]
+    return df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
+
+
+def loess_smooth(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bandwidth: float,
+    by: str | None = None,
+) -> DataFrame:
+    """LoessEvaluator analog (``io/eval/LoessEvaluator.java:40-70``)
+    restated as tricube-kernel local regression (degree 0, fixed-width
+    bandwidth): ŷᵢ = Σⱼ wᵢⱼ·yⱼ / Σⱼ wᵢⱼ with
+    wᵢⱼ = (1 − (|xᵢ−xⱼ|/h)³)³ for |xᵢ−xⱼ| < h, else 0.
+
+    Scale shape: NOT an O(n²) self-join. Each point's neighbors live in
+    its own or an adjacent width-h bucket, so the join key is
+    (group, bucket) with the probe side exploded to its three candidate
+    buckets — candidate pairs are O(n · points-per-3-buckets), the join
+    is a plain hash join Catalyst can shuffle on, and the kernel cutoff
+    filter runs JVM-side before the aggregation."""
+    xs = F.col(x_col).cast("double")
+    h = float(bandwidth)
+    keep = [F.col(by)] if by else []
+    left = df.select(
+        *keep,
+        xs.alias("_xi"),
+        F.explode(
+            F.array(
+                (F.floor(xs / h) - 1).cast("long"),
+                F.floor(xs / h).cast("long"),
+                (F.floor(xs / h) + 1).cast("long"),
+            )
+        ).alias("_bkt"),
+    )
+    right = df.select(
+        *keep,
+        xs.alias("_xj"),
+        F.col(y_col).cast("double").alias("_yj"),
+        F.floor(xs / h).cast("long").alias("_bkt"),
+    )
+    on = [by, "_bkt"] if by else ["_bkt"]
+    pairs = left.join(right, on=on)
+    dist = F.abs(F.col("_xi") - F.col("_xj"))
+    w = F.pow(F.lit(1.0) - F.pow(dist / F.lit(h), F.lit(3.0)), F.lit(3.0))
+    grp = [by, "_xi"] if by else ["_xi"]
+    return (
+        pairs.where(dist < h)
+        .groupBy(*grp)
+        .agg((F.sum(w * F.col("_yj")) / F.sum(w)).alias("smoothed"))
+        .withColumnRenamed("_xi", x_col)
+    )
+
+
+def poisson_pmf(
+    df: DataFrame, k_col: str, by: str | None = None
+) -> DataFrame:
+    """PoissonDistributionEvaluator + ProbabilityEvaluator analog
+    (``io/eval/PoissonDistributionEvaluator.java:38-48``,
+    ``io/eval/ProbabilityEvaluator.java``): fit λ = mean(k) per group,
+    then P(K=k) = exp(−λ + k·ln λ − ln k!) for each observed k.
+
+    ln k! is computed JVM-side as Σ_{i=1..k} ln i via a higher-order
+    ``aggregate`` over ``sequence(1, k)`` (Spark has no lgamma builtin;
+    the sum is exact for the modest counts a distribution fit sees, and
+    overflow-free where ``factorial()`` is not past k=20)."""
+    k = F.col(k_col).cast("int")
+    if by:
+        lam_df = df.groupBy(by).agg(F.avg(k).alias("_lam"))
+        joined = df.join(F.broadcast(lam_df), by)
+    else:
+        lam_df = df.agg(F.avg(k).alias("_lam"))
+        joined = df.crossJoin(F.broadcast(lam_df))
+    ln_fact = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        F.lit(0.0),
+        lambda acc, i: acc + F.log(i.cast("double")),
+    )
+    pmf = F.exp(-F.col("_lam") + k * F.log(F.col("_lam")) - ln_fact)
+    keep = [by] if by else []
+    return joined.select(
+        *keep, k.alias(k_col), F.col("_lam").alias("lam"), pmf.alias("pmf")
+    )
+
+
+def lerp(
+    known: DataFrame,
+    grid: DataFrame,
+    x_col: str,
+    y_col: str,
+    grid_x: str,
+    by: str | None = None,
+) -> DataFrame:
+    """LerpEvaluator analog (``io/eval/LerpEvaluator.java:40-60``):
+    piecewise-linear interpolation of the known (x, y) points onto the
+    query grid. Known points become segments via one ``lead()`` window
+    per group (tiny dictionary side), then the grid range-joins to its
+    bracketing segment — the same banded-join family as
+    :func:`loess_smooth`; AQE handles the range-join skew."""
+    w = Window.partitionBy(by) if by else Window.partitionBy()
+    w = w.orderBy("_x0")
+    seg = known.select(
+        *([by] if by else []),
+        F.col(x_col).cast("double").alias("_x0"),
+        F.col(y_col).cast("double").alias("_y0"),
+    ).withColumns(
+        {
+            "_x1": F.lead("_x0").over(w),
+            "_y1": F.lead("_y0").over(w),
+        }
+    ).where(F.col("_x1").isNotNull())
+    g_cols = [F.col(by).alias("_gby")] if by else []
+    g = grid.select(*g_cols, F.col(grid_x).cast("double").alias("_gx"))
+    on = F.col("_gby") == F.col(by) if by else F.lit(True)
+    cond = on & (F.col("_gx") >= F.col("_x0")) & (F.col("_gx") < F.col("_x1"))
+    t = (F.col("_gx") - F.col("_x0")) / (F.col("_x1") - F.col("_x0"))
+    out_by = [F.col("_gby").alias(by)] if by else []
+    return seg.join(g, cond).select(
+        *out_by,
+        F.col("_gx").alias(grid_x),
+        (F.col("_y0") + t * (F.col("_y1") - F.col("_y0"))).alias("lerp_y"),
+    )
+
+
+def kmeans_step_1d(
+    df: DataFrame, val_col: str, centroids: list[float]
+) -> DataFrame:
+    """KmeansEvaluator analog (``io/eval/KmeansEvaluator.java:45-76``):
+    ONE distributed Lloyd iteration over a scalar feature with the
+    current centroids frozen as literals — assignment is a pure JVM
+    expression (argmin over k distances, ties to the lowest cluster id),
+    the update is one grouped aggregation returning each cluster's size
+    and new centroid. Iterating = re-calling with the returned means
+    (the reference loops the same two steps driver-side)."""
+    x = F.col(val_col).cast("double")
+    dists = [F.abs(x - F.lit(float(c))) for c in centroids]
+    best = F.least(*dists)
+    cluster = F.lit(None).cast("int")
+    for j in range(len(centroids) - 1, -1, -1):
+        cluster = F.when(dists[j] == best, F.lit(j)).otherwise(cluster)
+    return (
+        df.where(x.isNotNull())
+        .groupBy(cluster.alias("cluster"))
+        .agg(F.count("*").alias("n"), F.avg(x).alias("new_centroid"))
+    )
+
+
+def fuzzy_kmeans_step_1d(
+    df: DataFrame, val_col: str, centroids: list[float], m: float = 2.0
+) -> DataFrame:
+    """FuzzyKmeansEvaluator analog (``io/eval/FuzzyKmeansEvaluator.java:
+    47-80``, commons-math FuzzyKMeansClusterer): ONE fuzzy-c-means step
+    with the current centroids frozen as literals. Membership
+    uᵢⱼ = dᵢⱼ^(−2/(m−1)) / Σₖ dᵢₖ^(−2/(m−1)); the update
+    centroidⱼ′ = Σᵢ uᵢⱼᵐ·xᵢ / Σᵢ uᵢⱼᵐ (plus the soft count Σᵢ uᵢⱼ) is
+    2k sums fused into ONE single-pass aggregation — all JVM
+    expressions, no shuffle beyond the final single-row agg."""
+    x = F.col(val_col).cast("double")
+    p = 2.0 / (m - 1.0)
+    eps = F.lit(1e-12)
+    inv = [F.pow(F.greatest(F.abs(x - F.lit(float(c))), eps), F.lit(-p)) for c in centroids]
+    denom = inv[0]
+    for t in inv[1:]:
+        denom = denom + t
+    aggs = []
+    for j in range(len(centroids)):
+        u = inv[j] / denom
+        um = F.pow(u, F.lit(m))
+        aggs += [
+            F.sum(u).alias(f"_n{j}"),
+            (F.sum(um * x) / F.sum(um)).alias(f"_c{j}"),
+        ]
+    wide = df.where(x.isNotNull()).agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(j).alias("cluster"),
+            F.col(f"_n{j}").alias("soft_n"),
+            F.col(f"_c{j}").alias("new_centroid"),
+        )
+        for j in range(len(centroids))
+    ])
+    return wide.select(F.explode(pairs).alias("r")).select(
+        "r.cluster", "r.soft_n", "r.new_centroid"
+    )
+
+
+def harmonic_fit(
+    df: DataFrame, x_col: str, y_col: str, omega: float, by: str | None = None
+) -> DataFrame:
+    """HarmonicFitEvaluator analog (``io/eval/HarmonicFitEvaluator.java:
+    40-62``) at a KNOWN angular frequency ω (the reference's harmfit
+    refines ω iteratively; with ω fixed the model y = a + b·sin(ωx) +
+    c·cos(ωx) is linear least squares): the 3×3 normal equations are
+    solved in closed form (Cramer) from NINE sums computed in ONE grouped
+    aggregation — the same det-expansion shape as :func:`polyfit2`."""
+    xx = F.col(x_col).cast("double")
+    yy = F.col(y_col).cast("double")
+    s = F.sin(F.lit(float(omega)) * xx)
+    c = F.cos(F.lit(float(omega)) * xx)
+    aggs = [
+        F.count("*").cast("double").alias("n"),
+        F.sum(s).alias("ss"), F.sum(c).alias("sc"),
+        F.sum(s * s).alias("sss"), F.sum(c * c).alias("scc"),
+        F.sum(s * c).alias("ssc"),
+        F.sum(yy).alias("sy"), F.sum(yy * s).alias("sys"),
+        F.sum(yy * c).alias("syc"),
+    ]
+    g = df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
+    n, ss, sc = F.col("n"), F.col("ss"), F.col("sc")
+    sss, scc, ssc = F.col("sss"), F.col("scc"), F.col("ssc")
+    sy, sys_, syc = F.col("sy"), F.col("sys"), F.col("syc")
+    det = (
+        n * (sss * scc - ssc * ssc)
+        - ss * (ss * scc - ssc * sc)
+        + sc * (ss * ssc - sss * sc)
+    )
+    da = (
+        sy * (sss * scc - ssc * ssc)
+        - ss * (sys_ * scc - ssc * syc)
+        + sc * (sys_ * ssc - sss * syc)
+    )
+    db = (
+        n * (sys_ * scc - ssc * syc)
+        - sy * (ss * scc - ssc * sc)
+        + sc * (ss * syc - sys_ * sc)
+    )
+    dc = (
+        n * (sss * syc - sys_ * ssc)
+        - ss * (ss * syc - sys_ * sc)
+        + sy * (ss * ssc - sss * sc)
+    )
+    keep = [by] if by else []
+    return g.select(
+        *keep,
+        (da / det).alias("fit_a"),
+        (db / det).alias("fit_b"),
+        (dc / det).alias("fit_c"),
+    )
+
+
+def matrix_sums(df: DataFrame, i_col: str, j_col: str, v_col: str) -> DataFrame:
+    """GrandSumEvaluator / SumRowsEvaluator / SumColumnsEvaluator analog
+    (``io/eval/GrandSumEvaluator.java``, ``SumRowsEvaluator.java``,
+    ``SumColumnsEvaluator.java``) over a COO matrix (i, j, v): row sums,
+    column sums, and the grand sum in one result — each axis is one
+    grouped aggregation (map-side partials), unioned with a tag column
+    so the result is a single DataFrame."""
+    v = F.col(v_col).cast("double")
+    rows = df.groupBy(F.col(i_col).cast("long").alias("idx")).agg(
+        F.sum(v).alias("total")
+    ).select(F.lit("row").alias("axis"), "idx", "total")
+    cols = df.groupBy(F.col(j_col).cast("long").alias("idx")).agg(
+        F.sum(v).alias("total")
+    ).select(F.lit("col").alias("axis"), "idx", "total")
+    grand = df.agg(F.sum(v).alias("total")).select(
+        F.lit("grand").alias("axis"), F.lit(None).cast("long").alias("idx"), "total"
+    )
+    return rows.unionByName(cols).unionByName(grand)
+
+
+def ecdf(df: DataFrame, val_col: str, by: str | None = None) -> DataFrame:
+    """EmpiricalDistributionEvaluator + CumulativeProbabilityEvaluator
+    analog (``io/eval/EmpiricalDistributionEvaluator.java``,
+    ``CumulativeProbabilityEvaluator.java``): F̂(x) = #{xᵢ ≤ x} / n for
+    each DISTINCT observed value.
+
+    Shape: aggregate to the value dictionary first (one groupBy), then a
+    running sum over the dictionary — the window sorts |distinct values|
+    rows, not |rows|, the same dictionary trick as the rank/Spearman
+    evaluators."""
+    keep = [by] if by else []
+    counts = df.where(F.col(val_col).isNotNull()).groupBy(
+        *keep, F.col(val_col).cast("double").alias("x")
+    ).agg(F.count("*").cast("double").alias("_c"))
+    w = (Window.partitionBy(by) if by else Window.partitionBy()).orderBy("x")
+    totals = (
+        counts.groupBy(*keep).agg(F.sum("_c").alias("_n"))
+        if by
+        else counts.agg(F.sum("_c").alias("_n"))
+    )
+    cum = counts.withColumn("_cum", F.sum("_c").over(w))
+    joined = cum.join(F.broadcast(totals), on=keep) if by else cum.crossJoin(
+        F.broadcast(totals)
+    )
+    return joined.select(
+        *keep, "x", (F.col("_cum") / F.col("_n")).alias("cdf")
+    )

@@ -628,3 +628,63 @@ def facet_heatmap(
         .agg(F.count("*").alias("count"))
         .orderBy("x_bucket", "y_bucket")
     )
+
+def shortest_path(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    from_node: int,
+    to_node: int,
+    max_depth: int,
+) -> DataFrame:
+    """shortestPath stream (``solrj-streaming/.../io/graph/
+    ShortestPathStream.java:60-120``): BFS from ``from_node`` carrying
+    the path itself; returns the single shortest path to ``to_node``
+    (ties broken to the lexicographically smallest node sequence, so
+    the result is deterministic across engines and partitionings).
+
+    Same iterative hash-join frontier as :func:`graph_traverse`; each
+    frontier row carries its path as an ``array<long>`` and the
+    per-node dedup is ``min(path)`` — a grouped aggregation, not a
+    window — so a hop is one join + one shuffle. The reference runs the
+    same level-synchronous join loop against shards
+    (ShortestPathStream.java "joinBatchSize"); Spark's shuffle IS that
+    join. Frontiers persist per level to keep lineage shallow.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).dropDuplicates()
+    visited = spark.createDataFrame(
+        [(int(from_node), 0, [int(from_node)])],
+        "node long, depth int, path array<long>",
+    ).persist()
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.concat("path", F.array(F.col("dst"))).alias("path"),
+            )
+            .groupBy("node")
+            .agg(F.min("path").alias("path"))
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(depth))
+            .persist()
+        )
+        if nxt.where(F.col("node") == to_node).limit(1).count() > 0:
+            return nxt.where(F.col("node") == to_node).select(
+                F.lit(from_node).alias("from_node"),
+                F.lit(to_node).alias("to_node"),
+                "depth",
+                "path",
+            )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt.select("node", "depth", "path")).persist()
+        frontier = nxt
+    return spark.createDataFrame(
+        [], "from_node long, to_node long, depth int, path array<long>"
+    )

@@ -657,3 +657,137 @@ def test_corr_significance_t_stat(series_df):
     n = len(pw)
     assert r["corr"] == pytest.approx(rho)
     assert r["t_stat"] == pytest.approx(rho * np.sqrt((n - 2) / (1 - rho * rho)))
+
+
+def test_cosine_similarity_matches_numpy(series_df):
+    df, pdf = series_df
+    wide = df.groupBy("t").pivot("grp", ["a", "b"]).agg(F.first("x"))
+    got = ev.cosine_similarity(wide, "a", "b").collect()[0]
+    pa = pdf[pdf.grp == "a"].sort_values("t").x.values
+    pb = pdf[pdf.grp == "b"].sort_values("t").x.values
+    exp = float(np.dot(pa, pb) / (np.linalg.norm(pa) * np.linalg.norm(pb)))
+    assert got["n"] == 40
+    assert got["cosine_sim"] == pytest.approx(exp, abs=1e-9)
+    assert got["cosine_dist"] == pytest.approx(1.0 - exp, abs=1e-9)
+
+
+def test_loess_smooth_matches_numpy_kernel(series_df):
+    df, pdf = series_df
+    h = 4.0
+    got = (
+        ev.loess_smooth(df, "t", "x", bandwidth=h, by="grp")
+        .orderBy("grp", "t")
+        .toPandas()
+    )
+    exp_rows = []
+    for g, sub in pdf.groupby("grp"):
+        xs, ys = sub.t.values.astype(float), sub.x.values
+        for xi in xs:
+            d = np.abs(xs - xi)
+            w = np.where(d < h, (1 - (d / h) ** 3) ** 3, 0.0)
+            exp_rows.append((g, xi, float((w * ys).sum() / w.sum())))
+    exp = pd.DataFrame(exp_rows, columns=["grp", "t", "s"]).sort_values(["grp", "t"])
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(got.smoothed.values, exp.s.values, atol=1e-9)
+
+
+def test_loess_plan_has_no_cross_join(series_df):
+    df, _ = series_df
+    plan = ev.loess_smooth(df, "t", "x", bandwidth=4.0, by="grp")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_poisson_pmf_closed_form(spark):
+    import math
+
+    df = spark.createDataFrame([(k,) for k in [0, 1, 2, 3, 5, 8]], "k int")
+    got = {r["k"]: (r["lam"], r["pmf"]) for r in ev.poisson_pmf(df, "k").collect()}
+    lam = np.mean([0, 1, 2, 3, 5, 8])
+    for k in [0, 1, 2, 3, 5, 8]:
+        exp = math.exp(-lam) * lam**k / math.factorial(k)
+        assert got[k][0] == pytest.approx(lam, abs=1e-12)
+        assert got[k][1] == pytest.approx(exp, rel=1e-10)
+
+
+def test_lerp_exact_on_linear_series(spark):
+    known = spark.createDataFrame(
+        [("g", 0.0, 0.0), ("g", 2.0, 4.0), ("g", 4.0, 8.0)], "grp string, x double, y double"
+    )
+    grid = spark.createDataFrame(
+        [("g", 1.0), ("g", 3.0), ("g", 5.0)], "grp string, gx double"
+    )
+    got = {r["gx"]: r["lerp_y"] for r in ev.lerp(known, grid, "x", "y", "gx", by="grp").collect()}
+    # interpolates inside segments; 5.0 is past the last knot -> dropped
+    assert got == {1.0: 2.0, 3.0: 6.0}
+
+
+def test_kmeans_step_1d_lloyd_iteration(spark):
+    vals = [1.0, 2.0, 3.0, 9.0, 10.0, 30.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["cluster"]: (r["n"], r["new_centroid"]) for r in
+           ev.kmeans_step_1d(df, "v", [2.0, 8.0, 15.0, 30.0]).collect()}
+    assert got[0] == (3, pytest.approx(2.0))
+    assert got[1] == (2, pytest.approx(9.5))
+    assert got[3] == (1, pytest.approx(30.0))
+    assert 2 not in got  # empty cluster emits no row (reference drops it too)
+
+
+def test_kmeans_tie_goes_to_lowest_cluster(spark):
+    df = spark.createDataFrame([(5.0,)], "v double")  # equidistant from 2 and 8
+    got = ev.kmeans_step_1d(df, "v", [2.0, 8.0]).collect()
+    assert got[0]["cluster"] == 0
+
+
+def test_fuzzy_kmeans_step_matches_numpy(spark):
+    vals = np.array([1.0, 2.0, 3.0, 9.0, 10.0, 30.0])
+    cents = [2.0, 8.0, 15.0, 30.0]
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = {r["cluster"]: (r["soft_n"], r["new_centroid"]) for r in
+           ev.fuzzy_kmeans_step_1d(df, "v", cents, m=2.0).collect()}
+    d = np.maximum(np.abs(vals[:, None] - np.array(cents)[None, :]), 1e-12)
+    inv = d ** -2.0
+    u = inv / inv.sum(axis=1, keepdims=True)
+    for j in range(4):
+        assert got[j][0] == pytest.approx(u[:, j].sum(), rel=1e-9)
+        exp_c = (u[:, j] ** 2 * vals).sum() / (u[:, j] ** 2).sum()
+        assert got[j][1] == pytest.approx(exp_c, rel=1e-9)
+
+
+def test_harmonic_fit_recovers_known_wave(spark):
+    omega = 2 * np.pi / 7
+    xs = np.arange(0, 28, dtype=float)
+    ys = 5.0 + 2.0 * np.sin(omega * xs) - 1.5 * np.cos(omega * xs)
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(xs, ys)], "x double, y double"
+    )
+    r = ev.harmonic_fit(df, "x", "y", omega).collect()[0]
+    assert r["fit_a"] == pytest.approx(5.0, abs=1e-9)
+    assert r["fit_b"] == pytest.approx(2.0, abs=1e-9)
+    assert r["fit_c"] == pytest.approx(-1.5, abs=1e-9)
+
+
+def test_matrix_sums_coo(spark):
+    df = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 1, 2.0), (1, 0, 3.0), (1, 1, 4.0)], "i int, j int, v double"
+    )
+    got = {(r["axis"], r["idx"]): r["total"] for r in
+           ev.matrix_sums(df, "i", "j", "v").collect()}
+    assert got[("row", 0)] == 3.0 and got[("row", 1)] == 7.0
+    assert got[("col", 0)] == 4.0 and got[("col", 1)] == 6.0
+    assert got[("grand", None)] == 10.0
+
+
+def test_ecdf_matches_numpy(series_df):
+    df, pdf = series_df
+    got = ev.ecdf(df, "x", by="grp").orderBy("grp", "x").toPandas()
+    for g, sub in pdf.groupby("grp"):
+        xs = np.sort(sub.x.values)
+        mine = got[got.grp == g]
+        # every distinct value present, cdf = rank/n, last point hits 1.0
+        assert len(mine) == len(np.unique(xs))
+        np.testing.assert_allclose(
+            mine.cdf.values,
+            [np.searchsorted(xs, v, side="right") / len(xs) for v in mine.x.values],
+            atol=1e-12,
+        )
+        assert mine.cdf.values[-1] == pytest.approx(1.0)

@@ -78,3 +78,23 @@ def test_export_sorted_is_total_order(people):
     assert vals == sorted(vals, reverse=True)
     assert len(rows) == 50
     assert rows[0].asDict().keys() == {"id", "val"}  # column pruning honored
+
+
+def test_shortest_path_lex_min_and_depth(spark):
+    from solr_spark.operators.relational import shortest_path
+
+    # 1 -> {2,3} -> 4 ; two shortest paths, [1,2,4] < [1,3,4]
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = shortest_path(edges, "src", "dst", 1, 4, max_depth=4).collect()
+    assert len(got) == 1
+    assert got[0]["depth"] == 2
+    assert got[0]["path"] == [1, 2, 4]
+
+
+def test_shortest_path_unreachable_is_empty(spark):
+    from solr_spark.operators.relational import shortest_path
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    assert shortest_path(edges, "src", "dst", 1, 99, max_depth=3).count() == 0
