@@ -24,6 +24,16 @@ import time
 from pyspark.sql import functions as F
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — the sandbox host has
+    bursty CPU steal, and a build timed through a burst measures the
+    host, not the engine."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    return (vals[7] if len(vals) > 7 else 0), sum(vals)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -41,6 +51,7 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(64, cpus))
     queries: dict[str, float] = {}
     t_total = time.time()
+    steal0, ticks0 = _cpu_ticks()
 
     # --- warmup (JMH-style): a small untimed build amortizes JVM JIT,
     # whole-stage-codegen compilation and Python worker spawn
@@ -128,6 +139,8 @@ def main() -> None:
             scaling = json.load(f)
 
     total = time.time() - t_total
+    steal1, ticks1 = _cpu_ticks()
+    steal_frac = (steal1 - steal0) / max(1, ticks1 - ticks0)
     print(
         json.dumps(
             {
@@ -139,6 +152,7 @@ def main() -> None:
                 "indexing_docs_per_sec": round(docs_per_sec, 1),
                 "synth_docs": n,
                 "cpus": cpus,
+                "host_steal_frac": round(steal_frac, 4),
                 "scaling": scaling,
             }
         )
