@@ -1694,6 +1694,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_ecdf"] = eval_ecdf
 
+    def eval_normal_cdf(s, d):
+        """NormalDistribution + cumulativeProbability analog: fit (μ,σ)
+        per event type, Φ(x) for each distinct value — one aggregation +
+        broadcast join-back, erf as the frozen A&S 7.1.26 polynomial."""
+        out = ev.normal_cdf(
+            _read(s, d, "events").where(F.col("event_id") < 2000),
+            "value",
+            by="event_type",
+        )
+        return (
+            out.groupBy(
+                "event_type",
+                F.col("value").alias("x"),
+                F.round("mu", 6).alias("mu"),
+                F.round("sigma", 6).alias("sigma"),
+            )
+            .agg(F.round(F.min("cdf"), 6).alias("cdf"))
+            .orderBy("event_type", "x")
+        )
+
+    q["eval_normal_cdf"] = eval_normal_cdf
+
+    def eval_binomial(s, d):
+        """BinomialDistribution + probability analog: k = n_chars mod 8
+        out of n=7 trials per language; p̂ from one aggregation, pmf via
+        JVM ln-factorial sequence-sums (lgamma on the oracle side)."""
+        docs = _read(s, d, "documents").withColumn(
+            "k", (F.col("n_chars") % 8).cast("int")
+        )
+        out = ev.binomial_pmf(docs, "k", n_trials=7, by="lang")
+        return (
+            out.groupBy("lang", "k", F.round("p_hat", 6).alias("p_hat"))
+            .agg(F.round(F.min("pmf"), 8).alias("pmf"))
+            .orderBy("lang", "k")
+        )
+
+    q["eval_binomial"] = eval_binomial
+
+    def eval_dbscan(s, d):
+        """Dbscan evaluator analog over 1-D event values: value
+        dictionary → banded ±eps neighbour counts (bucket join, never a
+        cross join) → core runs via one lag window → border attach →
+        noise. eps=1.0, minPts=5."""
+        out = ev.dbscan_1d(
+            _read(s, d, "events").where(F.col("event_id") < 2000),
+            "value",
+            eps=1.0,
+            min_pts=5,
+            by="event_type",
+        )
+        return out.select(
+            "event_type", "x", F.col("label").cast("long").alias("label"), "is_core"
+        ).orderBy("event_type", "x")
+
+    q["eval_dbscan"] = eval_dbscan
+
+    def eval_gauss_fit(s, d):
+        """GaussFit analog: histogram the per-user mean event value —
+        a mean of uniforms is bell-shaped, so the log-quadratic
+        linearization is well-posed (c2 < 0) — then polyfit2 on
+        ln(count) and the (μ, σ, A) transform."""
+        users = (
+            _read(s, d, "events")
+            .groupBy("user_id")
+            .agg(F.avg("value").alias("v"), F.count("*").alias("c"))
+            .where(F.col("c") >= 3)
+        )
+        hist = users.groupBy(
+            (F.floor(F.col("v") / 10.0) * 10.0 + 5.0).alias("x")
+        ).agg(F.count("*").cast("double").alias("y"))
+        out = ev.gauss_fit(hist, "x", "y")
+        return out.select(
+            F.round("mu", 4).alias("mu"),
+            F.round("sigma", 4).alias("sigma"),
+            F.round("amplitude", 4).alias("amplitude"),
+        )
+
+    q["eval_gauss_fit"] = eval_gauss_fit
+
     def graph_shortest_path_q(s, d):
         """shortestPath stream analog over the bipartite order↔supplier
         graph (lineitem edges, node ids order·2 / supp·2+1): shortest
@@ -3144,5 +3223,99 @@ SELECT (SELECT CAST(k * 2 AS BIGINT) FROM o1) AS from_node,
        depth, path
 FROM walk WHERE node = (SELECT k * 2 FROM o2)
 ORDER BY depth, path LIMIT 1
+""".strip()
+    # erf via the SAME frozen A&S 7.1.26 polynomial the engine evaluates
+    _erf_sql = (
+        "(CASE WHEN {z} < 0 THEN -1.0 ELSE 1.0 END) * (1.0 - "
+        "(0.254829592 * t - 0.284496736 * t*t + 1.421413741 * t*t*t "
+        "- 1.453152027 * t*t*t*t + 1.061405429 * t*t*t*t*t) "
+        "* exp(-abs({z}) * abs({z})))"
+    )
+    o["eval_normal_cdf"] = f"""
+WITH pts AS (
+  SELECT event_type, value AS x FROM events
+  WHERE event_id < 2000 AND value IS NOT NULL),
+st AS (SELECT event_type, avg(x) AS mu, stddev_samp(x) AS sd
+       FROM pts GROUP BY 1),
+z AS (SELECT DISTINCT p.event_type, p.x, st.mu, st.sd,
+             (p.x - st.mu) / (st.sd * sqrt(2.0)) AS zz
+      FROM pts p JOIN st USING (event_type)),
+tt AS (SELECT *, 1.0 / (1.0 + 0.3275911 * abs(zz)) AS t FROM z)
+SELECT event_type, x, ROUND(mu, 6) AS mu, ROUND(sd, 6) AS sigma,
+       ROUND(0.5 * (1.0 + {_erf_sql.format(z='zz')}), 6) AS cdf
+FROM tt ORDER BY event_type, x
+""".strip()
+    o["eval_binomial"] = """
+WITH ks AS (SELECT lang, CAST(n_chars % 8 AS INT) AS k FROM documents),
+p AS (SELECT lang, avg(k) / 7.0 AS p_hat FROM ks GROUP BY 1)
+SELECT ks.lang, ks.k, ROUND(p.p_hat, 6) AS p_hat,
+       ROUND(min(exp(
+         lgamma(8.0) - lgamma(ks.k + 1.0) - lgamma(7.0 - ks.k + 1.0)
+         + ks.k * ln(p.p_hat) + (7 - ks.k) * ln(1.0 - p.p_hat))), 8) AS pmf
+FROM ks JOIN p USING (lang)
+GROUP BY ks.lang, ks.k, p.p_hat
+ORDER BY ks.lang, ks.k
+""".strip()
+    o["eval_dbscan"] = """
+WITH dic AS (
+  SELECT event_type, value AS x, count(*) AS m FROM events
+  WHERE event_id < 2000 AND value IS NOT NULL GROUP BY 1, 2),
+nbr AS (
+  SELECT a.event_type, a.x, sum(b.m) AS n_nbrs
+  FROM dic a JOIN dic b
+    ON a.event_type = b.event_type AND abs(a.x - b.x) <= 1.0
+  GROUP BY 1, 2),
+flag AS (
+  SELECT event_type, x, n_nbrs >= 5 AS is_core FROM nbr),
+core AS (
+  SELECT event_type, x,
+         CAST(sum(brk) OVER (PARTITION BY event_type ORDER BY x) AS BIGINT) AS label
+  FROM (SELECT event_type, x,
+               CASE WHEN x - lag(x) OVER (PARTITION BY event_type ORDER BY x) > 1.0
+                    THEN 1 ELSE 0 END AS brk
+        FROM flag WHERE is_core)),
+border AS (
+  SELECT f.event_type, f.x, min(c.label) AS label
+  FROM flag f JOIN core c
+    ON f.event_type = c.event_type AND abs(f.x - c.x) <= 1.0
+  WHERE NOT f.is_core GROUP BY 1, 2)
+SELECT event_type, x, label, TRUE AS is_core FROM core
+UNION ALL
+SELECT event_type, x, label, FALSE AS is_core FROM border
+UNION ALL
+SELECT f.event_type, f.x, CAST(-1 AS BIGINT) AS label, FALSE AS is_core
+FROM flag f LEFT JOIN border b ON f.event_type = b.event_type AND f.x = b.x
+WHERE NOT f.is_core AND b.x IS NULL
+ORDER BY event_type, x
+""".strip()
+    o["eval_gauss_fit"] = """
+WITH u AS (
+  SELECT user_id, avg(value) AS v FROM events
+  GROUP BY 1 HAVING count(*) >= 3),
+h AS (
+  SELECT floor(v / 10.0) * 10.0 + 5.0 AS x,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM u GROUP BY 1),
+ln_h AS (SELECT x, ln(y) AS ly FROM h WHERE y > 0),
+a AS (SELECT CAST(count(*) AS DOUBLE) AS s0, sum(x) AS s1, sum(x * x) AS s2,
+             sum(x * x * x) AS s3, sum(x * x * x * x) AS s4,
+             sum(ly) AS t0, sum(x * ly) AS t1, sum(x * x * ly) AS t2
+      FROM ln_h),
+c AS (SELECT
+        s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s2 * s3)
+          + s2 * (s1 * s3 - s2 * s2) AS det,
+        t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - t2 * s3)
+          + s2 * (t1 * s3 - t2 * s2) AS n0,
+        s0 * (t1 * s4 - t2 * s3) - t0 * (s1 * s4 - s2 * s3)
+          + s2 * (s1 * t2 - s2 * t1) AS n1,
+        s0 * (s2 * t2 - s3 * t1) - s1 * (s1 * t2 - s2 * t1)
+          + t0 * (s1 * s3 - s2 * s2) AS n2
+      FROM a),
+fit AS (SELECT n0 / det AS c0, n1 / det AS c1, n2 / det AS c2 FROM c),
+g AS (SELECT c1 * (-0.5 / c2) AS mu, -0.5 / c2 AS sigma2, c0 FROM fit)
+SELECT ROUND(mu, 4) AS mu,
+       ROUND(sqrt(sigma2), 4) AS sigma,
+       ROUND(exp(c0 + mu * mu / (2.0 * sigma2)), 4) AS amplitude
+FROM g
 """.strip()
     return o

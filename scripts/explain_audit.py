@@ -367,6 +367,20 @@ def main() -> None:
         ],
     ))
 
+    # 25. dbscan: neighbour counts come from the banded ±eps bucket
+    #     join over the VALUE DICTIONARY — never a cross join, and the
+    #     cluster-run window is group-partitioned
+    p = plan_of(ev.dbscan_1d(events_tbl, "value", eps=1.0, min_pts=5, by="event_type"))
+    sections.append((
+        "dbscan evaluator (banded dictionary join)", p,
+        [
+            ("no cartesian product", "CartesianProduct" not in p),
+            ("no broadcast nested loop", "BroadcastNestedLoopJoin" not in p),
+            ("±eps buckets exploded (Generate)", "Generate" in p),
+            ("cluster-run window partitioned by group", "SinglePartition" not in p),
+        ],
+    ))
+
     # --- per-query driver-action counts (VERDICT r2 #1: measured, not
     # guessed — the r2 regression was driver-round-trip-bound) ---
     import time

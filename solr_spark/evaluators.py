@@ -1639,3 +1639,209 @@ def ecdf(df: DataFrame, val_col: str, by: str | None = None) -> DataFrame:
     return joined.select(
         *keep, "x", (F.col("_cum") / F.col("_n")).alias("cdf")
     )
+
+
+def _erf_expr(x):
+    """erf(x) as a JVM column expression — Abramowitz & Stegun 7.1.26
+    (max abs error 1.5e-7), the frozen cross-engine approximation: the
+    SQL oracle evaluates the SAME polynomial, so engine and oracle agree
+    to far more digits than the entry-layer rounding keeps."""
+    sign = F.when(x < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    ax = F.abs(x)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * ax)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * t * t
+        + F.lit(1.421413741) * t * t * t
+        - F.lit(1.453152027) * t * t * t * t
+        + F.lit(1.061405429) * t * t * t * t * t
+    )
+    return sign * (F.lit(1.0) - poly * F.exp(-ax * ax))
+
+
+def normal_cdf(df: DataFrame, x_col: str, by: str | None = None) -> DataFrame:
+    """NormalDistributionEvaluator + CumulativeProbabilityEvaluator
+    analog (``io/eval/NormalDistributionEvaluator.java:38-47``,
+    ``CumulativeProbabilityEvaluator.java:40-55``): fit (μ, σ) per group
+    in one aggregation, broadcast back, then Φ(x) = ½(1 + erf(z/√2)) as
+    a pure JVM expression — the reference materializes the vector and
+    asks commons-math; here the fit is map-side partials and the CDF
+    never leaves codegen."""
+    x = F.col(x_col).cast("double")
+    keep = [by] if by else []
+    if by:
+        stats = df.groupBy(by).agg(
+            F.avg(x).alias("_mu"), F.stddev_samp(x).alias("_sd")
+        )
+        joined = df.join(F.broadcast(stats), by)
+    else:
+        stats = df.agg(F.avg(x).alias("_mu"), F.stddev_samp(x).alias("_sd"))
+        joined = df.crossJoin(F.broadcast(stats))
+    z = (x - F.col("_mu")) / (F.col("_sd") * F.lit(2.0 ** 0.5))
+    return joined.select(
+        *keep,
+        x.alias(x_col),
+        F.col("_mu").alias("mu"),
+        F.col("_sd").alias("sigma"),
+        (F.lit(0.5) * (F.lit(1.0) + _erf_expr(z))).alias("cdf"),
+    )
+
+
+def binomial_pmf(
+    df: DataFrame, k_col: str, n_trials: int, by: str | None = None
+) -> DataFrame:
+    """BinomialDistributionEvaluator + ProbabilityEvaluator analog
+    (``io/eval/BinomialDistributionEvaluator.java:38-48``): fit
+    p̂ = mean(k)/n per group, then P(K=k) = C(n,k)·p̂ᵏ·(1−p̂)ⁿ⁻ᵏ.
+    ln C(n,k) = ln n! − ln k! − ln (n−k)!; the constant ln n! folds to a
+    Python float (n is a parameter), the k-dependent factorials are JVM
+    higher-order sequence-sums exactly as :func:`poisson_pmf`."""
+    import math
+
+    k = F.col(k_col).cast("int")
+    n = int(n_trials)
+    keep = [by] if by else []
+    if by:
+        p_df = df.groupBy(by).agg((F.avg(k) / F.lit(float(n))).alias("_p"))
+        joined = df.join(F.broadcast(p_df), by)
+    else:
+        p_df = df.agg((F.avg(k) / F.lit(float(n))).alias("_p"))
+        joined = df.crossJoin(F.broadcast(p_df))
+
+    def _ln_fact(col):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.greatest(col, F.lit(1))),
+            F.lit(0.0),
+            lambda acc, i: acc + F.log(i.cast("double")),
+        )
+
+    ln_choose = F.lit(math.lgamma(n + 1.0)) - _ln_fact(k) - _ln_fact(F.lit(n) - k)
+    p = F.col("_p")
+    pmf = F.exp(ln_choose + k * F.log(p) + (F.lit(n) - k) * F.log(F.lit(1.0) - p))
+    return joined.select(
+        *keep, k.alias(k_col), p.alias("p_hat"), pmf.alias("pmf")
+    )
+
+
+def dbscan_1d(
+    df: DataFrame,
+    x_col: str,
+    eps: float,
+    min_pts: int,
+    by: str | None = None,
+) -> DataFrame:
+    """DbscanEvaluator analog (``io/eval/DbscanEvaluator.java:42-70`` —
+    commons-math DBSCANClusterer over driver vectors) for 1-D values,
+    fully distributed:
+
+    1. aggregate to the per-group VALUE DICTIONARY (x, multiplicity) —
+       every later step is over distinct values, the same dictionary
+       trick as :func:`ecdf`;
+    2. neighbour counts within ±eps via a banded bucket join (bucket
+       width eps, each value probes its own and adjacent buckets — never
+       a cross join), summing multiplicities → core flag
+       (count ≥ min_pts, self included);
+    3. clusters = runs of core values with gap ≤ eps: one lag-window
+       over CORE dictionary values per group, running sum of breaks;
+    4. border values attach to the nearest core cluster within eps via
+       the same banded join; everything else is noise (label −1).
+    """
+    keep = [by] if by else []
+    x = F.col(x_col).cast("double")
+    dic = (
+        df.where(x.isNotNull())
+        .groupBy(*keep, x.alias("x"))
+        .agg(F.count("*").alias("_m"))
+    )
+    b = F.floor(F.col("x") / F.lit(float(eps)))
+    probe = dic.select(
+        *keep, "x", "_m", F.explode(F.array(b - 1, b, b + 1)).alias("_b")
+    )
+    host = dic.select(
+        *[F.col(c).alias(f"_h_{c}") for c in keep],
+        F.col("x").alias("_hx"),
+        F.col("_m").alias("_hm"),
+        F.floor(F.col("x") / F.lit(float(eps))).alias("_b"),
+    )
+    cond = F.abs(F.col("x") - F.col("_hx")) <= F.lit(float(eps))
+    j = probe.join(
+        host,
+        on=[probe["_b"] == host["_b"]]
+        + [probe[c] == host[f"_h_{c}"] for c in keep],
+    ).where(cond)
+    nbrs = j.groupBy(*[probe[c] for c in keep], probe["x"]).agg(
+        F.sum("_hm").alias("_n_nbrs")
+    )
+    flagged = dic.join(nbrs, on=keep + ["x"]).select(
+        *keep, "x", "_m", (F.col("_n_nbrs") >= F.lit(int(min_pts))).alias("is_core")
+    )
+    w = Window.partitionBy(*keep).orderBy("x")
+    core = (
+        flagged.where("is_core")
+        .withColumn(
+            "_brk",
+            F.when(
+                (F.col("x") - F.lag("x").over(w)) > F.lit(float(eps)), 1
+            ).otherwise(0),
+        )
+        .withColumn("label", F.sum("_brk").over(w).cast("long"))
+        .drop("_brk")
+    )
+    core_host = core.select(
+        *[F.col(c).alias(f"_h_{c}") for c in keep],
+        F.col("x").alias("_hx"),
+        F.col("label").alias("_hlabel"),
+        F.floor(F.col("x") / F.lit(float(eps))).alias("_b"),
+    )
+    border_probe = flagged.where(~F.col("is_core")).select(
+        *keep, "x", F.explode(F.array(b - 1, b, b + 1)).alias("_b")
+    )
+    border = (
+        border_probe.join(
+            core_host,
+            on=[border_probe["_b"] == core_host["_b"]]
+            + [border_probe[c] == core_host[f"_h_{c}"] for c in keep],
+        )
+        .where(F.abs(F.col("x") - F.col("_hx")) <= F.lit(float(eps)))
+        .groupBy(*[border_probe[c] for c in keep], border_probe["x"])
+        .agg(F.min("_hlabel").alias("label"))
+        .withColumn("is_core", F.lit(False))
+    )
+    noise = (
+        flagged.where(~F.col("is_core"))
+        .join(border.select(*keep, "x"), on=keep + ["x"], how="left_anti")
+        .select(*keep, "x", F.lit(-1).cast("long").alias("label"),
+                F.lit(False).alias("is_core"))
+    )
+    return (
+        core.select(*keep, "x", "label", "is_core")
+        .unionByName(border.select(*keep, "x", "label", "is_core"))
+        .unionByName(noise)
+    )
+
+
+def gauss_fit(
+    df: DataFrame, x_col: str, y_col: str, by: str | None = None
+) -> DataFrame:
+    """GaussFitEvaluator analog (``io/eval/GaussFitEvaluator.java:40-60``
+    — commons-math GaussianCurveFitter, iterative Levenberg-Marquardt):
+    frozen here as the classical log-quadratic linearization — fit
+    ln y = c0 + c1·x + c2·x² by least squares (delegates to
+    :func:`polyfit2`'s one-aggregation Cramer solve), then
+    σ² = −1/(2c2), μ = c1·σ², A = exp(c0 + μ²/(2σ²)). Exact when the
+    data IS a Gaussian; deterministic and SQL-expressible where the
+    reference's iterative fitter is not."""
+    ln = df.where(F.col(y_col) > 0).withColumn(
+        "_lny", F.log(F.col(y_col).cast("double"))
+    )
+    fit = polyfit2(ln, x_col, "_lny", by=by)
+    sigma2 = F.lit(-0.5) / F.col("c2")
+    mu = F.col("c1") * sigma2
+    amp = F.exp(F.col("c0") + mu * mu / (F.lit(2.0) * sigma2))
+    keep = [by] if by else []
+    return fit.select(
+        *keep,
+        mu.alias("mu"),
+        F.sqrt(sigma2).alias("sigma"),
+        amp.alias("amplitude"),
+    )

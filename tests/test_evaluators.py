@@ -791,3 +791,71 @@ def test_ecdf_matches_numpy(series_df):
             atol=1e-12,
         )
         assert mine.cdf.values[-1] == pytest.approx(1.0)
+
+
+def test_normal_cdf_matches_scipy_free_oracle(series_df):
+    df, pdf = series_df
+    got = ev.normal_cdf(df, "x", by="grp").orderBy("grp", "x").toPandas()
+    import math
+
+    for g, sub in pdf.groupby("grp"):
+        mu, sd = sub.x.mean(), sub.x.std(ddof=1)
+        mine = got[got.grp == g]
+        exp = [0.5 * (1.0 + math.erf((v - mu) / (sd * math.sqrt(2)))) for v in mine.x]
+        # A&S 7.1.26 approximation is good to 1.5e-7 vs true erf
+        np.testing.assert_allclose(mine.cdf.values, exp, atol=2e-7)
+        assert (np.diff(mine.sort_values("x").cdf.values) >= -1e-12).all()
+
+
+def test_binomial_pmf_sums_to_one_and_matches_math(spark):
+    import math
+
+    pdf = pd.DataFrame({"g": ["a"] * 8, "k": list(range(8))})
+    df = spark.createDataFrame(pdf)
+    got = ev.binomial_pmf(df, "k", n_trials=7, by="g").orderBy("k").toPandas()
+    p = got.p_hat.iloc[0]
+    exp = [math.comb(7, k) * p**k * (1 - p) ** (7 - k) for k in range(8)]
+    np.testing.assert_allclose(got.pmf.values, exp, rtol=1e-10)
+    assert got.pmf.sum() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_dbscan_1d_matches_bruteforce(spark):
+    rng = np.random.default_rng(3)
+    # two dense blobs + sparse noise
+    xs = np.concatenate(
+        [rng.normal(0, 0.2, 30), rng.normal(10, 0.2, 25), rng.uniform(20, 40, 5)]
+    )
+    pdf = pd.DataFrame({"g": "a", "x": xs})
+    eps, mp = 0.5, 4
+    got = (
+        ev.dbscan_1d(spark.createDataFrame(pdf), "x", eps=eps, min_pts=mp, by="g")
+        .orderBy("x")
+        .toPandas()
+    )
+    # brute-force: core = >=mp neighbours in +-eps (self incl.)
+    ux = np.sort(np.unique(xs))
+    core = np.array([(np.abs(xs - v) <= eps).sum() >= mp for v in ux])
+    assert len(got) == len(ux)
+    np.testing.assert_array_equal(got.is_core.values, core)
+    # the two blobs land in different clusters; sparse tail is noise
+    lbl = dict(zip(got.x, got.label))
+    blob0 = {lbl[v] for v in ux[ux < 5]}
+    blob1 = {lbl[v] for v in ux[(ux > 5) & (ux < 15)]}
+    assert len(blob0) == 1 and len(blob1) == 1 and blob0 != blob1
+    noise = [lbl[v] for v in ux[ux > 15] if not core[np.searchsorted(ux, v)]]
+    # isolated points with no core within eps are -1
+    for v in ux[ux > 15]:
+        if not (np.abs(ux[core] - v) <= eps).any():
+            assert lbl[v] == -1
+
+
+def test_gauss_fit_recovers_known_gaussian(spark):
+    # exact gaussian samples: fit must recover (mu, sigma, A) ~ exactly
+    mu, sigma, amp = 5.0, 2.0, 100.0
+    xs = np.linspace(-1, 11, 25)
+    ys = amp * np.exp(-((xs - mu) ** 2) / (2 * sigma**2))
+    pdf = pd.DataFrame({"x": xs, "y": ys})
+    got = ev.gauss_fit(spark.createDataFrame(pdf), "x", "y").toPandas()
+    assert got.mu.iloc[0] == pytest.approx(mu, abs=1e-8)
+    assert got.sigma.iloc[0] == pytest.approx(sigma, abs=1e-8)
+    assert got.amplitude.iloc[0] == pytest.approx(amp, rel=1e-8)
