@@ -34,6 +34,18 @@ def _cpu_ticks() -> tuple[int, int]:
     return (vals[7] if len(vals) > 7 else 0), sum(vals)
 
 
+def _control_pass(_=None):
+    """One memory-bandwidth-bound work unit (sort+cumsum over 80 MB).
+    Module-level so ProcessPoolExecutor can pickle it."""
+    import numpy as np
+
+    a = np.random.default_rng(1).integers(0, 1000, 10_000_000).astype(np.int64)
+    t0 = time.time()
+    b = np.sort(a)
+    float(b.cumsum()[-1])
+    return 1.0 / (time.time() - t0)
+
+
 def _platform_control() -> dict:
     """Engine-free host probe: numpy sort+cumsum passes/sec at 1-wide
     and 8-wide. The sandbox host throttles memory-bandwidth-heavy work
@@ -41,19 +53,11 @@ def _platform_control() -> dict:
     bandwidth-bound aggregate capacity was 8x below a clean window, with
     pure-ALU busy loops unaffected) — this control makes each BENCH
     window comparable: engine docs/sec scales with control passes/sec."""
-    import numpy as np
     from concurrent.futures import ProcessPoolExecutor
 
-    def one_pass(_=None):
-        a = np.random.default_rng(1).integers(0, 1000, 10_000_000).astype(np.int64)
-        t0 = time.time()
-        b = np.sort(a)
-        float(b.cumsum()[-1])
-        return 1.0 / (time.time() - t0)
-
-    r1 = one_pass()
+    r1 = _control_pass()
     with ProcessPoolExecutor(8) as ex:
-        agg8 = sum(ex.map(one_pass, range(8)))
+        agg8 = sum(ex.map(_control_pass, range(8)))
     return {
         "sort_passes_per_sec_1w": round(r1, 3),
         "sort_passes_per_sec_8w_agg": round(agg8, 3),
