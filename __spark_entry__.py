@@ -29,13 +29,18 @@ from solr_spark.operators import (
 )
 from solr_spark.operators.relational import (
     atomic_update,
+    cartesian_product,
+    complement_keys,
     cursor_page,
     export_sorted,
     facet_heatmap,
     facet_pivot,
     frange_filter,
     graph_traverse,
+    having,
+    intersect_keys,
     join_filter,
+    merge_sorted,
     realtime_get,
     shortest_path,
 )
@@ -62,6 +67,7 @@ from solr_spark.oracle_sql import (
     spellcheck_sql,
     suggest_sql,
     term_dict_sql,
+    tfidf_matrix_sql,
     vector_similarity_sql,
 )
 from solr_spark.oracle_sql import phrase_topk_sql
@@ -323,6 +329,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fetch_enrich_events"] = fetch_enrich
+
+    def merge_two(s, d):
+        orders = _read(s, d, "orders")
+        a = orders.where(F.col("o_orderpriority") == "1-URGENT")
+        b = orders.where(F.col("o_orderpriority") == "3-MEDIUM")
+        return merge_sorted([a, b], [F.asc("o_orderkey")]).select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+
+    q["merge_sorted_priorities"] = merge_two
+
+    def intersect_cust(s, d):
+        cust = _read(s, d, "customer")
+        okeys = _read(s, d, "orders").select(F.col("o_custkey").alias("c_custkey"))
+        return (
+            intersect_keys(cust, okeys, ["c_custkey"])
+            .select("c_custkey", "c_mktsegment")
+            .orderBy("c_custkey")
+        )
+
+    q["intersect_customers_with_orders"] = intersect_cust
+
+    def complement_cust(s, d):
+        cust = _read(s, d, "customer")
+        okeys = (
+            _read(s, d, "orders")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select(F.col("o_custkey").alias("c_custkey"))
+        )
+        return (
+            complement_keys(cust, okeys, ["c_custkey"])
+            .select("c_custkey", "c_mktsegment")
+            .orderBy("c_custkey")
+        )
+
+    q["complement_customers_no_urgent"] = complement_cust
+
+    def cart_tokens(s, d):
+        docs = _read(s, d, "documents").where(F.col("doc_id") < 20)
+        arr = docs.select(
+            "doc_id", F.slice(F.split(F.col("text"), " "), 1, 5).alias("toks")
+        )
+        return cartesian_product(arr, "toks", "tok").select("doc_id", "tok")
+
+    q["cartesian_product_tokens"] = cart_tokens
+
+    q["having_rollup_status"] = lambda s, d: having(
+        rollup(
+            _read(s, d, "orders"),
+            ["o_orderstatus", "o_orderpriority"],
+            {
+                "n_orders": F.count("*"),
+                "total_price": F.round(F.sum("o_totalprice"), 2),
+            },
+        ),
+        F.col("n_orders") >= 500,
+    ).orderBy("o_orderstatus", "o_orderpriority")
 
     # --- wider query surface (QParser / SearchComponent analogs) ---
     q["phrase_batch_stream"] = lambda s, d: _rounded(
@@ -1773,6 +1836,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_gauss_fit"] = eval_gauss_fit
 
+    def eval_dist_cdfs(s, d):
+        """Exponential/Weibull/log-normal CDF family: fit per language
+        in one aggregation, three closed-form CDFs per distinct doc
+        length — erf via the frozen A&S polynomial."""
+        out = ev.dist_cdf_family(
+            _read(s, d, "documents").where(F.col("doc_id") < 3000),
+            "n_chars",
+            by="lang",
+        )
+        return (
+            out.groupBy("lang", F.col("n_chars").alias("x"))
+            .agg(
+                F.round(F.min("mean"), 6).alias("mean"),
+                F.round(F.min("exp_cdf"), 6).alias("exp_cdf"),
+                F.round(F.min("weibull_cdf"), 6).alias("weibull_cdf"),
+                F.round(F.min("lognormal_cdf"), 6).alias("lognormal_cdf"),
+            )
+            .orderBy("lang", "x")
+        )
+
+    q["eval_dist_cdfs"] = eval_dist_cdfs
+
+    def eval_akima(s, d):
+        """Akima spline midpoints over the daily value series per event
+        type (y rounded to 6dp BEFORE interpolation so engine and oracle
+        interpolate bit-identical knots); interior intervals only."""
+        daily = (
+            _read(s, d, "events")
+            .groupBy("event_type", F.to_date("ts").alias("day"))
+            .agg(F.round(F.avg("value"), 6).alias("y"))
+            .select(
+                "event_type",
+                F.datediff(F.col("day"), F.to_date(F.lit("1970-01-01")))
+                .cast("double")
+                .alias("x"),
+                "y",
+            )
+        )
+        out = ev.akima_midpoints(daily, "x", "y", by="event_type")
+        return out.select(
+            "event_type",
+            F.round("mid_x", 2).alias("mid_x"),
+            F.round(F.col("mid_y").cast("float").cast("double"), 5).alias("mid_y"),
+        ).orderBy("event_type", "mid_x")
+
+    q["eval_akima"] = eval_akima
+
+    def eval_tfidf(s, d):
+        """TermVectors TF-IDF matrix for the first 15 docs: tf from the
+        selected docs' stored text, df/N from the index term dictionary."""
+        out = qx.term_vectors_matrix(
+            _engine(s, d), F.col("doc_id") < 15, min_df=2, max_df_frac=0.9
+        )
+        return out.select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tfidf").cast("float").cast("double"), 6).alias("tfidf"),
+        ).orderBy("doc_id", "term")
+
+    q["eval_tfidf_matrix"] = eval_tfidf
+
     def graph_shortest_path_q(s, d):
         """shortestPath stream analog over the bipartite order↔supplier
         graph (lineitem edges, node ids order·2 / supp·2+1): shortest
@@ -1999,6 +2125,33 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT user_id, count(*) AS user_events
                    FROM events GROUP BY user_id) u USING (user_id)
         ORDER BY e.event_id
+    """
+    o["merge_sorted_priorities"] = """
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        ORDER BY o_orderkey
+    """
+    o["intersect_customers_with_orders"] = """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        ORDER BY c_custkey
+    """
+    o["complement_customers_no_urgent"] = """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey
+    """
+    o["cartesian_product_tokens"] = """
+        SELECT doc_id, unnest((string_split(text, ' '))[1:5]) AS tok
+        FROM documents WHERE doc_id < 20
+    """
+    o["having_rollup_status"] = """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+        HAVING count(*) >= 500
+        ORDER BY o_orderstatus, o_orderpriority
     """
 
     # --- sources/sinks + scalar oracles ---
@@ -3318,4 +3471,57 @@ SELECT ROUND(mu, 4) AS mu,
        ROUND(exp(c0 + mu * mu / (2.0 * sigma2)), 4) AS amplitude
 FROM g
 """.strip()
+    o["eval_dist_cdfs"] = f"""
+WITH pts AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS x FROM documents
+  WHERE doc_id < 3000 AND n_chars > 0),
+st AS (SELECT lang, avg(x) AS mean,
+              avg(ln(x)) AS lmu, stddev_samp(ln(x)) AS lsd
+       FROM pts GROUP BY 1),
+z AS (SELECT DISTINCT p.lang, p.x, st.mean, st.lmu, st.lsd,
+             (ln(p.x) - st.lmu) / (st.lsd * sqrt(2.0)) AS zz
+      FROM pts p JOIN st USING (lang)),
+tt AS (SELECT *, 1.0 / (1.0 + 0.3275911 * abs(zz)) AS t FROM z)
+SELECT lang, x, ROUND(mean, 6) AS mean,
+       ROUND(1.0 - exp(-x / mean), 6) AS exp_cdf,
+       ROUND(1.0 - exp(-pow(x / mean, 1.5)), 6) AS weibull_cdf,
+       ROUND(0.5 * (1.0 + {_erf_sql.format(z='zz')}), 6) AS lognormal_cdf
+FROM tt ORDER BY lang, x
+""".strip()
+    o["eval_akima"] = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x,
+         ROUND(avg(value), 6) AS y
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type, x, y,
+         (lead(y) OVER w - y) / (lead(x) OVER w - x) AS m0,
+         lead(x) OVER w AS x1, lead(y) OVER w AS y1
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY x)),
+lags AS (
+  SELECT *,
+         lag(m0, 2) OVER w AS mm2, lag(m0, 1) OVER w AS mm1,
+         lead(m0, 1) OVER w AS mp1, lead(m0, 2) OVER w AS mp2
+  FROM m WINDOW w AS (PARTITION BY event_type ORDER BY x)),
+s AS (
+  SELECT *,
+    CASE WHEN abs(mp1 - m0) + abs(mm1 - mm2) > 0
+         THEN (abs(mp1 - m0) * mm1 + abs(mm1 - mm2) * m0)
+              / (abs(mp1 - m0) + abs(mm1 - mm2))
+         ELSE (mm1 + m0) / 2.0 END AS s0,
+    CASE WHEN abs(mp2 - mp1) + abs(m0 - mm1) > 0
+         THEN (abs(mp2 - mp1) * m0 + abs(m0 - mm1) * mp1)
+              / (abs(mp2 - mp1) + abs(m0 - mm1))
+         ELSE (m0 + mp1) / 2.0 END AS s1
+  FROM lags)
+SELECT event_type, ROUND((x + x1) / 2.0, 2) AS mid_x,
+       ROUND(CAST(CAST((y + y1) / 2.0 + (x1 - x) * (s0 - s1) / 8.0
+                  AS REAL) AS DOUBLE), 5) AS mid_y
+FROM s WHERE mm2 IS NOT NULL AND mp2 IS NOT NULL
+ORDER BY event_type, mid_x
+""".strip()
+    o["eval_tfidf_matrix"] = tfidf_matrix_sql(
+        "doc_id < 15", min_df=2, max_df_frac=0.9
+    )
     return o

@@ -1845,3 +1845,105 @@ def gauss_fit(
         F.sqrt(sigma2).alias("sigma"),
         amp.alias("amplitude"),
     )
+
+
+def dist_cdf_family(
+    df: DataFrame, x_col: str, by: str | None = None, weibull_shape: float = 1.5
+) -> DataFrame:
+    """Exponential / Weibull / log-normal CDF family —
+    ExponentialDistributionEvaluator, WeibullDistributionEvaluator,
+    LogNormalDistributionEvaluator + CumulativeProbabilityEvaluator
+    (``io/eval/ExponentialDistributionEvaluator.java:38-47`` etc., test
+    ``io/stream/MathExpressionTest.java``): the reference materializes
+    the series and asks commons-math per point; here one stats
+    aggregation per group fits every parameter (exponential MLE mean,
+    the Weibull scale at the frozen shape parameter, (mu, sigma) of
+    ln x for the log-normal over x > 0), broadcast join-back, and all
+    three CDFs are closed-form JVM expressions — erf via the frozen
+    A&S 7.1.26 polynomial shared with the SQL oracle:
+
+        exp_cdf      = 1 - e^(-x/mean)
+        weibull_cdf  = 1 - e^(-(x/mean)^shape)
+        lognorm_cdf  = Phi((ln x - mu_l)/sigma_l)
+    """
+    x = F.col(x_col).cast("double")
+    pos = df.where(x > 0)
+    lnx = F.log(x)
+    aggs = [
+        F.avg(x).alias("_mean"),
+        F.avg(lnx).alias("_lmu"),
+        F.stddev_samp(lnx).alias("_lsd"),
+    ]
+    if by:
+        stats = pos.groupBy(by).agg(*aggs)
+        joined = pos.join(F.broadcast(stats), by)
+    else:
+        stats = pos.agg(*aggs)
+        joined = pos.crossJoin(F.broadcast(stats))
+    keep = [by] if by else []
+    z = (lnx - F.col("_lmu")) / (F.col("_lsd") * F.lit(2.0 ** 0.5))
+    return joined.select(
+        *keep,
+        x.alias(x_col),
+        F.col("_mean").alias("mean"),
+        (F.lit(1.0) - F.exp(-x / F.col("_mean"))).alias("exp_cdf"),
+        (
+            F.lit(1.0)
+            - F.exp(-F.pow(x / F.col("_mean"), F.lit(float(weibull_shape))))
+        ).alias("weibull_cdf"),
+        (F.lit(0.5) * (F.lit(1.0) + _erf_expr(z))).alias("lognormal_cdf"),
+    )
+
+
+def akima_midpoints(
+    df: DataFrame, x_col: str, y_col: str, by: str | None = None
+) -> DataFrame:
+    """AkimaEvaluator analog (``io/eval/AkimaEvaluator.java`` —
+    commons-math AkimaSplineInterpolator): interpolated value at the
+    midpoint of every INTERIOR knot interval. Frozen cross-engine
+    semantics: only intervals whose four neighbouring slopes
+    m_{i-2}..m_{i+1} (and m_{i+2} for the right endpoint slope) all
+    exist are emitted — the reference's synthetic endpoint
+    extrapolation is excluded from the contract.
+
+        m_i = (y_{i+1} - y_i) / (x_{i+1} - x_i)
+        s_i = (|m_{i+1}-m_i| m_{i-1} + |m_{i-1}-m_{i-2}| m_i)
+              / (|m_{i+1}-m_i| + |m_{i-1}-m_{i-2}|)
+              (average of the two central slopes when the denominator
+              is zero — the Akima tie rule)
+        H(1/2) = (y_i + y_{i+1})/2 + dx (s_i - s_{i+1})/8
+
+    All lag/lead window expressions over (group, x) — ONE shuffle on
+    the group key (a per-series sort at scale; series length is the
+    window, group count is the parallelism), no UDF, no driver
+    materialization (the reference interpolates driver-side)."""
+    grp = [by] if by else []
+    w = Window.partitionBy(*grp).orderBy(x_col)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    d = df.withColumn("_m", (F.lead(y, 1).over(w) - y) / (F.lead(x, 1).over(w) - x))
+    mm2, mm1 = F.lag("_m", 2).over(w), F.lag("_m", 1).over(w)
+    m0, mp1, mp2 = F.col("_m"), F.lead("_m", 1).over(w), F.lead("_m", 2).over(w)
+
+    def _akima_slope(a, b, c, dd):
+        # slope at the knot between b and c: weights |d-c| and |b-a|
+        den = F.abs(dd - c) + F.abs(b - a)
+        return F.when(den > 0, (F.abs(dd - c) * b + F.abs(b - a) * c) / den).otherwise(
+            (b + c) / F.lit(2.0)
+        )
+
+    s0 = _akima_slope(mm2, mm1, m0, mp1)
+    s1 = _akima_slope(mm1, m0, mp1, mp2)
+    dx = F.lead(x, 1).over(w) - x
+    out = d.select(
+        *grp,
+        ((x + F.lead(x, 1).over(w)) / F.lit(2.0)).alias("mid_x"),
+        (
+            (y + F.lead(y, 1).over(w)) / F.lit(2.0) + dx * (s0 - s1) / F.lit(8.0)
+        ).alias("mid_y"),
+        mm2.alias("_g0"),
+        mp2.alias("_g1"),
+    )
+    return out.where(
+        F.col("_g0").isNotNull() & F.col("_g1").isNotNull()
+    ).drop("_g0", "_g1")

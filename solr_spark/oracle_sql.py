@@ -937,3 +937,25 @@ FROM pf JOIN dl l USING (doc_id) CROSS JOIN stats s
 ORDER BY CAST(({idf_parts}) * pf.pf / (pf.pf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl)) AS REAL) DESC,
          pf.doc_id ASC
 LIMIT {k}"""
+
+
+def tfidf_matrix_sql(
+    where: str,
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+    chain: AnalyzerChain = CODE_CHAIN,
+) -> str:
+    """DuckDB oracle for :func:`solr_spark.query.extras.term_vectors_matrix`
+    (TermVectorsEvaluator analog): tf from the docs selected by
+    ``where``, df/N over the whole corpus via the frozen analyzer."""
+    return f"""
+WITH {_prelude(chain)},
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE {where} GROUP BY 1, 2)
+SELECT t.doc_id, t.tok AS term, t.tf, d.df,
+       ROUND(CAST(CAST((t.tf * 1.0 / l.dl) * ln(1.0 + s.n_docs * 1.0 / d.df)
+                  AS REAL) AS DOUBLE), 6) AS tfidf
+FROM tf t JOIN df d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN stats s
+WHERE d.df >= {min_df} AND d.df <= {max_df_frac} * s.n_docs
+ORDER BY t.doc_id, t.tok
+""".strip()

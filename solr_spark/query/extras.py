@@ -726,3 +726,53 @@ def significant_terms(
         .orderBy(F.desc("score"), F.asc("term"))
         .limit(n)
     )
+
+
+def term_vectors_matrix(
+    engine: SearchEngine,
+    doc_pred: Column,
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """TermVectorsEvaluator analog (``solrj-streaming/.../io/eval/
+    TermVectorsEvaluator.java`` — the doc x term TF-IDF matrix behind
+    the reference's lsa/knn text-math pipelines, test
+    ``io/stream/MathExpressionTest.java``): rows (doc_id, term, tf, df,
+    tfidf) for the docs selected by ``doc_pred``. Frozen formula:
+
+        tfidf = (tf / dl) * ln(1 + N / df),   min_df <= df <= max_df_frac*N
+
+    The reference builds the matrix driver-side from search results; at
+    scale the tf side here re-analyzes ONLY the selected docs' stored
+    text (vectorized JVM chain) while df and N come straight from the
+    index's term dictionary and doc registry — no corpus-wide
+    re-tokenization, and the tf side is the small side of the term join
+    (AQE broadcasts it)."""
+    idx = engine.index
+    chain = engine.config.chain()
+    sel = idx.docs.where(doc_pred).select("doc_id", "doc_len", "stored_text")
+    tf = (
+        sel.select("doc_id", "doc_len", F.explode(chain.tokens("stored_text")).alias("term"))
+        .groupBy("doc_id", "doc_len", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    n_docs = idx.docs.agg(F.count("*").alias("_n"))
+    out = (
+        tf.join(idx.term_dict.select("term", "df"), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .where(
+            (F.col("df") >= F.lit(min_df))
+            & (F.col("df") <= F.lit(float(max_df_frac)) * F.col("_n"))
+        )
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                (F.col("tf") / F.col("doc_len"))
+                * F.log(F.lit(1.0) + F.col("_n") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    return out

@@ -859,3 +859,67 @@ def test_gauss_fit_recovers_known_gaussian(spark):
     assert got.mu.iloc[0] == pytest.approx(mu, abs=1e-8)
     assert got.sigma.iloc[0] == pytest.approx(sigma, abs=1e-8)
     assert got.amplitude.iloc[0] == pytest.approx(amp, rel=1e-8)
+
+
+def test_dist_cdf_family_identities(series_df):
+    df, pdf = series_df
+    got = ev.dist_cdf_family(df.where(F.col("x") > 0), "x", by="grp").toPandas()
+    for g, sub in got.groupby("grp"):
+        x = sub["x"].to_numpy()
+        mean = sub["mean"].iloc[0]
+        assert np.allclose(sub["exp_cdf"], 1.0 - np.exp(-x / mean))
+        assert np.allclose(sub["weibull_cdf"], 1.0 - np.exp(-((x / mean) ** 1.5)))
+        # log-normal CDF: in (0,1), monotone in x
+        s = sub.sort_values("x")
+        ln_cdf = s["lognormal_cdf"].to_numpy()
+        assert ((ln_cdf > 0) & (ln_cdf < 1)).all()
+        assert (np.diff(ln_cdf) >= -1e-12).all()
+
+
+def test_akima_exact_on_linear_series(spark):
+    # collinear knots: every slope equal -> tie rule -> Hermite is the line
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 10, "x": np.arange(10.0), "y": 3.0 * np.arange(10.0) + 1.0}
+    )
+    got = (
+        ev.akima_midpoints(spark.createDataFrame(pdf), "x", "y", by="g")
+        .orderBy("mid_x")
+        .toPandas()
+    )
+    # interior intervals only: n-5 of them for n knots
+    assert len(got) == 5
+    assert np.allclose(got["mid_y"], 3.0 * got["mid_x"] + 1.0)
+
+
+def test_akima_matches_numpy_reference(spark):
+    # cross-check the windowed formula against a straight numpy restatement
+    rng = np.random.default_rng(3)
+    x = np.sort(rng.choice(np.arange(100.0), size=20, replace=False))
+    y = rng.normal(0, 5, size=20)
+    pdf = pd.DataFrame({"g": ["a"] * 20, "x": x, "y": y})
+    got = (
+        ev.akima_midpoints(spark.createDataFrame(pdf), "x", "y", by="g")
+        .orderBy("mid_x")
+        .toPandas()
+    )
+    m = np.diff(y) / np.diff(x)
+
+    def slope(i):  # Akima slope at knot i (interior only)
+        den = abs(m[i + 1] - m[i]) + abs(m[i - 1] - m[i - 2])
+        if den == 0:
+            return (m[i - 1] + m[i]) / 2.0
+        return (abs(m[i + 1] - m[i]) * m[i - 1] + abs(m[i - 1] - m[i - 2]) * m[i]) / den
+
+    exp = []
+    for i in range(2, len(x) - 4 + 1):
+        if i + 2 > len(m) - 1:
+            break
+        s0, s1 = slope(i), slope(i + 1)
+        dx = x[i + 1] - x[i]
+        exp.append(
+            ((x[i] + x[i + 1]) / 2.0, (y[i] + y[i + 1]) / 2.0 + dx * (s0 - s1) / 8.0)
+        )
+    exp = pd.DataFrame(exp, columns=["mid_x", "mid_y"])
+    assert len(got) == len(exp)
+    assert np.allclose(got["mid_x"], exp["mid_x"])
+    assert np.allclose(got["mid_y"], exp["mid_y"])

@@ -95,3 +95,25 @@ def test_significant_terms_self_is_significant(engine):
     assert "server" in terms  # fg term is maximally over-represented
     for r in rows:
         assert r["fg_df"] <= r["bg_df"]
+
+
+def test_term_vectors_matrix_identity(engine):
+    import math
+
+    out = qx.term_vectors_matrix(
+        engine, F.col("doc_id") < 5, min_df=1, max_df_frac=1.0
+    ).collect()
+    assert out, "selected docs must produce matrix cells"
+    n_docs = engine.index.docs.count()
+    dl = {
+        r["doc_id"]: r["doc_len"]
+        for r in engine.index.docs.where(F.col("doc_id") < 5).collect()
+    }
+    for r in out:
+        expect = (r["tf"] / dl[r["doc_id"]]) * math.log(1.0 + n_docs / r["df"])
+        assert abs(r["tfidf"] - expect) < 1e-9
+    # df band actually filters
+    capped = qx.term_vectors_matrix(
+        engine, F.col("doc_id") < 5, min_df=1, max_df_frac=0.01
+    ).count()
+    assert capped < len(out)
