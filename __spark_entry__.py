@@ -531,6 +531,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rerank_weighted"] = lambda s, d: _rounded(
         qx.rerank_topk(_engine(s, d), "table row", "merge", k=10, rerank_docs=50, weight=2.0)
     )
+
+    def ltr_linear(s, d):
+        """LTR LinearModel rescore of the BM25 top-50 window, with the
+        extracted feature vector (the CSVFeatureLogger analog)."""
+        out = qx.ltr_linear_rescore(_engine(s, d), "table row", "merge", k=10)
+        return out.select(
+            "doc_id",
+            F.round(F.col("score").cast("double"), 4).alias("score"),
+            F.round("f_orig", 4).alias("f_orig"),
+            F.round("f_sub", 4).alias("f_sub"),
+            "f_dl",
+            "f_nc",
+        )
+
+    q["ltr_linear_rescore"] = ltr_linear
+
+    def ltr_trees(s, d):
+        """LTR MultipleAdditiveTreesModel rescore: two frozen depth-2
+        trees folded into one JVM CASE expression over the window."""
+        out = qx.ltr_trees_rescore(_engine(s, d), "spark merge data", "customer", k=10)
+        return out.select(
+            "doc_id",
+            F.round(F.col("score").cast("double"), 4).alias("score"),
+            F.round("f_orig", 4).alias("f_orig"),
+            "f_dl",
+        )
+
+    q["ltr_trees_rescore"] = ltr_trees
     q["boost_by_recip_nchars"] = lambda s, d: _rounded(
         qx.boost_topk(
             _engine(s, d),
@@ -2394,6 +2422,14 @@ LIMIT 10
     o["mlt_doc42"] = mlt_topk_sql(42)
     o["rerank_weighted"] = rerank_sql(
         tok.tokenize_py("table row"), tok.tokenize_py("merge"), k=10, rerank_docs=50, weight=2.0
+    )
+    from solr_spark.oracle_sql import ltr_linear_sql, ltr_trees_sql
+
+    o["ltr_linear_rescore"] = ltr_linear_sql(
+        tok.tokenize_py("table row"), tok.tokenize_py("merge"), k=10
+    )
+    o["ltr_trees_rescore"] = ltr_trees_sql(
+        tok.tokenize_py("spark merge data"), tok.tokenize_py("customer"), k=10
     )
     o["boost_by_recip_nchars"] = boost_recip_nchars_sql(tok.tokenize_py("table"))
     o["dismax_text_source"] = dismax_sql(

@@ -52,10 +52,11 @@ def _platform_control() -> dict:
     far beyond what /proc/stat steal shows (measured: 20% steal while
     bandwidth-bound aggregate capacity was 8x below a clean window, with
     pure-ALU busy loops unaffected) — this control makes each BENCH
-    window comparable: engine docs/sec scales with control passes/sec."""
+    window comparable: engine docs/sec scales with control passes/sec.
+    1-wide is best-of-2 (a single pass can land in a throttle burst)."""
     from concurrent.futures import ProcessPoolExecutor
 
-    r1 = _control_pass()
+    r1 = max(_control_pass(), _control_pass())
     with ProcessPoolExecutor(8) as ex:
         agg8 = sum(ex.map(_control_pass, range(8)))
     return {
@@ -80,6 +81,7 @@ def main() -> None:
     # shuffle partitions sized by data (AQE coalesces excess), not cores
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(64, cpus))
     queries: dict[str, float] = {}
+    control_start = _platform_control()  # bracket the run: window at t0
     t_total = time.time()
     steal0, ticks0 = _cpu_ticks()
 
@@ -183,7 +185,10 @@ def main() -> None:
                 "synth_docs": n,
                 "cpus": cpus,
                 "host_steal_frac": round(steal_frac, 4),
-                "platform_control": _platform_control(),
+                "platform_control": {
+                    "start": control_start,
+                    "end": _platform_control(),
+                },
                 "scaling": scaling,
             }
         )

@@ -959,3 +959,68 @@ FROM tf t JOIN df d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN stats s
 WHERE d.df >= {min_df} AND d.df <= {max_df_frac} * s.n_docs
 ORDER BY t.doc_id, t.tok
 """.strip()
+
+
+def _ltr_feats_ctes(
+    terms_q: list[str], terms_f: list[str], rerank_docs: int,
+    chain: AnalyzerChain = CODE_CHAIN,
+) -> str:
+    """Shared CTEs for the LTR oracles: first-pass window + features."""
+    return f"""WITH {_prelude(chain)},
+{_scored('s1', _inlist(terms_q))},
+{_scored('s2', _inlist(terms_f))},
+first AS (
+  SELECT doc_id, CAST(score_raw AS REAL) AS f_orig FROM s1
+  ORDER BY CAST(score_raw AS REAL) DESC, doc_id ASC LIMIT {rerank_docs}),
+feats AS (
+  SELECT f.doc_id,
+         CAST(f.f_orig AS DOUBLE) AS f_orig,
+         COALESCE(CAST(CAST(s2.score_raw AS REAL) AS DOUBLE), 0.0) AS f_sub,
+         CAST(l.dl AS DOUBLE) AS f_dl,
+         CAST(doc.n_chars AS DOUBLE) AS f_nc
+  FROM first f LEFT JOIN s2 USING (doc_id)
+  JOIN dl l USING (doc_id)
+  JOIN documents doc ON doc.doc_id = f.doc_id)"""
+
+
+def ltr_linear_sql(
+    terms_q: list[str], terms_f: list[str], k: int = 10, rerank_docs: int = 50,
+    w_original: float = 0.6, w_feature: float = 0.3,
+    w_dl: float = -0.004, w_nc: float = 0.0005,
+    chain: AnalyzerChain = CODE_CHAIN,
+) -> str:
+    """DuckDB oracle for :func:`...extras.ltr_linear_rescore`."""
+    return f"""{_ltr_feats_ctes(terms_q, terms_f, rerank_docs, chain)},
+sc AS (
+  SELECT doc_id,
+         CAST({w_original} * f_orig + {w_feature} * f_sub
+              + {w_dl} * f_dl + {w_nc} * f_nc AS REAL) AS sc,
+         f_orig, f_sub, f_dl, f_nc
+  FROM feats)
+SELECT doc_id, ROUND(CAST(sc AS DOUBLE), 4) AS score,
+       ROUND(f_orig, 4) AS f_orig, ROUND(f_sub, 4) AS f_sub,
+       f_dl, f_nc
+FROM sc ORDER BY sc DESC, doc_id ASC LIMIT {k}"""
+
+
+def ltr_trees_sql(
+    terms_q: list[str], terms_f: list[str], k: int = 10, rerank_docs: int = 50,
+    chain: AnalyzerChain = CODE_CHAIN,
+) -> str:
+    """DuckDB oracle for :func:`...extras.ltr_trees_rescore` — the SAME
+    two frozen depth-2 trees as nested CASE expressions."""
+    return f"""{_ltr_feats_ctes(terms_q, terms_f, rerank_docs, chain)},
+sc AS (
+  SELECT doc_id, f_orig, f_dl,
+         CAST(
+           (CASE WHEN f_orig <= 2.0
+                 THEN CASE WHEN f_dl <= 120.0 THEN 0.1 ELSE 0.3 END
+                 ELSE CASE WHEN f_sub <= 1.0 THEN 0.8 ELSE 1.2 END END)
+         + (CASE WHEN f_dl <= 150.0
+                 THEN CASE WHEN f_orig <= 3.0 THEN 0.05 ELSE 0.5 END
+                 ELSE CASE WHEN f_orig <= 1.0 THEN -0.2 ELSE 0.2 END END)
+         AS REAL) AS sc
+  FROM feats)
+SELECT doc_id, ROUND(CAST(sc AS DOUBLE), 4) AS score,
+       ROUND(f_orig, 4) AS f_orig, f_dl
+FROM sc ORDER BY sc DESC, doc_id ASC, f_dl ASC LIMIT {k}"""

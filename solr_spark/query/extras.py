@@ -776,3 +776,116 @@ def term_vectors_matrix(
         )
     )
     return out
+
+
+def _ltr_features(
+    engine: SearchEngine,
+    query: str,
+    feature_query: str,
+    rerank_docs: int,
+    value_field: str = "n_chars",
+) -> DataFrame:
+    """LTR feature extraction over the first-pass top window
+    (``modules/ltr/.../LTRRescorer.java`` — rescore only the top
+    reRankDocs; ``feature/OriginalScoreFeature.java``,
+    ``feature/SolrFeature.java`` (subquery score, 0 on no-match),
+    ``feature/FieldLengthFeature.java``, ``feature/FieldValueFeature.java``):
+    one row per window doc with columns (f_orig, f_sub, f_dl, f_nc).
+    The reference extracts features in a per-doc Lucene rescorer loop;
+    here the window is a top-k take and every feature is a JVM column
+    expression — the window side is tiny, so the doc-registry join
+    broadcasts it."""
+    s1 = engine.score_all(engine._term_stats(engine.analyze_query(query)))
+    first = (
+        s1.select("doc_id", F.col("score_raw").cast("float").alias("f_orig"))
+        .orderBy(F.desc("f_orig"), F.asc("doc_id"))
+        .limit(rerank_docs)
+    )
+    s2 = engine.score_all(
+        engine._term_stats(engine.analyze_query(feature_query))
+    ).select("doc_id", F.col("score_raw").cast("float").alias("f_sub"))
+    reg = engine.index.docs
+    fv = (
+        F.col(value_field).cast("double")
+        if value_field in reg.columns
+        else F.lit(0.0)  # FieldValueFeature default when the field is absent
+    )
+    docs = reg.select("doc_id", "doc_len", fv.alias("_fv"))
+    return (
+        first.join(s2, "doc_id", "left")
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            _f32(F.col("f_orig")).alias("f_orig"),
+            F.coalesce(_f32(F.col("f_sub")), F.lit(0.0)).alias("f_sub"),
+            F.col("doc_len").cast("double").alias("f_dl"),
+            F.col("_fv").alias("f_nc"),
+        )
+    )
+
+
+def ltr_linear_rescore(
+    engine: SearchEngine,
+    query: str,
+    feature_query: str,
+    k: int = 10,
+    rerank_docs: int = 50,
+    w_original: float = 0.6,
+    w_feature: float = 0.3,
+    w_dl: float = -0.004,
+    w_nc: float = 0.0005,
+) -> DataFrame:
+    """LTR LinearModel (``modules/ltr/.../model/LinearModel.java:40-60``
+    — RankSVM-style dot product over named features): model score =
+    w·(originalScore, solrFeature, fieldLength, fieldValue), re-ranked
+    (f32(score) desc, doc_id asc) within the top window. Returns the
+    features too — the CSVFeatureLogger analog
+    (``ltr/CSVFeatureLogger.java``)."""
+    feats = _ltr_features(engine, query, feature_query, rerank_docs)
+    score = (
+        F.lit(w_original) * F.col("f_orig")
+        + F.lit(w_feature) * F.col("f_sub")
+        + F.lit(w_dl) * F.col("f_dl")
+        + F.lit(w_nc) * F.col("f_nc")
+    ).cast("float")
+    return (
+        feats.withColumn("score", score)
+        .select("doc_id", "score", "f_orig", "f_sub", "f_dl", "f_nc")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def ltr_trees_rescore(
+    engine: SearchEngine,
+    query: str,
+    feature_query: str,
+    k: int = 10,
+    rerank_docs: int = 50,
+) -> DataFrame:
+    """LTR MultipleAdditiveTreesModel (``modules/ltr/.../model/
+    MultipleAdditiveTreesModel.java`` — LambdaMART-style additive
+    regression trees): model score = Σ tree_i(features), each frozen
+    depth-2 tree a nested CASE expression — the reference walks the
+    tree per doc in Java; here the whole ensemble folds into one JVM
+    codegen'd expression over the window. Two frozen trees on
+    (originalScore, fieldLength, solrFeature)."""
+    feats = _ltr_features(engine, query, feature_query, rerank_docs)
+    t1 = F.when(
+        F.col("f_orig") <= 2.0,
+        F.when(F.col("f_dl") <= 120.0, F.lit(0.1)).otherwise(F.lit(0.3)),
+    ).otherwise(
+        F.when(F.col("f_sub") <= 1.0, F.lit(0.8)).otherwise(F.lit(1.2))
+    )
+    t2 = F.when(
+        F.col("f_dl") <= 150.0,
+        F.when(F.col("f_orig") <= 3.0, F.lit(0.05)).otherwise(F.lit(0.5)),
+    ).otherwise(
+        F.when(F.col("f_orig") <= 1.0, F.lit(-0.2)).otherwise(F.lit(0.2))
+    )
+    return (
+        feats.withColumn("score", (t1 + t2).cast("float"))
+        .select("doc_id", "score", "f_orig", "f_dl")
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("f_dl"))
+        .limit(k)
+    )

@@ -117,3 +117,25 @@ def test_term_vectors_matrix_identity(engine):
         engine, F.col("doc_id") < 5, min_df=1, max_df_frac=0.01
     ).count()
     assert capped < len(out)
+
+
+def test_ltr_linear_identity_weights_reproduce_first_pass(engine):
+    # with weight 1 on originalScore and 0 elsewhere the model must
+    # reproduce the first-pass BM25 ordering of the window
+    got = qx.ltr_linear_rescore(
+        engine, "server client", "merge",
+        k=10, w_original=1.0, w_feature=0.0, w_dl=0.0, w_nc=0.0,
+    ).collect()
+    base = engine.topk("server client", k=10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in base]
+    for r in got:
+        assert abs(r["score"] - r["f_orig"]) < 1e-4
+
+
+def test_ltr_trees_scores_are_leaf_sums(engine):
+    rows = qx.ltr_trees_rescore(engine, "server client", "merge", k=20).collect()
+    assert rows
+    leaves1, leaves2 = {0.1, 0.3, 0.8, 1.2}, {0.05, 0.5, -0.2, 0.2}
+    sums = {round(a + b, 6) for a in leaves1 for b in leaves2}
+    for r in rows:
+        assert round(r["score"], 6) in sums
