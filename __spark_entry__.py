@@ -36,12 +36,14 @@ from solr_spark.operators.relational import (
     facet_heatmap,
     facet_pivot,
     frange_filter,
+    gather_nodes,
     graph_traverse,
     having,
     intersect_keys,
     join_filter,
     merge_sorted,
     realtime_get,
+    score_nodes,
     shortest_path,
 )
 from solr_spark.oracle_sql import (
@@ -374,6 +376,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cartesian_product(arr, "toks", "tok").select("doc_id", "tok")
 
     q["cartesian_product_tokens"] = cart_tokens
+
+    def gather_nodes_q(s, d):
+        """gatherNodes: walk BUILDING-segment customers -> their orders,
+        gather order priority with count/sum aggregations."""
+        cust = _read(s, d, "customer").where(F.col("c_mktsegment") == "BUILDING")
+        out = gather_nodes(
+            cust,
+            _read(s, d, "orders"),
+            "c_custkey",
+            "o_custkey",
+            "o_orderpriority",
+            {
+                "cnt": F.count("*"),
+                "total": F.round(F.sum("o_totalprice"), 2),
+            },
+        )
+        return out.orderBy("node")
+
+    q["gather_nodes_orders"] = gather_nodes_q
+
+    def score_nodes_q(s, d):
+        """scoreNodes: customers gathered from urgent orders, scored
+        cnt x ln(1 + N/df) with df = the customer's total order count."""
+        orders = _read(s, d, "orders")
+        nodes_cnt = (
+            orders.where(F.col("o_orderpriority") == "1-URGENT")
+            .groupBy(F.col("o_custkey").alias("node"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        out = score_nodes(nodes_cnt, orders, "o_custkey")
+        return (
+            out.select(
+                "node",
+                "cnt",
+                "df",
+                F.round(F.col("score").cast("float").cast("double"), 6).alias("score"),
+            )
+            .orderBy(F.desc(F.col("score").cast("float")), F.asc("node"))
+            .limit(20)
+        )
+
+    q["score_nodes_customers"] = score_nodes_q
 
     q["having_rollup_status"] = lambda s, d: having(
         rollup(
@@ -2173,6 +2217,28 @@ def oracle_sql() -> dict[str, str]:
     o["cartesian_product_tokens"] = """
         SELECT doc_id, unnest((string_split(text, ' '))[1:5]) AS tok
         FROM documents WHERE doc_id < 20
+    """
+    o["gather_nodes_orders"] = """
+        SELECT o_orderpriority AS node, count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_custkey IN
+              (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY 1 ORDER BY 1
+    """
+    o["score_nodes_customers"] = """
+        WITH seed AS (
+          SELECT o_custkey AS node, count(*) AS cnt FROM orders
+          WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        d AS (SELECT o_custkey AS node, count(*) AS df FROM orders GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM orders),
+        sc AS (
+          SELECT s.node, s.cnt, d.df,
+                 s.cnt * ln(1.0 + n.n * 1.0 / d.df) AS score
+          FROM seed s JOIN d USING (node) CROSS JOIN n)
+        SELECT node, cnt, df,
+               ROUND(CAST(CAST(score AS REAL) AS DOUBLE), 6) AS score
+        FROM sc ORDER BY CAST(score AS REAL) DESC, node ASC LIMIT 20
     """
     o["having_rollup_status"] = """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,

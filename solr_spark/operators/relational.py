@@ -688,3 +688,55 @@ def shortest_path(
     return spark.createDataFrame(
         [], "from_node long, to_node long, depth int, path array<long>"
     )
+
+
+def gather_nodes(
+    seeds: DataFrame,
+    edges: DataFrame,
+    seed_key: str,
+    edge_from: str,
+    gather_col: str,
+    metrics: dict[str, Column] | None = None,
+) -> DataFrame:
+    """gatherNodes/nodes stream (``solrj-streaming/.../io/graph/
+    GatherNodesStream.java``): one breadth-first traversal step — join
+    the seed node set to the edge collection on the walk field and
+    gather the target field, with the stream's optional per-node
+    aggregations (count(*), sum(...)). The seed node set is the small
+    side and broadcasts; the edge collection is never collected (the
+    reference gathers into a driver-side HashMap — at 100 TB the
+    distinct/groupBy shuffle here replaces it)."""
+    seed_nodes = seeds.select(F.col(seed_key).alias(edge_from)).distinct()
+    j = edges.join(F.broadcast(seed_nodes), edge_from)
+    if metrics:
+        return j.groupBy(F.col(gather_col).alias("node")).agg(
+            *[m.alias(n) for n, m in metrics.items()]
+        )
+    return j.select(F.col(gather_col).alias("node")).distinct()
+
+
+def score_nodes(
+    nodes_cnt: DataFrame, edges: DataFrame, node_col: str, cnt_col: str = "cnt"
+) -> DataFrame:
+    """scoreNodes stream (``io/graph/ScoreNodesStream.java``): TF-IDF
+    relevance for gathered nodes — traversal count x idf, where df is
+    the node's frequency in the FULL edge collection (the stream asks
+    the terms component for docFreq). Frozen cross-engine idf:
+    ln(1 + N/df), N = collection size. One aggregation for df, a
+    1-row broadcast for N, the rest pure JVM expressions."""
+    df_tbl = edges.groupBy(F.col(node_col).alias("node")).agg(
+        F.count("*").alias("df")
+    )
+    n_tot = edges.agg(F.count("*").alias("_n"))
+    return (
+        nodes_cnt.join(df_tbl, "node")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "node",
+            cnt_col,
+            "df",
+            (
+                F.col(cnt_col) * F.log(F.lit(1.0) + F.col("_n") / F.col("df"))
+            ).alias("score"),
+        )
+    )

@@ -413,3 +413,36 @@ def test_hnsw_graph_structure_and_determinism(emb):
             for nb in layer:
                 assert nb % 2 == r["pid"]
     assert n == emb.count()
+
+
+def test_gather_nodes_distinct_without_metrics(spark):
+    from pyspark.sql import functions as F
+
+    from solr_spark.operators.relational import gather_nodes
+
+    seeds = spark.createDataFrame([(1,), (2,)], ["k"])
+    edges = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (3, "c")], ["src", "val"]
+    )
+    got = {r["node"] for r in gather_nodes(seeds, edges, "k", "src", "val").collect()}
+    assert got == {"a", "b"}
+    agg = gather_nodes(
+        seeds, edges, "k", "src", "val", {"cnt": F.count("*")}
+    ).collect()
+    assert {(r["node"], r["cnt"]) for r in agg} == {("a", 2), ("b", 1)}
+
+
+def test_score_nodes_idf_formula(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from solr_spark.operators.relational import score_nodes
+
+    edges = spark.createDataFrame(
+        [(10,), (10,), (10,), (20,)], ["node_src"]
+    )
+    nodes = spark.createDataFrame([(10, 2), (20, 1)], ["node", "cnt"])
+    got = {r["node"]: r for r in score_nodes(nodes, edges, "node_src").collect()}
+    assert abs(got[10]["score"] - 2 * math.log(1 + 4 / 3)) < 1e-9
+    assert abs(got[20]["score"] - 1 * math.log(1 + 4 / 1)) < 1e-9
