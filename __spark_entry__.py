@@ -1432,6 +1432,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_dft"] = eval_dft
 
+    def eval_ifft(s, d):
+        """IFFT roundtrip: DFT of the daily count series, then the
+        inverse transform — the reconstruction must equal the original
+        series (the reference's fft/ifft roundtrip test), both
+        transforms as distributed group-keyed pair joins."""
+        spec = ev.dft_magnitude(_daily_xy(s, d), "x", "y", by="event_type")
+        rec = ev.idft_reconstruct(spec, "k", "re", "im", by="event_type")
+        return rec.select(
+            "event_type", "i", F.round("y", 5).alias("y_rec")
+        ).orderBy("event_type", "i")
+
+    q["eval_ifft_roundtrip"] = eval_ifft
+
     def eval_frequency_table(s, d):
         """FrequencyTableEvaluator analog: value dictionary with counts,
         pct, and cumulative freq/pct per return flag."""
@@ -1929,6 +1942,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["eval_dist_cdfs"] = eval_dist_cdfs
+
+    def eval_gamma(s, d):
+        """Gamma density at frozen shape k=2: scale fit per language by
+        method of moments, lnGamma(k) folded to a literal."""
+        out = ev.gamma_pdf(
+            _read(s, d, "documents").where(F.col("doc_id") < 3000),
+            "n_chars",
+            shape=2.0,
+            by="lang",
+        )
+        return (
+            out.groupBy("lang", F.col("n_chars").alias("x"))
+            .agg(
+                F.round(F.min("mean"), 6).alias("mean"),
+                F.round(F.min("pdf"), 8).alias("pdf"),
+            )
+            .orderBy("lang", "x")
+        )
+
+    q["eval_gamma_pdf"] = eval_gamma
+
+    def eval_zipf(s, d):
+        """Zipf pmf at frozen (N=20, s=1.1) over the rank k =
+        n_chars mod 20 + 1, with observed counts alongside."""
+        ranks = (
+            _read(s, d, "documents")
+            .select(((F.col("n_chars") % 20) + 1).cast("long").alias("k"))
+            .groupBy("k")
+            .agg(F.count("*").alias("observed"))
+        )
+        out = ev.zipf_pmf(ranks, "k", n_ranks=20, s=1.1)
+        return out.select(
+            "k", "observed", F.round("pmf", 8).alias("pmf")
+        ).orderBy("k")
+
+    q["eval_zipf"] = eval_zipf
 
     def eval_akima(s, d):
         """Akima spline midpoints over the daily value series per event
@@ -3031,6 +3080,26 @@ SELECT event_type, k,
        ROUND(sqrt(re * re + im * im), 4) AS magnitude
 FROM sums ORDER BY event_type, k
 """.strip()
+    o["eval_ifft_roundtrip"] = f"""
+WITH {_daily_xy_sql},
+idx AS (SELECT event_type,
+               row_number() OVER (PARTITION BY event_type ORDER BY x) - 1 AS i, y
+        FROM daily),
+n AS (SELECT event_type, count(*) AS n FROM idx GROUP BY 1),
+bins AS (SELECT event_type, n, unnest(range(n)) AS k FROM n),
+spec AS (SELECT b.event_type, b.k, b.n,
+                sum(i.y * cos(-2 * pi() * b.k * i.i / b.n)) AS re,
+                sum(i.y * sin(-2 * pi() * b.k * i.i / b.n)) AS im
+         FROM bins b JOIN idx i ON b.event_type = i.event_type
+         GROUP BY 1, 2, 3),
+grid AS (SELECT event_type, n, unnest(range(n)) AS i FROM n),
+rec AS (SELECT g.event_type, g.i,
+               sum(s.re * cos(2 * pi() * s.k * g.i / g.n)
+                   - s.im * sin(2 * pi() * s.k * g.i / g.n)) / max(g.n) AS y
+        FROM grid g JOIN spec s ON g.event_type = s.event_type
+        GROUP BY 1, 2)
+SELECT event_type, i, ROUND(y, 5) AS y_rec FROM rec ORDER BY event_type, i
+""".strip()
     o["eval_frequency_table"] = """
 WITH pv AS (SELECT l_returnflag, l_quantity, count(*) AS count
             FROM lineitem GROUP BY 1, 2)
@@ -3589,6 +3658,27 @@ SELECT lang, x, ROUND(mean, 6) AS mean,
        ROUND(1.0 - exp(-pow(x / mean, 1.5)), 6) AS weibull_cdf,
        ROUND(0.5 * (1.0 + {_erf_sql.format(z='zz')}), 6) AS lognormal_cdf
 FROM tt ORDER BY lang, x
+""".strip()
+    import math as _math
+
+    _k = 2.0
+    o["eval_gamma_pdf"] = f"""
+WITH pts AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS x FROM documents
+  WHERE doc_id < 3000 AND n_chars > 0),
+st AS (SELECT lang, avg(x) AS mean FROM pts GROUP BY 1)
+SELECT DISTINCT lang, x, ROUND(mean, 6) AS mean,
+       ROUND(exp({_k - 1.0!r} * ln(x) - x / (mean / {_k!r})
+                 - {_math.lgamma(_k)!r} - {_k!r} * ln(mean / {_k!r})), 8) AS pdf
+FROM pts JOIN st USING (lang) ORDER BY lang, x
+""".strip()
+    _zh = sum(j ** -1.1 for j in range(1, 21))
+    o["eval_zipf"] = f"""
+WITH ranks AS (
+  SELECT CAST((n_chars % 20) + 1 AS BIGINT) AS k, count(*) AS observed
+  FROM documents GROUP BY 1)
+SELECT k, observed, ROUND(pow(CAST(k AS DOUBLE), -1.1) / {_zh!r}, 8) AS pmf
+FROM ranks ORDER BY k
 """.strip()
     o["eval_akima"] = """
 WITH daily AS (

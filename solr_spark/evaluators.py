@@ -1947,3 +1947,90 @@ def akima_midpoints(
     return out.where(
         F.col("_g0").isNotNull() & F.col("_g1").isNotNull()
     ).drop("_g0", "_g1")
+
+
+def idft_reconstruct(
+    df: DataFrame, k_col: str, re_col: str, im_col: str, by: str | None = None
+) -> DataFrame:
+    """IFFTEvaluator analog (``io/eval/IFFTEvaluator.java`` —
+    commons-math inverse FastFourierTransformer, driver-side): the real
+    part of the inverse transform,
+
+        y_i = (1/n) * sum_k ( re_k cos(2*pi*k*i/n) - im_k sin(2*pi*k*i/n) )
+
+    as the same distributed group-keyed pair join as
+    :func:`dft_magnitude` — spectrum rows x the i = 0..n-1 sample grid,
+    one grouped sum. dft -> idft is the reference's roundtrip test
+    (``io/stream/MathExpressionTest.java`` fft/ifft)."""
+    import math
+
+    keep = [by] if by else []
+    n = df.groupBy(*keep).agg(F.count("*").alias("_n"))
+    grid = n.select(
+        *keep, "_n", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("_i")
+    )
+    pairs = df.join(grid, keep) if keep else df.crossJoin(grid)
+    theta = F.lit(2.0 * math.pi) * F.col(k_col) * F.col("_i") / F.col("_n")
+    return (
+        pairs.groupBy(*keep, "_i")
+        .agg(
+            (
+                F.sum(F.col(re_col) * F.cos(theta) - F.col(im_col) * F.sin(theta))
+                / F.max("_n")
+            ).alias("y")
+        )
+        .select(*keep, F.col("_i").alias("i"), "y")
+    )
+
+
+def gamma_pdf(
+    df: DataFrame, x_col: str, shape: float, by: str | None = None
+) -> DataFrame:
+    """GammaDistributionEvaluator + DensityEvaluator analog
+    (``io/eval/GammaDistributionEvaluator.java``,
+    ``DensityEvaluator.java`` — commons-math GammaDistribution): scale
+    fit by method of moments at the frozen shape k (theta = mean/k),
+    density
+
+        f(x) = exp( (k-1) ln x - x/theta - lnGamma(k) - k ln theta )
+
+    lnGamma(k) folds to a Python literal (k is a parameter, exactly the
+    ln-factorial trick of :func:`binomial_pmf`); the fit is one stats
+    aggregation and the density never leaves JVM codegen."""
+    import math
+
+    k = float(shape)
+    x = F.col(x_col).cast("double")
+    pos = df.where(x > 0)
+    keep = [by] if by else []
+    if by:
+        stats = pos.groupBy(by).agg(F.avg(x).alias("_mean"))
+        joined = pos.join(F.broadcast(stats), by)
+    else:
+        stats = pos.agg(F.avg(x).alias("_mean"))
+        joined = pos.crossJoin(F.broadcast(stats))
+    theta = F.col("_mean") / F.lit(k)
+    logpdf = (
+        F.lit(k - 1.0) * F.log(x)
+        - x / theta
+        - F.lit(math.lgamma(k))
+        - F.lit(k) * F.log(theta)
+    )
+    return joined.select(
+        *keep,
+        x.alias(x_col),
+        F.col("_mean").alias("mean"),
+        F.exp(logpdf).alias("pdf"),
+    )
+
+
+def zipf_pmf(df: DataFrame, k_col: str, n_ranks: int, s: float) -> DataFrame:
+    """ZipFDistributionEvaluator analog
+    (``io/eval/ZipFDistributionEvaluator.java`` — commons-math
+    ZipfDistribution): pmf(k) = k^-s / H(N, s). Both parameters are
+    frozen, so the generalized harmonic number H folds to a Python
+    literal and the pmf is a pure JVM expression per row — zero
+    shuffles beyond whatever produced ``k_col``."""
+    h = sum(j ** -float(s) for j in range(1, int(n_ranks) + 1))
+    kk = F.col(k_col).cast("double")
+    return df.withColumn("pmf", F.pow(kk, F.lit(-float(s))) / F.lit(h))

@@ -923,3 +923,41 @@ def test_akima_matches_numpy_reference(spark):
     assert len(got) == len(exp)
     assert np.allclose(got["mid_x"], exp["mid_x"])
     assert np.allclose(got["mid_y"], exp["mid_y"])
+
+
+def test_idft_reconstructs_original_series(spark):
+    rng = np.random.default_rng(11)
+    y = rng.normal(0, 10, size=16)
+    pdf = pd.DataFrame({"g": ["a"] * 16, "t": np.arange(16.0), "y": y})
+    spec = ev.dft_magnitude(spark.createDataFrame(pdf), "t", "y", by="g")
+    rec = (
+        ev.idft_reconstruct(spec, "k", "re", "im", by="g")
+        .orderBy("i")
+        .toPandas()
+    )
+    assert np.allclose(rec["y"].to_numpy(), y, atol=1e-9)
+    # cross-check the spectrum against numpy's FFT convention
+    np_spec = np.fft.fft(y)
+    got_spec = spec.orderBy("k").toPandas()
+    assert np.allclose(got_spec["re"], np_spec.real, atol=1e-9)
+    assert np.allclose(got_spec["im"], np_spec.imag, atol=1e-9)
+
+
+def test_gamma_pdf_closed_form(series_df):
+    import math
+
+    df, _ = series_df
+    got = ev.gamma_pdf(df.where(F.col("x") > 0), "x", shape=2.0, by="grp").toPandas()
+    for _, r in got.head(20).iterrows():
+        theta = r["mean"] / 2.0
+        expect = (r["x"] ** 1.0) * math.exp(-r["x"] / theta) / (
+            math.gamma(2.0) * theta ** 2.0
+        )
+        assert abs(r["pdf"] - expect) < 1e-12
+
+
+def test_zipf_pmf_normalizes(spark):
+    pdf = pd.DataFrame({"k": np.arange(1, 21)})
+    got = ev.zipf_pmf(spark.createDataFrame(pdf), "k", n_ranks=20, s=1.1).toPandas()
+    assert abs(got["pmf"].sum() - 1.0) < 1e-12
+    assert (got.sort_values("k")["pmf"].diff().dropna() < 0).all()
