@@ -396,6 +396,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gather_nodes_orders"] = gather_nodes_q
 
+    def leftouter_q(s, d):
+        """leftOuterJoin/outerHashJoin streams (io/stream/
+        LeftOuterJoinStream.java, OuterHashJoinStream.java): every
+        customer, urgent-order rollup attached where present."""
+        cust = _read(s, d, "customer")
+        urgent = (
+            _read(s, d, "orders")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .groupBy(F.col("o_custkey").alias("c_custkey"))
+            .agg(
+                F.count("*").alias("n_urgent"),
+                F.round(F.sum("o_totalprice"), 2).alias("urgent_total"),
+            )
+        )
+        return (
+            cust.join(urgent, "c_custkey", "left")
+            .select(
+                "c_custkey",
+                "c_mktsegment",
+                F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+                "urgent_total",
+            )
+            .orderBy("c_custkey")
+        )
+
+    q["leftouter_join_urgent"] = leftouter_q
+
+    def fullouter_q(s, d):
+        """fullOuterJoin stream: click-count vs purchase-count per user,
+        users present on either side."""
+        ev_t = _read(s, d, "events")
+        a = (
+            ev_t.where(F.col("event_type") == "click")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_click"))
+        )
+        b = (
+            ev_t.where(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_purchase"))
+        )
+        return a.join(b, "user_id", "full").orderBy("user_id")
+
+    q["fullouter_join_events"] = fullouter_q
+
+    def sql_module_q(s, d):
+        """SQL module analog (modules/sql handler/sql/* — Calcite
+        translating SQL to streaming expressions; in this engine Spark
+        SQL IS the layer, so the handler's test-query shape runs
+        natively): aggregate + having + order over the docs collection."""
+        _read(s, d, "documents").createOrReplaceTempView("sql_docs")
+        return s.sql(
+            """
+            SELECT lang, source, count(*) AS cnt,
+                   round(avg(n_chars), 2) AS avg_chars
+            FROM sql_docs GROUP BY lang, source
+            HAVING count(*) >= 5 ORDER BY lang, source
+            """
+        )
+
+    q["sql_module_agg"] = sql_module_q
+
     def score_nodes_q(s, d):
         """scoreNodes: customers gathered from urgent orders, scored
         cnt x ln(1 + N/df) with df = the customer's total order count."""
@@ -656,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).withColumn("rrf_score", F.round("rrf_score", 6))
     q["spellcheck_sparkk"] = lambda s, d: qx.spellcheck(_engine(s, d), "sparkk")
     q["suggest_prefix_s"] = lambda s, d: qx.suggest(_engine(s, d), "s")
+    q["suggest_infix_er"] = lambda s, d: qx.suggest_infix(_engine(s, d), "er")
     q["highlight_merge"] = lambda s, d: _rounded(
         qx.highlight_topk(_engine(s, d), "merge", _read(s, d, "documents"))
     )
@@ -2267,6 +2330,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, unnest((string_split(text, ' '))[1:5]) AS tok
         FROM documents WHERE doc_id < 20
     """
+    o["leftouter_join_urgent"] = """
+        WITH u AS (
+          SELECT o_custkey AS c_custkey, count(*) AS n_urgent,
+                 round(sum(o_totalprice), 2) AS urgent_total
+          FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+        SELECT c.c_custkey, c.c_mktsegment,
+               COALESCE(u.n_urgent, 0) AS n_urgent, u.urgent_total
+        FROM customer c LEFT JOIN u USING (c_custkey)
+        ORDER BY c.c_custkey
+    """
+    o["fullouter_join_events"] = """
+        WITH a AS (SELECT user_id, count(*) AS n_click FROM events
+                   WHERE event_type = 'click' GROUP BY 1),
+             b AS (SELECT user_id, count(*) AS n_purchase FROM events
+                   WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT user_id, n_click, n_purchase
+        FROM a FULL JOIN b USING (user_id) ORDER BY user_id
+    """
+    o["sql_module_agg"] = """
+        SELECT lang, source, count(*) AS cnt,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM documents GROUP BY lang, source
+        HAVING count(*) >= 5 ORDER BY lang, source
+    """
     o["gather_nodes_orders"] = """
         SELECT o_orderpriority AS node, count(*) AS cnt,
                round(sum(o_totalprice), 2) AS total
@@ -2628,6 +2715,9 @@ ORDER BY doc_id
     )
     o["spellcheck_sparkk"] = spellcheck_sql("sparkk")
     o["suggest_prefix_s"] = suggest_sql("s")
+    from solr_spark.oracle_sql import suggest_infix_sql
+
+    o["suggest_infix_er"] = suggest_infix_sql("er")
     o["highlight_merge"] = highlight_sql("merge")
     o["significant_terms_spark"] = significant_terms_sql("spark")
     o["highlight_multi_terms"] = f"""

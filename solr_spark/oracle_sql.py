@@ -1024,3 +1024,17 @@ sc AS (
 SELECT doc_id, ROUND(CAST(sc AS DOUBLE), 4) AS score,
        ROUND(f_orig, 4) AS f_orig, f_dl
 FROM sc ORDER BY sc DESC, doc_id ASC, f_dl ASC LIMIT {k}"""
+
+
+def suggest_infix_sql(needle: str, n: int = 10, chain: AnalyzerChain = CODE_CHAIN) -> str:
+    """DuckDB oracle for :func:`...extras.suggest_infix` — same
+    strpos/substr highlight construction."""
+    esc = needle.replace("'", "''")
+    ln = len(needle)
+    return f"""WITH {_prelude(chain)},
+alldf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
+SELECT tok AS term, df,
+       substr(tok, 1, strpos(tok, '{esc}') - 1) || '<b>{esc}</b>' ||
+       substr(tok, strpos(tok, '{esc}') + {ln}) AS highlighted
+FROM alldf WHERE tok LIKE '%{esc}%'
+ORDER BY df DESC, tok ASC LIMIT {n}"""

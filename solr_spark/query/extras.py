@@ -889,3 +889,25 @@ def ltr_trees_rescore(
         .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("f_dl"))
         .limit(k)
     )
+
+
+def suggest_infix(engine: SearchEngine, needle: str, n: int = 10) -> DataFrame:
+    """AnalyzingInfix suggester (``suggest/SolrSuggester.java`` with
+    ``AnalyzingInfixLookupFactory`` — substring match anywhere in the
+    suggestion, not just a prefix): contains-match over the term
+    dictionary ranked (weight=df desc, term asc), with the reference's
+    <b>..</b> highlight of the matched infix. A dictionary scan, never
+    a postings scan."""
+    hl = F.concat(
+        F.expr(f"substring(term, 1, instr(term, '{needle}') - 1)"),
+        F.lit("<b>"),
+        F.lit(needle),
+        F.lit("</b>"),
+        F.expr(f"substring(term, instr(term, '{needle}') + {len(needle)})"),
+    )
+    return (
+        engine.index.term_dict.where(F.col("term").contains(needle))
+        .select("term", "df", hl.alias("highlighted"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(n)
+    )
