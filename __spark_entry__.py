@@ -2042,6 +2042,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_zipf"] = eval_zipf
 
+    def eval_hull(s, d):
+        """Distributed convex hull of 200 events in general position
+        (x = value, y = a deterministic hash spread): per-partition
+        monotone-chain pruning, then the exact closed-side edge test as
+        a pair join. Oracle runs the same edge test over ALL points."""
+        pts = (
+            _read(s, d, "events")
+            .where(F.col("event_id") < 200)
+            .select(
+                F.col("event_id").alias("pid"),
+                F.col("value").cast("double").alias("x"),
+                (
+                    ((F.col("event_id") * F.lit(2654435761)) % F.lit(1000003))
+                    .cast("double")
+                    / F.lit(1000.0)
+                ).alias("y"),
+            )
+        )
+        out = ev.convex_hull(pts, "x", "y", "pid")
+        return out.select(
+            "pid",
+            F.round("px", 6).alias("px"),
+            F.round("py", 6).alias("py"),
+        ).orderBy("pid")
+
+    q["eval_convex_hull"] = eval_hull
+
     def eval_akima(s, d):
         """Akima spline midpoints over the daily value series per event
         type (y rounded to 6dp BEFORE interpolation so engine and oracle
@@ -3769,6 +3796,25 @@ WITH ranks AS (
   FROM documents GROUP BY 1)
 SELECT k, observed, ROUND(pow(CAST(k AS DOUBLE), -1.1) / {_zh!r}, 8) AS pmf
 FROM ranks ORDER BY k
+""".strip()
+    o["eval_convex_hull"] = """
+WITH pts AS (
+  SELECT event_id AS pid, CAST(value AS DOUBLE) AS px,
+         CAST((event_id * 2654435761) % 1000003 AS DOUBLE) / 1000.0 AS py
+  FROM events WHERE event_id < 200),
+pairs AS (
+  SELECT a.pid AS apid, a.px AS ax, a.py AS ay,
+         b.pid AS bpid, b.px AS bx, b.py AS by
+  FROM pts a JOIN pts b ON a.pid <> b.pid),
+tri AS (
+  SELECT pr.apid, pr.bpid,
+         (pr.bx - pr.ax) * (p.py - pr.ay)
+           - (pr.by - pr.ay) * (p.px - pr.ax) AS cr
+  FROM pairs pr JOIN pts p ON p.pid <> pr.apid AND p.pid <> pr.bpid),
+g AS (SELECT apid, bpid, min(cr) AS mn, max(cr) AS mx FROM tri GROUP BY 1, 2),
+verts AS (SELECT DISTINCT apid AS pid FROM g WHERE mn >= 0 OR mx <= 0)
+SELECT p.pid, ROUND(p.px, 6) AS px, ROUND(p.py, 6) AS py
+FROM pts p JOIN verts USING (pid) ORDER BY p.pid
 """.strip()
     o["eval_akima"] = """
 WITH daily AS (

@@ -2034,3 +2034,81 @@ def zipf_pmf(df: DataFrame, k_col: str, n_ranks: int, s: float) -> DataFrame:
     h = sum(j ** -float(s) for j in range(1, int(n_ranks) + 1))
     kk = F.col(k_col).cast("double")
     return df.withColumn("pmf", F.pow(kk, F.lit(-float(s))) / F.lit(h))
+
+
+def convex_hull(
+    df: DataFrame, x_col: str, y_col: str, id_col: str
+) -> DataFrame:
+    """ConvexHullEvaluator + GetVerticesEvaluator analog
+    (``io/eval/ConvexHullEvaluator.java``,
+    ``GetVerticesEvaluator.java`` — commons-math MonotoneChain over a
+    driver-side matrix): distributed two-level hull.
+
+    Level 1 prunes per partition with a monotone-chain kernel
+    (vectorized pandas batch, popping only on strictly-clockwise turns
+    so collinear boundary points SURVIVE); a global hull vertex is a
+    hull vertex of every subset containing it, so pruning is sound.
+    Level 2 confirms hull edges exactly over the small candidate set:
+    pair join + one grouped min/max of the cross product
+    (b-a) x (p-a); an edge is on the hull iff every other candidate
+    lies on one closed side, and the hull vertices are the edge
+    endpoints. Every level-2 expression is JVM-side and the same
+    closed-side test is the SQL oracle (over ALL points — equivalence
+    holds because interior points are convex combinations of
+    candidates). Returns (pid, px, py) hull vertices."""
+    pts = df.select(
+        F.col(id_col).cast("long").alias("pid"),
+        F.col(x_col).cast("double").alias("px"),
+        F.col(y_col).cast("double").alias("py"),
+    )
+
+    def _local_hull(batches):
+        for pdf in batches:
+            if len(pdf) <= 3:
+                yield pdf
+                continue
+            pdf = pdf.sort_values(["px", "py"]).reset_index(drop=True)
+            rows = list(pdf.itertuples(index=False))  # (pid, px, py)
+
+            def chain(seq):
+                h = []
+                for r in seq:
+                    while len(h) >= 2:
+                        cross = (h[-1].px - h[-2].px) * (r.py - h[-2].py) - (
+                            h[-1].py - h[-2].py
+                        ) * (r.px - h[-2].px)
+                        if cross < 0:  # strictly clockwise: pop
+                            h.pop()
+                        else:
+                            break
+                    h.append(r)
+                return h
+
+            keep = {r.pid for r in chain(rows)} | {r.pid for r in chain(rows[::-1])}
+            yield pdf[pdf["pid"].isin(keep)]
+
+    cand = pts.mapInPandas(_local_hull, schema="pid long, px double, py double")
+    a = cand.select(
+        F.col("pid").alias("apid"), F.col("px").alias("ax"), F.col("py").alias("ay")
+    )
+    b = cand.select(
+        F.col("pid").alias("bpid"), F.col("px").alias("bx"), F.col("py").alias("by")
+    )
+    pairs = a.join(b, F.col("apid") != F.col("bpid"))
+    tri = pairs.join(
+        cand, (F.col("pid") != F.col("apid")) & (F.col("pid") != F.col("bpid"))
+    ).select(
+        "apid",
+        "bpid",
+        (
+            (F.col("bx") - F.col("ax")) * (F.col("py") - F.col("ay"))
+            - (F.col("by") - F.col("ay")) * (F.col("px") - F.col("ax"))
+        ).alias("cr"),
+    )
+    edges = (
+        tri.groupBy("apid", "bpid")
+        .agg(F.min("cr").alias("mn"), F.max("cr").alias("mx"))
+        .where((F.col("mn") >= 0) | (F.col("mx") <= 0))
+    )
+    verts = edges.select(F.col("apid").alias("pid")).distinct()
+    return verts.join(cand, "pid").select("pid", "px", "py")

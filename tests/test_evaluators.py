@@ -961,3 +961,44 @@ def test_zipf_pmf_normalizes(spark):
     got = ev.zipf_pmf(spark.createDataFrame(pdf), "k", n_ranks=20, s=1.1).toPandas()
     assert abs(got["pmf"].sum() - 1.0) < 1e-12
     assert (got.sort_values("k")["pmf"].diff().dropna() < 0).all()
+
+
+def test_convex_hull_square_with_interior_points(spark):
+    pts = [(0, 0.0, 0.0), (1, 10.0, 0.0), (2, 10.0, 10.0), (3, 0.0, 10.0)]
+    rng = np.random.default_rng(5)
+    pts += [
+        (10 + i, float(x), float(y))
+        for i, (x, y) in enumerate(rng.uniform(1, 9, size=(40, 2)))
+    ]
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["pid", "x", "y"])).repartition(4)
+    got = sorted(r["pid"] for r in ev.convex_hull(df, "x", "y", "pid").collect())
+    assert got == [0, 1, 2, 3]
+
+
+def test_convex_hull_matches_full_edge_test(spark):
+    rng = np.random.default_rng(9)
+    xy = rng.normal(0, 5, size=(60, 2))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, float(x), float(y)) for i, (x, y) in enumerate(xy)],
+            columns=["pid", "x", "y"],
+        )
+    ).repartition(6)
+    got = sorted(r["pid"] for r in ev.convex_hull(df, "x", "y", "pid").collect())
+
+    # brute-force closed-side edge test over ALL points
+    hull = set()
+    n = len(xy)
+    for a in range(n):
+        for b in range(n):
+            if a == b:
+                continue
+            crs = [
+                (xy[b][0] - xy[a][0]) * (p[1] - xy[a][1])
+                - (xy[b][1] - xy[a][1]) * (p[0] - xy[a][0])
+                for i, p in enumerate(xy)
+                if i not in (a, b)
+            ]
+            if min(crs) >= 0 or max(crs) <= 0:
+                hull.add(a)
+    assert got == sorted(hull)
