@@ -2069,6 +2069,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_convex_hull"] = eval_hull
 
+    def eval_disk(s, d):
+        """Smallest enclosing disk of the same 200-point cloud: pair +
+        triple circles over the hull vertices, smallest covering one."""
+        pts = (
+            _read(s, d, "events")
+            .where(F.col("event_id") < 200)
+            .select(
+                F.col("event_id").alias("pid"),
+                F.col("value").cast("double").alias("x"),
+                (
+                    ((F.col("event_id") * F.lit(2654435761)) % F.lit(1000003))
+                    .cast("double")
+                    / F.lit(1000.0)
+                ).alias("y"),
+            )
+        )
+        out = ev.enclosing_disk(pts, "x", "y", "pid")
+        return out.select(
+            F.round("center_x", 5).alias("center_x"),
+            F.round("center_y", 5).alias("center_y"),
+            F.round("radius", 5).alias("radius"),
+        )
+
+    q["eval_enclosing_disk"] = eval_disk
+
     def eval_akima(s, d):
         """Akima spline midpoints over the daily value series per event
         type (y rounded to 6dp BEFORE interpolation so engine and oracle
@@ -3815,6 +3840,58 @@ g AS (SELECT apid, bpid, min(cr) AS mn, max(cr) AS mx FROM tri GROUP BY 1, 2),
 verts AS (SELECT DISTINCT apid AS pid FROM g WHERE mn >= 0 OR mx <= 0)
 SELECT p.pid, ROUND(p.px, 6) AS px, ROUND(p.py, 6) AS py
 FROM pts p JOIN verts USING (pid) ORDER BY p.pid
+""".strip()
+    o["eval_enclosing_disk"] = """
+WITH pts AS (
+  SELECT event_id AS pid, CAST(value AS DOUBLE) AS px,
+         CAST((event_id * 2654435761) % 1000003 AS DOUBLE) / 1000.0 AS py
+  FROM events WHERE event_id < 200),
+prs AS (
+  SELECT a.pid AS apid, a.px AS ax, a.py AS ay,
+         b.pid AS bpid, b.px AS bx, b.py AS by
+  FROM pts a JOIN pts b ON a.pid <> b.pid),
+tri0 AS (
+  SELECT pr.apid, pr.bpid,
+         (pr.bx - pr.ax) * (p.py - pr.ay)
+           - (pr.by - pr.ay) * (p.px - pr.ax) AS cr
+  FROM prs pr JOIN pts p ON p.pid <> pr.apid AND p.pid <> pr.bpid),
+g AS (SELECT apid, bpid, min(cr) AS mn, max(cr) AS mx FROM tri0 GROUP BY 1, 2),
+verts AS (SELECT DISTINCT apid AS pid FROM g WHERE mn >= 0 OR mx <= 0),
+hv AS (SELECT p.pid, p.px, p.py FROM pts p JOIN verts USING (pid)),
+pairc AS (
+  SELECT (a.px + b.px) / 2.0 AS ccx, (a.py + b.py) / 2.0 AS ccy,
+         ((a.px - b.px) * (a.px - b.px)
+            + (a.py - b.py) * (a.py - b.py)) / 4.0 AS r2
+  FROM hv a JOIN hv b ON a.pid < b.pid),
+tric AS (
+  SELECT
+    ((a.px * a.px + a.py * a.py) * (b.py - c.py)
+       + (b.px * b.px + b.py * b.py) * (c.py - a.py)
+       + (c.px * c.px + c.py * c.py) * (a.py - b.py))
+      / (2.0 * (a.px * (b.py - c.py) + b.px * (c.py - a.py)
+                + c.px * (a.py - b.py))) AS ccx,
+    ((a.px * a.px + a.py * a.py) * (c.px - b.px)
+       + (b.px * b.px + b.py * b.py) * (a.px - c.px)
+       + (c.px * c.px + c.py * c.py) * (b.px - a.px))
+      / (2.0 * (a.px * (b.py - c.py) + b.px * (c.py - a.py)
+                + c.px * (a.py - b.py))) AS ccy,
+    a.px AS ax, a.py AS ay
+  FROM hv a JOIN hv b ON a.pid < b.pid JOIN hv c ON b.pid < c.pid
+  WHERE abs(2.0 * (a.px * (b.py - c.py) + b.px * (c.py - a.py)
+                   + c.px * (a.py - b.py))) > 1e-12),
+tric2 AS (SELECT ccx, ccy,
+                 (ax - ccx) * (ax - ccx) + (ay - ccy) * (ay - ccy) AS r2
+          FROM tric),
+circles AS (SELECT * FROM pairc UNION ALL SELECT * FROM tric2),
+cov AS (
+  SELECT c.ccx, c.ccy, c.r2,
+         max((h.px - c.ccx) * (h.px - c.ccx)
+             + (h.py - c.ccy) * (h.py - c.ccy)) AS maxd
+  FROM circles c CROSS JOIN hv h GROUP BY 1, 2, 3)
+SELECT ROUND(ccx, 5) AS center_x, ROUND(ccy, 5) AS center_y,
+       ROUND(sqrt(r2), 5) AS radius
+FROM cov WHERE maxd <= r2 * (1.0 + 1e-9)
+ORDER BY r2, ccx, ccy LIMIT 1
 """.strip()
     o["eval_akima"] = """
 WITH daily AS (

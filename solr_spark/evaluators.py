@@ -2112,3 +2112,90 @@ def convex_hull(
     )
     verts = edges.select(F.col("apid").alias("pid")).distinct()
     return verts.join(cand, "pid").select("pid", "px", "py")
+
+
+def enclosing_disk(
+    df: DataFrame, x_col: str, y_col: str, id_col: str
+) -> DataFrame:
+    """EnclosingDiskEvaluator + GetCenter/GetRadius analog
+    (``io/eval/EnclosingDiskEvaluator.java`` — commons-math
+    WelzlEncloser, an inherently SEQUENTIAL randomized algorithm): the
+    scalable determinization. The minimal enclosing disk is determined
+    by 2 or 3 vertices of the convex hull, so: take the two-level
+    distributed hull (:func:`convex_hull`), enumerate every pair circle
+    (diameter) and triple circle (circumcircle, skipping degenerate
+    collinear triples), test coverage against the hull vertices with
+    one grouped max of the squared distance (covers-hull iff
+    covers-everything), and return the smallest covering circle
+    (cx, cy, r). Coverage uses a 1e-9 relative slack so the determining
+    points — at distance exactly r by construction — always pass; the
+    SQL oracle applies the identical slack."""
+    hull = convex_hull(df, x_col, y_col, id_col)
+    a = hull.select(
+        F.col("pid").alias("aid"), F.col("px").alias("ax"), F.col("py").alias("ay")
+    )
+    b = hull.select(
+        F.col("pid").alias("bid"), F.col("px").alias("bx"), F.col("py").alias("by")
+    )
+    c = hull.select(
+        F.col("pid").alias("cid"), F.col("px").alias("cx0"), F.col("py").alias("cy0")
+    )
+    ax, ay = F.col("ax"), F.col("ay")
+    bx, by = F.col("bx"), F.col("by")
+    cx0, cy0 = F.col("cx0"), F.col("cy0")
+
+    pair = (
+        a.join(b, F.col("aid") < F.col("bid"))
+        .select(
+            ((ax + bx) / F.lit(2.0)).alias("ccx"),
+            ((ay + by) / F.lit(2.0)).alias("ccy"),
+            (
+                ((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) / F.lit(4.0)
+            ).alias("r2"),
+        )
+    )
+    d = F.lit(2.0) * (ax * (by - cy0) + bx * (cy0 - ay) + cx0 * (ay - by))
+    ux = (
+        (ax * ax + ay * ay) * (by - cy0)
+        + (bx * bx + by * by) * (cy0 - ay)
+        + (cx0 * cx0 + cy0 * cy0) * (ay - by)
+    ) / d
+    uy = (
+        (ax * ax + ay * ay) * (cx0 - bx)
+        + (bx * bx + by * by) * (ax - cx0)
+        + (cx0 * cx0 + cy0 * cy0) * (bx - ax)
+    ) / d
+    # guard the division with CASE (ANSI mode evaluates projections
+    # even for rows a Filter would drop): degenerate collinear triples
+    # yield NULL circles, dropped below
+    gux = F.when(F.abs(d) > 1e-12, ux)
+    guy = F.when(F.abs(d) > 1e-12, uy)
+    triple = (
+        a.join(b, F.col("aid") < F.col("bid"))
+        .join(c, F.col("bid") < F.col("cid"))
+        .select(
+            gux.alias("ccx"),
+            guy.alias("ccy"),
+            ((ax - gux) * (ax - gux) + (ay - guy) * (ay - guy)).alias("r2"),
+        )
+        .where(F.col("ccx").isNotNull())
+    )
+    circles = pair.unionByName(triple)
+    dist2 = (F.col("px") - F.col("ccx")) * (F.col("px") - F.col("ccx")) + (
+        F.col("py") - F.col("ccy")
+    ) * (F.col("py") - F.col("ccy"))
+    covered = (
+        circles.crossJoin(hull)
+        .groupBy("ccx", "ccy", "r2")
+        .agg(F.max(dist2).alias("maxd"))
+        .where(F.col("maxd") <= F.col("r2") * F.lit(1.0 + 1e-9))
+    )
+    return (
+        covered.orderBy("r2", "ccx", "ccy")
+        .limit(1)
+        .select(
+            F.col("ccx").alias("center_x"),
+            F.col("ccy").alias("center_y"),
+            F.sqrt(F.col("r2")).alias("radius"),
+        )
+    )

@@ -1002,3 +1002,19 @@ def test_convex_hull_matches_full_edge_test(spark):
             if min(crs) >= 0 or max(crs) <= 0:
                 hull.add(a)
     assert got == sorted(hull)
+
+
+def test_enclosing_disk_square(spark):
+    import math
+
+    pts = [(0, 0.0, 0.0), (1, 10.0, 0.0), (2, 10.0, 10.0), (3, 0.0, 10.0)]
+    rng = np.random.default_rng(2)
+    pts += [
+        (10 + i, float(x), float(y))
+        for i, (x, y) in enumerate(rng.uniform(2, 8, size=(30, 2)))
+    ]
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["pid", "x", "y"])).repartition(4)
+    row = ev.enclosing_disk(df, "x", "y", "pid").collect()[0]
+    assert abs(row["center_x"] - 5.0) < 1e-9
+    assert abs(row["center_y"] - 5.0) < 1e-9
+    assert abs(row["radius"] - math.sqrt(50.0)) < 1e-9
