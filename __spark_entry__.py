@@ -665,6 +665,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ltr_trees_rescore"] = ltr_trees
+
+    q["ltr_interleave_teams"] = lambda s, d: qx.interleave_team_draft(
+        _engine(s, d), "table row", "merge table", k=10
+    )
     q["boost_by_recip_nchars"] = lambda s, d: _rounded(
         qx.boost_topk(
             _engine(s, d),
@@ -2684,6 +2688,11 @@ LIMIT 10
     )
     o["ltr_trees_rescore"] = ltr_trees_sql(
         tok.tokenize_py("spark merge data"), tok.tokenize_py("customer"), k=10
+    )
+    from solr_spark.oracle_sql import interleave_sql
+
+    o["ltr_interleave_teams"] = interleave_sql(
+        tok.tokenize_py("table row"), tok.tokenize_py("merge table"), k=10
     )
     o["boost_by_recip_nchars"] = boost_recip_nchars_sql(tok.tokenize_py("table"))
     o["dismax_text_source"] = dismax_sql(

@@ -1038,3 +1038,30 @@ SELECT tok AS term, df,
        substr(tok, strpos(tok, '{esc}') + {ln}) AS highlighted
 FROM alldf WHERE tok LIKE '%{esc}%'
 ORDER BY df DESC, tok ASC LIMIT {n}"""
+
+
+def interleave_sql(
+    terms_a: list[str], terms_b: list[str], k: int = 10, depth: int = 20,
+    chain: AnalyzerChain = CODE_CHAIN,
+) -> str:
+    """DuckDB oracle for :func:`...extras.interleave_team_draft` — the
+    deterministic A-first team draft via the closed-form slot key
+    min(2*rA - 1, 2*rB)."""
+    return f"""WITH {_prelude(chain)},
+{_scored('s1', _inlist(terms_a))},
+{_scored('s2', _inlist(terms_b))},
+ra AS (SELECT doc_id, row_number() OVER
+         (ORDER BY CAST(score_raw AS REAL) DESC, doc_id ASC) AS r
+       FROM s1 ORDER BY CAST(score_raw AS REAL) DESC, doc_id ASC LIMIT {depth}),
+rb AS (SELECT doc_id, row_number() OVER
+         (ORDER BY CAST(score_raw AS REAL) DESC, doc_id ASC) AS r
+       FROM s2 ORDER BY CAST(score_raw AS REAL) DESC, doc_id ASC LIMIT {depth}),
+j AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+         COALESCE(ra.r * 2 - 1, 1 << 30) AS sa,
+         COALESCE(rb.r * 2, 1 << 30) AS sb
+  FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id)
+SELECT doc_id,
+       CASE WHEN sa <= sb THEN 'A' ELSE 'B' END AS team,
+       CAST(least(sa, sb) AS BIGINT) AS slot
+FROM j ORDER BY slot LIMIT {k}"""

@@ -911,3 +911,52 @@ def suggest_infix(engine: SearchEngine, needle: str, n: int = 10) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(n)
     )
+
+
+def interleave_team_draft(
+    engine: SearchEngine, query_a: str, query_b: str, k: int = 10, depth: int = 20
+) -> DataFrame:
+    """LTR interleaving (``modules/ltr/.../interleaving/algorithms/
+    TeamDraftInterleaving.java`` — online A/B ranking evaluation):
+    frozen to the DETERMINISTIC team order (team A always picks first;
+    the reference randomizes per pick-pair, seeded only under tests).
+    With first-occurrence dedup, A-first team draft over rankings
+    r_A, r_B collapses to the closed-form slot key
+
+        slot(doc) = min(2*r_A(doc) - 1, 2*r_B(doc))
+
+    (odd slots = A picks, even = B picks; a doc absent from a list has
+    rank infinity) — so the whole interleave is a full-outer join of
+    the two f32-ranked top-``depth`` lists plus one sort, no sequential
+    pick loop. Returns (doc_id, team, slot) for the top k."""
+    def ranked(q, name):
+        s = engine.score_all(engine._term_stats(engine.analyze_query(q)))
+        return (
+            s.select("doc_id", F.col("score_raw").cast("float").alias("_s"))
+            .orderBy(F.desc("_s"), F.asc("doc_id"))
+            .limit(depth)
+            .select(
+                "doc_id",
+                F.row_number()
+                .over(Window.orderBy(F.desc("_s"), F.asc("doc_id")))
+                .alias(name),
+            )
+        )
+
+    a = ranked(query_a, "ra")
+    b = ranked(query_b, "rb")
+    j = a.join(b, "doc_id", "full")
+    slot_a = F.when(F.col("ra").isNotNull(), F.col("ra") * 2 - 1)
+    slot_b = F.when(F.col("rb").isNotNull(), F.col("rb") * 2)
+    slot = F.least(
+        F.coalesce(slot_a, F.lit(1 << 30)), F.coalesce(slot_b, F.lit(1 << 30))
+    )
+    team = F.when(
+        F.coalesce(slot_a, F.lit(1 << 30)) <= F.coalesce(slot_b, F.lit(1 << 30)),
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    return (
+        j.select("doc_id", team.alias("team"), slot.cast("long").alias("slot"))
+        .orderBy("slot")
+        .limit(k)
+    )

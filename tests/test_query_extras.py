@@ -139,3 +139,15 @@ def test_ltr_trees_scores_are_leaf_sums(engine):
     sums = {round(a + b, 6) for a in leaves1 for b in leaves2}
     for r in rows:
         assert round(r["score"], 6) in sums
+
+
+def test_interleave_team_draft_properties(engine):
+    rows = qx.interleave_team_draft(engine, "server client", "merge table", k=10).collect()
+    assert len(rows) == 10
+    # slots strictly increasing, docs unique, first pick is team A's top doc
+    slots = [r["slot"] for r in rows]
+    assert slots == sorted(slots) and len(set(slots)) == len(slots)
+    assert len({r["doc_id"] for r in rows}) == 10
+    assert rows[0]["team"] == "A" and rows[0]["slot"] == 1
+    top_a = engine.topk("server client", k=1).collect()[0]["doc_id"]
+    assert rows[0]["doc_id"] == top_a
