@@ -136,3 +136,35 @@ def positions_decode(buf: bytes, lens: np.ndarray) -> np.ndarray:
     base[starts[1:]] = total[starts[1:] - 1]
     np.maximum.accumulate(base, out=base)
     return total - base
+
+
+def varint_encode_segmented(
+    values: np.ndarray, seg_starts: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode ``values`` in ONE vectorized pass and return
+    ``(buffer, byte_offsets)`` where ``byte_offsets[i]:byte_offsets[i+1]``
+    frames segment i (segments begin at value indexes ``seg_starts``).
+
+    Byte-identical to concatenating per-segment :func:`varint_encode`
+    calls (LEB128 is per-value independent) — this is the batch form the
+    block encoder uses to replace tens of thousands of tiny per-block
+    numpy calls with one pass over the whole Arrow batch.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    seg_starts = np.asarray(seg_starts, dtype=np.int64)
+    if len(v) == 0:
+        return b"", np.zeros(len(seg_starts) + 1, dtype=np.int64)
+    sizes = _varint_sizes(v)
+    ends = np.cumsum(sizes)
+    offsets = ends - sizes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    max_size = int(sizes.max())
+    for j in range(max_size):
+        mask = sizes > j
+        byte = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (sizes[mask] > j + 1).astype(np.uint8) << 7
+        out[offsets[mask] + j] = byte.astype(np.uint8) | cont
+    seg_offs = np.empty(len(seg_starts) + 1, dtype=np.int64)
+    seg_offs[:-1] = offsets[seg_starts]
+    seg_offs[-1] = int(ends[-1])
+    return out.tobytes(), seg_offs
