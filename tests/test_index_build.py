@@ -213,3 +213,27 @@ def test_payload_postings_roundtrip(spark, tmp_path):
             idx.docs.where(F.col("doc_id") == r["doc_id"]).collect()[0]["stored_text"]
         )
         assert any(t == "import" and (len(t) + i) % 8 == 3 for i, t in enumerate(toks))
+
+
+def test_arrow_postings_kernel_edge_cases(spark):
+    """Empty-token docs and unicode terms through the mapInArrow
+    postings kernel."""
+    import pandas as pd
+
+    from solr_spark.index.build import IndexConfig, build_postings
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "doc_len": [0, 3, 0, 2],
+            "tokens": [[], ["héllo", "wörld", "héllo"], [], ["a", "a"]],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(2)
+    out = build_postings(df, IndexConfig()).orderBy("doc_id", "term").collect()
+    got = [(r["doc_id"], r["term"], r["tf"], list(r["positions"])) for r in out]
+    assert got == [
+        (1, "héllo", 2, [0, 2]),
+        (1, "wörld", 1, [1]),
+        (3, "a", 2, [0, 1]),
+    ]
