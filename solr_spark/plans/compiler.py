@@ -317,7 +317,7 @@ def execute_ast(
     if ctx.term_rows:
         terms = sorted({t for t, _, _ in ctx.term_rows})
         blocks = engine._blocks_for(terms)
-        decoded = blocks.select("term", "doc_ids_enc", "tfs_enc", "dls_enc").mapInPandas(
+        decoded = blocks.select("term", "n_docs", "doc_ids_enc", "tfs_enc", "dls_enc").mapInPandas(
             _decode_blocks_udf(), schema=_DECODED_SCHEMA
         )
         wmap = engine.spark.createDataFrame(

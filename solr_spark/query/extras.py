@@ -129,7 +129,7 @@ def maxscore_topk(engine: SearchEngine, query: str, k: int = 10) -> DataFrame:
     if not stats:
         return engine.spark.createDataFrame([], "doc_id long, score float")
     blocks = engine._blocks_for([s.term for s in stats])
-    decoded = blocks.select("term", "doc_ids_enc", "tfs_enc", "dls_enc").mapInPandas(
+    decoded = blocks.select("term", "n_docs", "doc_ids_enc", "tfs_enc", "dls_enc").mapInPandas(
         _decode_blocks_udf(), schema=_DECODED_SCHEMA
     )
     scored = engine._score_decoded(decoded, stats)

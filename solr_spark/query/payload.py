@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from solr_spark.index.codec import delta_varint_decode, varint_decode
+from solr_spark.index.codec import varint_decode
 from solr_spark.query.engine import SearchEngine
 
 _PAYSCORE_SCHEMA = T.StructType(
@@ -39,33 +39,43 @@ _PAYSCORE_SCHEMA = T.StructType(
 )
 
 
+def _decode_batch(pdf):
+    """Batch-wide decode shared by the payload UDFs: concatenated LEB128
+    buffers decode in one pass each; docIDs rebuild with a segmented
+    cumsum reset at block starts (framed by n_docs) — no per-block
+    Python (same shape as the engine's block decoder)."""
+    if pdf["payloads_enc"].isna().any():
+        raise ValueError(
+            "index built without payloads; rebuild with with_payloads=True"
+        )
+    n = pdf["n_docs"].to_numpy().astype(np.int64)
+    deltas = varint_decode(b"".join(pdf["doc_ids_enc"]))
+    starts = np.cumsum(n) - n
+    run = np.cumsum(deltas.astype(np.int64))
+    base = np.zeros(int(n.sum()), dtype=np.int64)
+    nz = starts[starts > 0]
+    base[nz] = run[nz - 1]
+    np.maximum.accumulate(base, out=base)
+    d = run - base
+    tf = varint_decode(b"".join(pdf["tfs_enc"])).astype(np.int64)
+    pay = varint_decode(b"".join(pdf["payloads_enc"])).astype(np.int64)
+    return d, tf, pay
+
+
 def _decode_payload_udf():
     def dec(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            docs, sums, mins, maxs, cnts = [], [], [], [], []
-            for de, te, pe in zip(pdf["doc_ids_enc"], pdf["tfs_enc"], pdf["payloads_enc"]):
-                if pe is None:
-                    raise ValueError(
-                        "index built without payloads; rebuild with with_payloads=True"
-                    )
-                d = delta_varint_decode(bytes(de)).astype(np.int64)
-                tf = varint_decode(bytes(te)).astype(np.int64)
-                pay = varint_decode(bytes(pe)).astype(np.int64)
-                starts = np.cumsum(tf) - tf
-                docs.append(d)
-                sums.append(np.add.reduceat(pay, starts))
-                mins.append(np.minimum.reduceat(pay, starts))
-                maxs.append(np.maximum.reduceat(pay, starts))
-                cnts.append(tf)
+            d, tf, pay = _decode_batch(pdf)
+            occ_starts = np.cumsum(tf) - tf
             yield pd.DataFrame(
                 {
-                    "doc_id": np.concatenate(docs),
-                    "p_sum": np.concatenate(sums),
-                    "p_min": np.concatenate(mins),
-                    "p_max": np.concatenate(maxs),
-                    "p_cnt": np.concatenate(cnts),
+                    "doc_id": d,
+                    "p_sum": np.add.reduceat(pay, occ_starts),
+                    "p_min": np.minimum.reduceat(pay, occ_starts),
+                    "p_max": np.maximum.reduceat(pay, occ_starts),
+                    "p_cnt": tf,
                 }
             )
 
@@ -86,7 +96,7 @@ def payload_score(
     if len(toks) != 1:
         raise ValueError("payload_score takes a single term")
     blocks = engine._blocks_for(toks)
-    per_block = blocks.select("doc_ids_enc", "tfs_enc", "payloads_enc").mapInPandas(
+    per_block = blocks.select("n_docs", "doc_ids_enc", "tfs_enc", "payloads_enc").mapInPandas(
         _decode_payload_udf(), schema=_PAYSCORE_SCHEMA
     )
     # a doc occurs in exactly one block per term, but salted/incremental
@@ -126,20 +136,10 @@ def payload_check(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            docs, cnts = [], []
-            for de, te, pe in zip(pdf["doc_ids_enc"], pdf["tfs_enc"], pdf["payloads_enc"]):
-                if pe is None:
-                    raise ValueError(
-                        "index built without payloads; rebuild with with_payloads=True"
-                    )
-                d = delta_varint_decode(bytes(de)).astype(np.int64)
-                tf = varint_decode(bytes(te)).astype(np.int64)
-                pay = varint_decode(bytes(pe)).astype(np.int64)
-                starts = np.cumsum(tf) - tf
-                hit = (pay == target).astype(np.int64)
-                docs.append(d)
-                cnts.append(np.add.reduceat(hit, starts))
-            yield pd.DataFrame({"doc_id": np.concatenate(docs), "n_hits": np.concatenate(cnts)})
+            d, tf, pay = _decode_batch(pdf)
+            occ_starts = np.cumsum(tf) - tf
+            hit = (pay == target).astype(np.int64)
+            yield pd.DataFrame({"doc_id": d, "n_hits": np.add.reduceat(hit, occ_starts)})
 
     schema = T.StructType(
         [
@@ -147,7 +147,7 @@ def payload_check(
             T.StructField("n_hits", T.LongType(), False),
         ]
     )
-    per_block = blocks.select("doc_ids_enc", "tfs_enc", "payloads_enc").mapInPandas(dec, schema=schema)
+    per_block = blocks.select("n_docs", "doc_ids_enc", "tfs_enc", "payloads_enc").mapInPandas(dec, schema=schema)
     return (
         per_block.groupBy("doc_id")
         .agg(F.sum("n_hits").alias("n_hits"))

@@ -89,24 +89,33 @@ def _decode_pos_flat_udf():
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            terms, docs, poss, dls = [], [], [], []
-            for term, de, te, le, pe in zip(
-                pdf["term"], pdf["doc_ids_enc"], pdf["tfs_enc"], pdf["dls_enc"], pdf["pos_enc"]
-            ):
-                doc_ids = delta_varint_decode(bytes(de)).astype(np.int64)
-                tfs = varint_decode(bytes(te)).astype(np.int64)
-                dl = varint_decode(bytes(le)).astype(np.int64)
-                flat = positions_decode(bytes(pe), tfs).astype(np.int64)
-                docs.append(np.repeat(doc_ids, tfs))
-                dls.append(np.repeat(dl, tfs))
-                poss.append(flat)
-                terms.append(np.full(int(tfs.sum()), term, dtype=object))
+            # vectorized across the whole batch (no per-block Python):
+            # LEB128 buffers concatenate losslessly; docIDs rebuild with
+            # a segmented cumsum reset at block starts (framed by
+            # n_docs); the positions stream's per-doc run framing is the
+            # concatenated tf array, which composes across blocks
+            n = pdf["n_docs"].to_numpy().astype(np.int64)
+            total_docs = int(n.sum())
+            if total_docs == 0:
+                continue
+            deltas = varint_decode(b"".join(pdf["doc_ids_enc"]))
+            starts = np.cumsum(n) - n
+            run = np.cumsum(deltas.astype(np.int64))
+            base = np.zeros(total_docs, dtype=np.int64)
+            nz = starts[starts > 0]
+            base[nz] = run[nz - 1]
+            np.maximum.accumulate(base, out=base)
+            doc_ids = run - base
+            tfs = varint_decode(b"".join(pdf["tfs_enc"])).astype(np.int64)
+            dl = varint_decode(b"".join(pdf["dls_enc"])).astype(np.int64)
+            flat = positions_decode(b"".join(pdf["pos_enc"]), tfs).astype(np.int64)
+            occ_per_block = np.add.reduceat(tfs, starts)
             yield pd.DataFrame(
                 {
-                    "term": np.concatenate(terms),
-                    "doc_id": np.concatenate(docs),
-                    "pos": np.concatenate(poss),
-                    "dl": np.concatenate(dls).astype(np.int32),
+                    "term": np.repeat(pdf["term"].to_numpy(), occ_per_block),
+                    "doc_id": np.repeat(doc_ids, tfs),
+                    "pos": flat,
+                    "dl": np.repeat(dl, tfs).astype(np.int32),
                 }
             )
 
@@ -175,7 +184,7 @@ def phrase_match_pf(engine: SearchEngine, phrase: str, slop: int = 0) -> DataFra
     if len(stats) < len(uniq):
         return None
     blocks = engine._blocks_for(uniq)
-    flat = blocks.select("term", "doc_ids_enc", "tfs_enc", "dls_enc", "pos_enc").mapInPandas(
+    flat = blocks.select("term", "n_docs", "doc_ids_enc", "tfs_enc", "dls_enc", "pos_enc").mapInPandas(
         _decode_pos_flat_udf(), schema=_POS_FLAT_SCHEMA
     )
     return flat.repartition("doc_id").mapInPandas(
@@ -247,7 +256,7 @@ def near_topk(engine: SearchEngine, words: list[str], window: int, k: int = 10) 
     idf_by_term = {s.term: s.idf for s in stats}
     idf_total = float(sum(idf_by_term[t] for t in terms))
     blocks = engine._blocks_for(uniq)
-    flat = blocks.select("term", "doc_ids_enc", "tfs_enc", "dls_enc", "pos_enc").mapInPandas(
+    flat = blocks.select("term", "n_docs", "doc_ids_enc", "tfs_enc", "dls_enc", "pos_enc").mapInPandas(
         _decode_pos_flat_udf(), schema=_POS_FLAT_SCHEMA
     )
     pf_df = flat.repartition("doc_id").mapInPandas(
@@ -302,7 +311,7 @@ def complex_phrase_pf(
     # df of a position = docs containing ANY of its terms (exact count
     # from a distinct-doc aggregation over the pruned decode)
     blocks = engine._blocks_for(sorted({t for ts in per_pos for t in ts}))
-    flat = blocks.select("term", "doc_ids_enc", "tfs_enc", "dls_enc", "pos_enc").mapInPandas(
+    flat = blocks.select("term", "n_docs", "doc_ids_enc", "tfs_enc", "dls_enc", "pos_enc").mapInPandas(
         _decode_pos_flat_udf(), schema=_POS_FLAT_SCHEMA
     )
     # union-df of EVERY position in ONE job (the r2 version ran one

@@ -153,8 +153,9 @@ def test_near_unordered_matches_python_oracle(engine, oracle_corpus):
     )
     uniq = sorted(set(words))
     blocks = engine._blocks_for(uniq)
-    flat = blocks.select("term", "doc_ids_enc", "tfs_enc", "dls_enc", "pos_enc").mapInPandas(
-        _decode_pos_flat_udf(), schema=_POS_FLAT_SCHEMA)
+    flat = blocks.select(
+        "term", "n_docs", "doc_ids_enc", "tfs_enc", "dls_enc", "pos_enc"
+    ).mapInPandas(_decode_pos_flat_udf(), schema=_POS_FLAT_SCHEMA)
     pf_df = flat.repartition("doc_id").mapInPandas(
         _make_near_verify(words, window), schema=_PF_SCHEMA)
     got = {r["doc_id"]: r["pf"] for r in pf_df.collect()}
