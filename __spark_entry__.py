@@ -62,6 +62,7 @@ from solr_spark.oracle_sql import (
     mlt_topk_sql,
     ngram_jaccard_sql,
     prefix_topk_sql,
+    rank_boost_log_sql,
     rerank_sql,
     rrf_sql,
     significant_terms_sql,
@@ -587,6 +588,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(s, d, "documents"), "n_chars", "satu", k_param=100.0, k=10
     ).select("doc_id", F.round("score", 6).alias("score"))
 
+    q["rank_feature_sigm"] = lambda s, d: qx.rank_feature(
+        _read(s, d, "documents"), "n_chars", "sigm",
+        k_param=500.0, weight=2.0, exponent=2.0, k=10,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+    q["rank_boost_log"] = lambda s, d: _rounded(
+        qx.rank_boost_topk(
+            _engine(s, d), "table",
+            _read(s, d, "documents"), "n_chars",
+            function="log", weight=0.3, scaling_factor=1.0,
+        )
+    )
+
     def nrt_incremental(s, d):
         """Incremental (2-batch append + commit) build must be
         query-identical to the batch oracle over the full table."""
@@ -840,6 +854,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("lang")
 
     q["json_roundtrip_ingest"] = json_roundtrip
+
+    def javabin_roundtrip(s, d):
+        """JavaBin writer → JavabinLoader roundtrip: one marshalled
+        SolrDocumentList file per partition, decoded distributed
+        (from-scratch JavaBinCodec.java wire format — see
+        solr_spark/sources/javabin.py; handler/loader/JavabinLoader.java)."""
+        import shutil
+
+        from solr_spark.sources import load_javabin, write_javabin
+
+        docs = _read(s, d, "documents").select("doc_id", "lang", "n_chars")
+        tmp = f"/tmp/solr_spark_entry_javabin_{os.path.basename(os.path.normpath(d))}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_javabin(docs, tmp)
+        back = load_javabin(s, tmp, "doc_id long, lang string, n_chars long")
+        return back.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        ).orderBy("lang")
+
+    q["javabin_roundtrip_ingest"] = javabin_roundtrip
+
+    def cbor_roundtrip(s, d):
+        """CBOR writer → CborLoader roundtrip: one RFC 8949 array-of-
+        doc-maps file per partition (handler/loader/CborLoader.java:54;
+        from-scratch codec in solr_spark/sources/cbor.py)."""
+        import shutil
+
+        from solr_spark.sources import load_cbor, write_cbor
+
+        docs = _read(s, d, "documents").select("doc_id", "lang", "n_chars")
+        tmp = f"/tmp/solr_spark_entry_cbor_{os.path.basename(os.path.normpath(d))}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_cbor(docs, tmp)
+        back = load_cbor(s, tmp, "doc_id long, lang string, n_chars long")
+        return back.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        ).orderBy("lang")
+
+    q["cbor_roundtrip_ingest"] = cbor_roundtrip
 
     def parse_csv_q(s, d):
         """parseCSV/parseTSV stream evaluator analog: typed parse of a
@@ -2456,6 +2511,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang ORDER BY lang
     """
+    o["javabin_roundtrip_ingest"] = """
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """
+    o["cbor_roundtrip_ingest"] = """
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """
     o["parse_csv_stream"] = """
         SELECT lang, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -2666,6 +2731,16 @@ FROM documents
 ORDER BY CAST(n_chars AS DOUBLE) / (n_chars + 100.0) DESC, doc_id ASC
 LIMIT 10
 """.strip()
+    o["rank_feature_sigm"] = """
+SELECT doc_id,
+       ROUND(2.0 * pow(n_chars, 2.0) / (pow(n_chars, 2.0) + pow(500.0, 2.0)), 6) AS score
+FROM documents
+ORDER BY 2.0 * pow(n_chars, 2.0) / (pow(n_chars, 2.0) + pow(500.0, 2.0)) DESC, doc_id ASC
+LIMIT 10
+""".strip()
+    o["rank_boost_log"] = rank_boost_log_sql(
+        tok.tokenize_py("table"), weight=0.3, scaling=1.0
+    )
 
     # incremental build == batch build == the same SQL oracle
     o["nrt_incremental_bm25"] = bm25_topk_sql(tok.tokenize_py(_Q_OR), "OR")

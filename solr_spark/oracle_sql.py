@@ -609,6 +609,20 @@ FROM sc JOIN documents USING (doc_id)
 ORDER BY {boosted} DESC, sc.doc_id ASC LIMIT {k}"""
 
 
+def rank_boost_log_sql(terms: list[str], weight: float, scaling: float,
+                       k: int = 10, chain: AnalyzerChain = CODE_CHAIN) -> str:
+    """{!rank function=log} combined additively with BM25 (rank_boost_topk
+    oracle): f32(f32(bm25) + f32(w*ln(scaling+n_chars)))."""
+    comb = (f"CAST(CAST(CAST(score_raw AS REAL) AS DOUBLE)"
+            f" + CAST(CAST({weight} * ln({scaling} + n_chars) AS REAL) AS DOUBLE)"
+            f" AS REAL)")
+    return f"""WITH {_prelude(chain)},
+{_scored('sc', _inlist(terms))}
+SELECT sc.doc_id, ROUND(CAST({comb} AS DOUBLE), 4) AS score
+FROM sc JOIN documents USING (doc_id)
+ORDER BY {comb} DESC, sc.doc_id ASC LIMIT {k}"""
+
+
 def near_topk_sql(
     words: list[str], window: int, k: int = 10, chain: AnalyzerChain = CODE_CHAIN
 ) -> str:

@@ -446,24 +446,102 @@ def highlight_topk(
     )
 
 
+def rank_feature_score(
+    feature: Column,
+    function: str = "satu",
+    weight: float = 1.0,
+    pivot: float | None = None,
+    scaling_factor: float = 1.0,
+    exponent: float = 1.0,
+) -> Column:
+    """The four Lucene FeatureField scoring functions behind
+    ``{!rank f=… function=…}`` (``search/RankQParserPlugin.java:51-120``),
+    as one JVM column expression —
+    ``satu``: w·v/(v+pivot) · ``linear``: w·v ·
+    ``log``: w·ln(scalingFactor+v) · ``sigm``: w·vᵉ/(vᵉ+pivotᵉ).
+    Parameter names and required-param errors mirror the reference
+    (pivot mandatory for sigm, and for satu whenever weight ≠ 1 —
+    RankQParserPlugin's SyntaxError cases; the reference's no-pivot satu
+    default derives pivot from index stats at rewrite, which here is the
+    caller computing it from the corpus)."""
+    v = feature.cast("double")
+    w = F.lit(float(weight))
+    if function == "satu":
+        if pivot is None:
+            if weight != 1.0:
+                raise ValueError(
+                    'rank: a pivot value is required if weight is not 1 on "satu"'
+                )
+            pivot = 1.0
+        return w * v / (v + F.lit(float(pivot)))
+    if function == "linear":
+        return w * v
+    if function == "log":
+        return w * F.log(F.lit(float(scaling_factor)) + v)
+    if function == "sigm":
+        if pivot is None:
+            raise ValueError('rank: a pivot value is required when using "sigm"')
+        ve = F.pow(v, F.lit(float(exponent)))
+        pe = float(pivot) ** float(exponent)
+        return w * ve / (ve + F.lit(pe))
+    raise ValueError(f"rank: unknown function {function!r} (satu|linear|log|sigm)")
+
+
 def rank_feature(
     df: DataFrame, feature_col: str, function: str = "satu",
     k_param: float = 1.0, a_param: float = 1.0, id_col: str = "doc_id", k: int = 10,
+    weight: float = 1.0, exponent: float = 1.0,
 ) -> DataFrame:
     """RankQParserPlugin analog (``search/RankQParserPlugin.java``,
     Lucene FeatureField): rank docs purely by a stored numeric feature
-    through one of the frozen saturation functions —
-    ``satu``: f/(f+k) · ``log``: ln(a+f) · ``linear``: f.
+    through one of the frozen saturation functions (``k_param`` is the
+    satu/sigm pivot, ``a_param`` the log scalingFactor).
     Pure column expression → TakeOrderedAndProject; the feature column
     is the only one read (column pruning)."""
-    f = F.col(feature_col).cast("double")
-    score = {
-        "satu": f / (f + F.lit(float(k_param))),
-        "log": F.log(F.lit(float(a_param)) + f),
-        "linear": f,
-    }[function]
+    score = rank_feature_score(
+        F.col(feature_col), function,
+        weight=weight, pivot=k_param, scaling_factor=a_param, exponent=exponent,
+    )
     return (
         df.select(F.col(id_col).alias("doc_id"), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def rank_boost_topk(
+    engine: SearchEngine,
+    query: str,
+    feature_df: DataFrame,
+    feature_col: str,
+    function: str = "satu",
+    weight: float = 1.0,
+    pivot: float | None = None,
+    scaling_factor: float = 1.0,
+    exponent: float = 1.0,
+    k: int = 10,
+) -> DataFrame:
+    """The reference's intended ``{!rank}`` usage: additively combined
+    with a main query (a SHOULD clause / ``bq`` — RankQParserPlugin's
+    javadoc pairs it with minExactCount + BlockMax-WAND so the rank
+    contribution participates in pruning). Here: f32(bm25) + f32(rank),
+    one broadcast-or-shuffle join keyed doc_id, then
+    TakeOrderedAndProject. Docs missing the feature contribute 0,
+    matching FeatureField's missing-value semantics."""
+    scores = engine.score_all(engine._term_stats(engine.analyze_query(query)))
+    rank = rank_feature_score(
+        F.col(feature_col), function,
+        weight=weight, pivot=pivot, scaling_factor=scaling_factor, exponent=exponent,
+    )
+    feat = feature_df.select("doc_id", rank.cast("float").alias("_rank"))
+    return (
+        scores.join(feat, "doc_id", "left")
+        .withColumn(
+            "score",
+            (_f32(F.col("score_raw").cast("float"))
+             + F.coalesce(_f32(F.col("_rank")), F.lit(0.0))).cast("float"),
+        )
+        .select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

@@ -1,3 +1,10 @@
+from solr_spark.sources.cbor import cbor_decode, cbor_encode, load_cbor, write_cbor
+from solr_spark.sources.javabin import (
+    JavaBinDecoder,
+    JavaBinEncoder,
+    load_javabin,
+    write_javabin,
+)
 from solr_spark.sources.loaders import (
     load_csv_docs,
     load_json_docs,
@@ -14,4 +21,12 @@ __all__ = [
     "write_response_json",
     "write_response_csv",
     "write_update_xml",
+    "JavaBinEncoder",
+    "JavaBinDecoder",
+    "load_javabin",
+    "write_javabin",
+    "cbor_encode",
+    "cbor_decode",
+    "load_cbor",
+    "write_cbor",
 ]

@@ -12,9 +12,10 @@ across formats.
 The XML loader/writer speak Solr's ``<add><doc><field name=…>`` update
 format; parsing uses the stdlib ``xml.etree`` inside an Arrow-batched
 ``mapInPandas`` (one file per row via ``wholetext``) — no external
-spark-xml package. Javabin/CBOR loaders are n/a (Parquet/Iceberg is the
-native binary path); the Tika extraction module is out of scope
-(SURVEY.md §2.1).
+spark-xml package. The javabin and CBOR binary formats live in their
+own modules (``javabin.py``, ``cbor.py`` — from-scratch codecs with
+distributed file readers/writers); the Tika extraction module is out
+of scope (SURVEY.md §2.1).
 """
 
 from __future__ import annotations

@@ -52,3 +52,121 @@ def test_xml_loader_accepts_add_wrapper(spark):
         f.write("</add>\n")
     back = load_xml_docs(spark, d, schema="doc_id long, lang string")
     assert [tuple(r) for r in back.collect()] == [(11, "en")]
+
+
+# ---------------------------------------------------------------------------
+# javabin — pure-codec vectors + distributed roundtrip
+# ---------------------------------------------------------------------------
+
+
+def test_javabin_codec_wire_vectors():
+    """Byte-level pins against JavaBinCodec's documented layout
+    (writeTag/writeInt/writeStr, JavaBinCodec.java:663,1167)."""
+    from solr_spark.sources import JavaBinDecoder, JavaBinEncoder
+
+    # SINT packing: 7 -> one byte (2<<5)|7 = 0x47
+    e = JavaBinEncoder(); e.write_int(7)
+    assert bytes(e._buf) == bytes([0x47])
+    # SINT with continuation: 300 = 0x12C -> low4=0xC, flag 0x10, vint(300>>4=18)
+    e = JavaBinEncoder(); e.write_int(300)
+    assert bytes(e._buf) == bytes([(2 << 5) | 0x10 | 0x0C, 18])
+    # negative int -> tag INT + 4-byte BE
+    e = JavaBinEncoder(); e.write_int(-2)
+    assert bytes(e._buf) == bytes([6, 0xFF, 0xFF, 0xFF, 0xFE])
+    # STR size in UTF-8 bytes: 'é' is 2 bytes -> tag (1<<5)|2
+    e = JavaBinEncoder(); e.write_str("é")
+    assert bytes(e._buf) == bytes([(1 << 5) | 2, 0xC3, 0xA9])
+    # size >= 0x1f escapes to vint continuation
+    s = "x" * 40
+    e = JavaBinEncoder(); e.write_str(s)
+    assert bytes(e._buf)[:2] == bytes([(1 << 5) | 0x1F, 40 - 0x1F]) and len(e._buf) == 42
+
+    def rt(v):
+        enc = JavaBinEncoder()
+        enc._buf.append(2)  # version
+        enc.write_val(v)
+        return JavaBinDecoder(bytes(enc._buf)).unmarshal()
+
+    for v in [None, True, False, 0, 7, -7, 2**40, -(2**40), 3.25, "héllo",
+              b"\x00\x01", [1, "a", None], {"k": [1.5, "v"]}]:
+        got = rt(v)
+        if isinstance(v, dict):
+            assert got == v
+        else:
+            assert got == v and type(got) is type(v) or got == v
+
+
+def test_javabin_extern_string_interning():
+    """Repeated map keys write once, then back-reference (EXTERN_STRING)."""
+    from solr_spark.sources import JavaBinDecoder, JavaBinEncoder
+
+    docs = [{"doc_id": i, "lang": "en"} for i in range(50)]
+    payload = JavaBinEncoder().marshal_doc_list(docs)
+    # 'doc_id' (6 chars) appears once as raw bytes in the whole stream
+    assert payload.count(b"doc_id") == 1 and payload.count(b"lang") == 1
+    back = JavaBinDecoder(payload).unmarshal()
+    assert back["numFound"] == 50 and back["docs"] == docs
+
+
+def test_javabin_spark_roundtrip(spark):
+    import shutil
+
+    from solr_spark.sources import load_javabin, write_javabin
+
+    d = "/tmp/solr_spark_javabin_test"
+    shutil.rmtree(d, ignore_errors=True)
+    df = spark.createDataFrame(
+        [(1, "en", 3.5, None), (2, None, -0.25, 42), (3, "zh", 0.0, 7)],
+        "doc_id long, lang string, score double, n int",
+    ).repartition(2)
+    write_javabin(df, d)
+    back = load_javabin(spark, d, "doc_id long, lang string, score double, n int")
+    got = sorted([tuple(r) for r in back.collect()])
+    assert got == [(1, "en", 3.5, None), (2, None, -0.25, 42), (3, "zh", 0.0, 7)]
+
+
+# ---------------------------------------------------------------------------
+# CBOR — RFC 8949 vectors + distributed roundtrip
+# ---------------------------------------------------------------------------
+
+
+def test_cbor_rfc8949_vectors():
+    """Appendix-A test vectors from RFC 8949 (public spec)."""
+    from solr_spark.sources import cbor_decode, cbor_encode
+
+    vectors = [
+        (0, "00"), (1, "01"), (10, "0a"), (23, "17"), (24, "1818"),
+        (100, "1864"), (1000, "1903e8"), (1000000, "1a000f4240"),
+        (-1, "20"), (-10, "29"), (-100, "3863"),
+        ("a", "6161"), ("IETF", "6449455446"),
+        (True, "f5"), (False, "f4"),
+    ]
+    for v, hexs in vectors:
+        assert cbor_encode(v).hex() == hexs, v
+        assert cbor_decode(bytes.fromhex(hexs)) == v, v
+    assert cbor_encode(None).hex() == "f6" and cbor_decode(b"\xf6") is None
+    assert cbor_encode([1, [2, 3], [4, 5]]).hex() == "8301820203820405"
+    assert cbor_decode(bytes.fromhex("8301820203820405")) == [1, [2, 3], [4, 5]]
+    assert cbor_encode({"a": 1, "b": [2, 3]}).hex() == "a26161016162820203"
+    assert cbor_decode(bytes.fromhex("a26161016162820203")) == {"a": 1, "b": [2, 3]}
+    assert cbor_encode(1.1).hex() == "fb3ff199999999999a"
+    assert cbor_decode(bytes.fromhex("fb3ff199999999999a")) == 1.1
+    # float16 decode path (spec-legal input we never emit)
+    assert cbor_decode(bytes.fromhex("f93c00")) == 1.0
+
+
+def test_cbor_spark_roundtrip(spark):
+    import shutil
+
+    from solr_spark.sources import load_cbor, write_cbor
+
+    d = "/tmp/solr_spark_cbor_test"
+    shutil.rmtree(d, ignore_errors=True)
+    df = spark.createDataFrame(
+        [(1, "en", 3.5), (2, None, -0.25), (3, "zh", 0.0)],
+        "doc_id long, lang string, score double",
+    ).repartition(2)
+    write_cbor(df, d)
+    back = load_cbor(spark, d, "doc_id long, lang string, score double")
+    got = sorted([tuple(r) for r in back.collect()])
+    assert got == [(1, "en", 3.5), (2, None, -0.25), (3, "zh", 0.0)]
