@@ -1526,6 +1526,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_corr_matrix"] = eval_corr_matrix
 
+    q["eval_oscillate"] = lambda s, d: ev.oscillate(
+        s, 32, amplitude=2.5, angular_freq=0.4, phase=1.0
+    ).select("i", F.round("wave", 6).alias("wave")).orderBy("i")
+
+    q["eval_primes"] = lambda s, d: ev.primes(s, 200)
+
+    q["eval_montecarlo"] = lambda s, d: ev.montecarlo_exponential(
+        s, 10_000, lam=0.5, moment=2
+    ).select(
+        "n",
+        F.round("estimate", 4).alias("estimate"),
+        F.round("stddev", 4).alias("stddev"),
+    )
+
+    def eval_precision(s, d):
+        out = ev.precision_matrix(
+            _read(s, d, "lineitem").withColumn(
+                "y", F.col("l_extendedprice") / F.lit(1000.0)
+            ),
+            "l_quantity", "y",
+        )
+        return out.select(
+            F.round("p_xx", 8).alias("p_xx"),
+            F.round("p_xy", 8).alias("p_xy"),
+            F.round("p_yy", 8).alias("p_yy"),
+        )
+
+    q["eval_precision_matrix"] = eval_precision
+
+    def eval_pair_sort(s, d):
+        base = _read(s, d, "documents").where(F.col("doc_id") <= 10).select(
+            "doc_id",
+            F.array(
+                (F.col("n_chars") % 7).cast("long"),
+                (F.col("n_chars") % 5).cast("long"),
+                (F.col("n_chars") % 3).cast("long"),
+            ).alias("k"),
+            F.array(F.lit(1).cast("long"), F.lit(2).cast("long"), F.lit(3).cast("long")).alias("v"),
+        )
+        return ev.pair_sort(base, "k", "v").select(
+            "doc_id", "sorted_keys", "sorted_vals"
+        ).orderBy("doc_id")
+
+    q["eval_pair_sort"] = eval_pair_sort
+
     def _daily_ab(s, d):
         """Paired daily (click, error) count series — shared input for the
         distance / paired-t-test / KS evaluator entries."""
@@ -3282,6 +3327,48 @@ SELECT l_returnflag,
 FROM agg ORDER BY l_returnflag
 """.strip()
     _cm_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    o["eval_oscillate"] = """
+SELECT CAST(i AS BIGINT) AS i, ROUND(2.5 * sin(0.4 * i + 1.0), 6) AS wave
+FROM range(32) t(i) ORDER BY i
+""".strip()
+    o["eval_primes"] = """
+SELECT CAST(c AS BIGINT) AS c FROM range(2, 201) t(c)
+WHERE NOT EXISTS (
+  SELECT 1 FROM range(2, 15) u(d) WHERE c % d = 0 AND c <> d
+) ORDER BY c
+""".strip()
+    o["eval_montecarlo"] = """
+WITH s AS (
+  SELECT (((i + 1) * 2654435761) % 4294967296 + 0.5) / 4294967296.0 AS u
+  FROM range(10000) t(i)),
+g AS (SELECT pow(-ln(1.0 - u) / 0.5, 2.0) AS g FROM s)
+SELECT count(*) AS n, ROUND(avg(g), 4) AS estimate,
+       ROUND(stddev_samp(g), 4) AS stddev
+FROM g
+""".strip()
+    o["eval_precision_matrix"] = """
+WITH st AS (
+  SELECT var_samp(l_quantity) AS vx,
+         var_samp(l_extendedprice / 1000.0) AS vy,
+         covar_samp(l_quantity, l_extendedprice / 1000.0) AS cxy
+  FROM lineitem)
+SELECT ROUND(vy / (vx * vy - cxy * cxy), 8) AS p_xx,
+       ROUND(-cxy / (vx * vy - cxy * cxy), 8) AS p_xy,
+       ROUND(vx / (vx * vy - cxy * cxy), 8) AS p_yy
+FROM st
+""".strip()
+    o["eval_pair_sort"] = """
+WITH base AS (
+  SELECT doc_id,
+         [n_chars % 7, n_chars % 5, n_chars % 3] AS k,
+         [CAST(1 AS BIGINT), 2, 3] AS v
+  FROM documents WHERE doc_id <= 10),
+ex AS (SELECT doc_id, unnest(k) AS kk, unnest(v) AS vv FROM base)
+SELECT doc_id,
+       array_agg(kk ORDER BY kk, vv) AS sorted_keys,
+       array_agg(vv ORDER BY kk, vv) AS sorted_vals
+FROM ex GROUP BY doc_id ORDER BY doc_id
+""".strip()
     o["eval_corr_matrix"] = " UNION ALL ".join(
         f"(SELECT '{cx}' AS col_x, '{cy}' AS col_y, "
         f"ROUND(corr({cx}, {cy}), 4) + 0.0 AS corr, "

@@ -2199,3 +2199,90 @@ def enclosing_disk(
             F.sqrt(F.col("r2")).alias("radius"),
         )
     )
+
+
+def oscillate(spark, n: int, amplitude: float, angular_freq: float, phase: float) -> DataFrame:
+    """OscillateEvaluator analog (``io/eval/OscillateEvaluator.java``;
+    the harmonic-fit accessors GetAmplitude/GetAngularFrequency/GetPhase
+    read these back from :func:`harmonic_fit`): sample the sinusoid
+    A·sin(ω·i + φ) at i = 0..n-1. ``spark.range`` partitions the domain
+    so generation is distributed; the wave is a pure JVM expression."""
+    i = F.col("id").cast("double")
+    return spark.range(n).select(
+        F.col("id").alias("i"),
+        (F.lit(float(amplitude))
+         * F.sin(F.lit(float(angular_freq)) * i + F.lit(float(phase)))).alias("wave"),
+    )
+
+
+def primes(spark, limit: int) -> DataFrame:
+    """PrimesEvaluator analog (``io/eval/PrimesEvaluator.java`` — the
+    reference enumerates primes driver-side with commons-math): all
+    primes ≤ limit, as a distributed sieve join — candidates 2..limit
+    LEFT ANTI JOIN their nontrivial divisors 2..√limit on c % d = 0.
+    The divisor side is tiny (√limit rows) so Spark broadcasts it; the
+    candidate scan partitions with ``spark.range``. No driver loop."""
+    import math
+
+    cand = spark.range(2, limit + 1).select(F.col("id").alias("c"))
+    div = spark.range(2, int(math.isqrt(limit)) + 1).select(F.col("id").alias("d"))
+    composite = (F.col("c") % F.col("d") == 0) & (F.col("c") != F.col("d"))
+    return cand.join(F.broadcast(div), composite, "left_anti").orderBy("c")
+
+
+def montecarlo_exponential(
+    spark, n: int, lam: float, moment: int = 2
+) -> DataFrame:
+    """MonteCarloEvaluator analog (``io/eval/MonteCarloEvaluator.java``
+    runs a lambda over per-iteration distribution samples, driver-side):
+    estimate E[Xᵐ] for X ~ Exponential(λ) by inverse-CDF sampling,
+    distributed over ``spark.range``. The uniforms are a DETERMINISTIC
+    Weyl/multiplicative sequence u_i = ((i+1)·2654435761 mod 2³²+0.5)/2³²
+    — pure integer arithmetic both engines reproduce bit-identically, so
+    the estimate is oracle-checkable (the reference's PRNG stream is
+    just as fixed, only seeded differently). X = −ln(1−u)/λ."""
+    knuth = F.lit(2654435761)
+    u = (((F.col("id") + 1) * knuth) % F.lit(2**32) + F.lit(0.5)) / F.lit(float(2**32))
+    x = -F.log(F.lit(1.0) - u) / F.lit(float(lam))
+    g = F.pow(x, F.lit(float(moment)))
+    return spark.range(n).select(g.alias("g")).agg(
+        F.count("*").alias("n"),
+        F.avg("g").alias("estimate"),
+        F.stddev_samp("g").alias("stddev"),
+    )
+
+
+def precision_matrix(df: DataFrame, x: str, y: str) -> DataFrame:
+    """PrecisionEvaluator analog (``io/eval/PrecisionEvaluator.java`` —
+    commons-math inverts the covariance matrix driver-side): the 2×2
+    precision (inverse sample-covariance) matrix in closed form from ONE
+    distributed aggregation — inv = 1/det·[[v_y, −c], [−c, v_x]] with
+    det = v_x·v_y − c². Higher dimensions use :func:`corr_matrix`'s k²
+    aggregate expressions + a driver-side O(k³) inverse on the k×k
+    result (constant cost at any corpus size)."""
+    stats = df.agg(
+        F.var_samp(x).alias("vx"),
+        F.var_samp(y).alias("vy"),
+        F.covar_samp(x, y).alias("cxy"),
+    )
+    det = F.col("vx") * F.col("vy") - F.col("cxy") * F.col("cxy")
+    return stats.select(
+        (F.col("vy") / det).alias("p_xx"),
+        (-F.col("cxy") / det).alias("p_xy"),
+        (F.col("vx") / det).alias("p_yy"),
+    )
+
+
+def pair_sort(df: DataFrame, key_arr: str, val_arr: str) -> DataFrame:
+    """PairSortEvaluator analog (``io/eval/PairSortEvaluator.java``):
+    sort two parallel numeric arrays by the first. ``arrays_zip`` +
+    ``sort_array`` orders struct elements field-by-field (key, then
+    value — the reference's tie behavior is unspecified; value-order
+    ties are frozen here), then the halves are re-projected with
+    ``transform``. All JVM higher-order functions, no Python."""
+    zipped = F.sort_array(F.arrays_zip(F.col(key_arr), F.col(val_arr)))
+    return df.withColumn("_z", zipped).select(
+        *df.columns,
+        F.transform("_z", lambda s: s[key_arr]).alias("sorted_keys"),
+        F.transform("_z", lambda s: s[val_arr]).alias("sorted_vals"),
+    ).drop("_z")
