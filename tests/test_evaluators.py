@@ -1018,3 +1018,46 @@ def test_enclosing_disk_square(spark):
     assert abs(row["center_x"] - 5.0) < 1e-9
     assert abs(row["center_y"] - 5.0) < 1e-9
     assert abs(row["radius"] - math.sqrt(50.0)) < 1e-9
+
+
+def test_oscillate_matches_numpy(spark):
+    out = ev.oscillate(spark, 16, amplitude=2.5, angular_freq=0.4, phase=1.0).orderBy("i").collect()
+    i = np.arange(16)
+    expect = 2.5 * np.sin(0.4 * i + 1.0)
+    np.testing.assert_allclose([r["wave"] for r in out], expect, rtol=1e-12)
+
+
+def test_primes_first_values(spark):
+    got = [r["c"] for r in ev.primes(spark, 50).collect()]
+    assert got == [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47]
+
+
+def test_montecarlo_converges_to_second_moment(spark):
+    # E[X^2] for Exponential(lambda=0.5) is 2/lambda^2 = 8
+    row = ev.montecarlo_exponential(spark, 50_000, lam=0.5, moment=2).collect()[0]
+    assert row["n"] == 50_000
+    assert abs(row["estimate"] - 8.0) < 0.3
+
+
+def test_precision_matrix_is_covariance_inverse(spark):
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 2, 500)
+    y = 0.5 * x + rng.normal(0, 1, 500)
+    df = spark.createDataFrame(pd.DataFrame({"x": x, "y": y})).repartition(4)
+    row = ev.precision_matrix(df, "x", "y").collect()[0]
+    cov = np.cov(np.vstack([x, y]))  # sample covariance (ddof=1)
+    inv = np.linalg.inv(cov)
+    np.testing.assert_allclose(
+        [row["p_xx"], row["p_xy"], row["p_yy"]],
+        [inv[0, 0], inv[0, 1], inv[1, 1]], rtol=1e-9,
+    )
+
+
+def test_pair_sort_parallel_arrays(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 1.0, 2.0], [30.0, 10.0, 20.0])],
+        "rid long, k array<double>, v array<double>",
+    )
+    row = ev.pair_sort(df, "k", "v").collect()[0]
+    assert row["sorted_keys"] == [1.0, 2.0, 3.0]
+    assert row["sorted_vals"] == [10.0, 20.0, 30.0]

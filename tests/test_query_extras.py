@@ -151,3 +151,31 @@ def test_interleave_team_draft_properties(engine):
     assert rows[0]["team"] == "A" and rows[0]["slot"] == 1
     top_a = engine.topk("server client", k=1).collect()[0]["doc_id"]
     assert rows[0]["doc_id"] == top_a
+
+
+def test_rank_feature_score_functions(spark):
+    from solr_spark.query.extras import rank_feature_score
+    import math
+
+    df = spark.createDataFrame([(1, 100.0)], "doc_id long, f double")
+    def val(col):
+        return df.select(col.alias("s")).collect()[0]["s"]
+
+    assert abs(val(rank_feature_score(F.col("f"), "satu", pivot=50.0)) - 100.0 / 150.0) < 1e-12
+    assert abs(val(rank_feature_score(F.col("f"), "linear", weight=2.0)) - 200.0) < 1e-12
+    assert abs(val(rank_feature_score(F.col("f"), "log", weight=3.0, scaling_factor=1.0))
+               - 3.0 * math.log(101.0)) < 1e-12
+    got = val(rank_feature_score(F.col("f"), "sigm", pivot=100.0, exponent=2.0))
+    assert abs(got - 0.5) < 1e-12
+
+
+def test_rank_feature_required_params_mirror_reference():
+    from solr_spark.query.extras import rank_feature_score
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pivot"):
+        rank_feature_score(F.lit(1.0), "satu", weight=2.0)   # weight != 1, no pivot
+    with _pytest.raises(ValueError, match="pivot"):
+        rank_feature_score(F.lit(1.0), "sigm", exponent=2.0)
+    with _pytest.raises(ValueError, match="unknown function"):
+        rank_feature_score(F.lit(1.0), "cube")
