@@ -1399,6 +1399,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_anova"] = eval_anova
 
+    def eval_multi_kmeans(s, d):
+        """MultiKmeansEvaluator analog (io/eval/MultiKmeansEvaluator.java):
+        R restarts of one Lloyd step fused into a single aggregation job;
+        the lowest-WCSS restart wins (ties -> lowest restart id)."""
+        out = ev.multi_kmeans_step_1d(
+            _read(s, d, "lineitem"), "l_quantity",
+            [[10.0, 25.0, 40.0], [0.0, 100.0]],
+        )
+        return out.select(
+            "restart", "cluster", "n",
+            F.round("new_centroid", 4).alias("new_centroid"),
+            F.round("wcss", 4).alias("wcss"),
+        ).orderBy("cluster")
+
+    q["eval_multi_kmeans"] = eval_multi_kmeans
+
     def eval_moments(s, d):
         """Skewness / excess-kurtosis / geometric / harmonic means from
         raw power sums (price pre-scaled by 1e4 — the moments are
@@ -3235,6 +3251,26 @@ st AS (SELECT sum(ng * (mg - s/n) * (mg - s/n)) AS ssb,
 SELECT ROUND((ssb / (k-1)) / (ssw / (n-k)), 6) AS f_stat,
        k - 1 AS df1, n - k AS df2
 FROM st
+""".strip()
+    o["eval_multi_kmeans"] = """
+WITH x AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+           WHERE l_quantity IS NOT NULL),
+a AS (SELECT v,
+  CASE WHEN abs(v-10.0) <= abs(v-25.0) AND abs(v-10.0) <= abs(v-40.0) THEN 0
+       WHEN abs(v-25.0) <= abs(v-40.0) THEN 1 ELSE 2 END AS c0,
+  LEAST(abs(v-10.0), abs(v-25.0), abs(v-40.0)) AS d0,
+  CASE WHEN abs(v-0.0) <= abs(v-100.0) THEN 0 ELSE 1 END AS c1,
+  LEAST(abs(v-0.0), abs(v-100.0)) AS d1
+FROM x),
+w AS (SELECT sum(d0*d0) AS w0, sum(d1*d1) AS w1 FROM a),
+best AS (SELECT CASE WHEN w0 <= w1 THEN 0 ELSE 1 END AS br,
+                CASE WHEN w0 <= w1 THEN w0 ELSE w1 END AS bw FROM w)
+SELECT best.br AS restart,
+       CASE WHEN best.br = 0 THEN a.c0 ELSE a.c1 END AS cluster,
+       count(*) AS n, ROUND(avg(a.v), 4) AS new_centroid,
+       ROUND(best.bw, 4) AS wcss
+FROM a CROSS JOIN best
+GROUP BY best.br, 2, best.bw ORDER BY cluster
 """.strip()
     o["eval_moments"] = """
 WITH li AS (SELECT l_returnflag, l_extendedprice / 10000.0 AS x FROM lineitem),

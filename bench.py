@@ -173,6 +173,16 @@ def main() -> None:
     total = time.time() - t_total
     steal1, ticks1 = _cpu_ticks()
     steal_frac = (steal1 - steal0) / max(1, ticks1 - ticks0)
+    control_end = _platform_control()
+    # Window-normalized throughput: docs/sec per control pass/sec (8-wide
+    # aggregate, averaged over the bracketing probes). Engine docs/sec
+    # tracks the control within ~10% across throttle windows (BASELINE.md
+    # correlation evidence), so this ratio is comparable across BENCH
+    # rows even when the host's bandwidth budget shifts between rounds.
+    ctrl_avg = (
+        control_start["sort_passes_per_sec_8w_agg"]
+        + control_end["sort_passes_per_sec_8w_agg"]
+    ) / 2.0
     print(
         json.dumps(
             {
@@ -187,8 +197,11 @@ def main() -> None:
                 "host_steal_frac": round(steal_frac, 4),
                 "platform_control": {
                     "start": control_start,
-                    "end": _platform_control(),
+                    "end": control_end,
                 },
+                "docs_per_sec_per_control": round(docs_per_sec / ctrl_avg, 1)
+                if ctrl_avg > 0
+                else None,
                 "scaling": scaling,
             }
         )

@@ -2286,3 +2286,52 @@ def pair_sort(df: DataFrame, key_arr: str, val_arr: str) -> DataFrame:
         F.transform("_z", lambda s: s[key_arr]).alias("sorted_keys"),
         F.transform("_z", lambda s: s[val_arr]).alias("sorted_vals"),
     ).drop("_z")
+
+
+def multi_kmeans_step_1d(
+    df: DataFrame, val_col: str, restarts: list[list[float]]
+) -> DataFrame:
+    """MultiKmeansEvaluator analog (``io/eval/MultiKmeansEvaluator.java``
+    — commons-math MultiKMeansPlusPlusClusterer runs K restarts and
+    keeps the lowest within-cluster-sum-of-squares): R restarts × one
+    Lloyd step, FUSED into a single aggregation pass — for each restart
+    the argmin assignment, per-cluster sums and the WCSS are all JVM
+    expressions over the same scan, so R restarts cost one job, not R.
+    Returns the winning restart's id, its WCSS, and each cluster's size
+    and updated centroid."""
+    x = F.col(val_col).cast("double")
+    aggs = []
+    for r, cents in enumerate(restarts):
+        dists = [F.abs(x - F.lit(float(c))) for c in cents]
+        best = F.least(*dists)
+        aggs.append(F.sum(best * best).alias(f"_wcss{r}"))
+        for j in range(len(cents)):
+            is_j = dists[j] == best
+            for jj in range(j):  # ties go to the LOWEST cluster id
+                is_j = is_j & (dists[jj] != best)
+            aggs += [
+                F.sum(F.when(is_j, 1).otherwise(0)).alias(f"_n{r}_{j}"),
+                F.sum(F.when(is_j, x)).alias(f"_s{r}_{j}"),
+            ]
+    wide = df.where(x.isNotNull()).agg(*aggs)
+    wcss = F.array(*[F.col(f"_wcss{r}") for r in range(len(restarts))])
+    best_r = F.lit(0)
+    for r in range(len(restarts) - 1, -1, -1):
+        best_r = F.when(F.col(f"_wcss{r}") == F.array_min(wcss), F.lit(r)).otherwise(best_r)
+    rows = []
+    for r, cents in enumerate(restarts):
+        for j in range(len(cents)):
+            rows.append(
+                F.struct(
+                    F.lit(r).alias("restart"),
+                    F.lit(j).alias("cluster"),
+                    F.col(f"_n{r}_{j}").alias("n"),
+                    (F.col(f"_s{r}_{j}") / F.col(f"_n{r}_{j}")).alias("new_centroid"),
+                    F.col(f"_wcss{r}").alias("wcss"),
+                )
+            )
+    return (
+        wide.select(best_r.alias("_best"), F.explode(F.array(*rows)).alias("r"))
+        .where((F.col("r.restart") == F.col("_best")) & (F.col("r.n") > 0))
+        .select("r.restart", "r.cluster", "r.n", "r.new_centroid", "r.wcss")
+    )

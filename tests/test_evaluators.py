@@ -1061,3 +1061,30 @@ def test_pair_sort_parallel_arrays(spark):
     row = ev.pair_sort(df, "k", "v").collect()[0]
     assert row["sorted_keys"] == [1.0, 2.0, 3.0]
     assert row["sorted_vals"] == [10.0, 20.0, 30.0]
+
+
+def test_multi_kmeans_picks_lowest_wcss_restart(spark):
+    vals = [1.0, 2.0, 3.0, 9.0, 10.0, 30.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    # restart 0 is a bad init (all mass near one centroid); restart 1 is
+    # the good init used in the single-restart test.
+    rows = ev.multi_kmeans_step_1d(
+        df, "v", [[100.0, 200.0], [2.0, 9.5, 30.0]]
+    ).collect()
+    assert all(r["restart"] == 1 for r in rows)
+    got = {r["cluster"]: (r["n"], r["new_centroid"]) for r in rows}
+    assert got[0] == (3, pytest.approx(2.0))
+    assert got[1] == (2, pytest.approx(9.5))
+    assert got[2] == (1, pytest.approx(30.0))
+    # WCSS of the winner: sum of squared dists to nearest good centroid
+    import numpy as _np
+
+    d = _np.abs(_np.array(vals)[:, None] - _np.array([2.0, 9.5, 30.0])).min(axis=1)
+    assert rows[0]["wcss"] == pytest.approx(float((d * d).sum()))
+
+
+def test_multi_kmeans_tie_goes_to_lowest_restart_and_drops_empty(spark):
+    df = spark.createDataFrame([(5.0,)], "v double")
+    rows = ev.multi_kmeans_step_1d(df, "v", [[5.0, 99.0], [5.0, 99.0]]).collect()
+    assert [r["restart"] for r in rows] == [0]  # identical WCSS -> restart 0
+    assert [r["cluster"] for r in rows] == [0]  # empty cluster 1 dropped
