@@ -1415,6 +1415,150 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_multi_kmeans"] = eval_multi_kmeans
 
+    # --- registry evaluators (the Lang.java long tail: scalar, temporal,
+    #     array, vector-distance, matrix — solr_spark/evaluator_registry) ---
+    from solr_spark.evaluator_registry import ev as evr
+
+    def eval_registry_scalars(s, d):
+        """Scalar evaluator slice (Add/Subtract/Modulo/CubedRoot/Log10/
+        Power/Round/Factorial/BinomialCoefficient/Conversion/Sine/
+        ArcTangent io/eval/) over distinct lineitem keys."""
+        base = (
+            _read(s, d, "lineitem")
+            .where(F.col("l_linenumber") <= 6)
+            .select(
+                F.col("l_quantity").cast("double").alias("q"),
+                F.col("l_linenumber").alias("ln"),
+            )
+            .distinct()
+        )
+        return base.select(
+            "q", "ln",
+            evr("abs", evr("sub", "q", 25.0)).alias("abs_dev"),
+            evr("mod", "q", 7.0).alias("mod7"),
+            F.round(evr("cbrt", "q"), 6).alias("cbrt"),
+            F.round(evr("log10", "q"), 6).alias("log10"),
+            evr("pow", "q", 2.0).alias("sq"),
+            evr("round", evr("sub", "q", 2.5)).alias("rnd"),
+            evr("factorial", "ln").alias("fact"),
+            evr("binomialCoefficient", evr("add", "q", 2.0), 3).alias("binom"),
+            F.round(evr("convert", "miles", "kilometers", "q"), 6).alias("mi_km"),
+            F.round(evr("sin", "q"), 6).alias("sin"),
+            F.round(evr("atan", "q"), 6).alias("atan"),
+        ).orderBy("q", "ln")
+
+    q["eval_registry_scalars"] = eval_registry_scalars
+
+    def eval_registry_temporal(s, d):
+        """TemporalEvaluator* (year..quarter, epoch=ms-at-UTC, week=ISO)."""
+        e = _read(s, d, "events").where(F.col("event_id") < 300)
+        names = ["year", "month", "day", "dayOfYear", "dayOfQuarter",
+                 "hour", "minute", "second", "week", "quarter"]
+        return e.select(
+            "event_id",
+            *[evr(n, "ts").alias(n.lower()) for n in names],
+            evr("epoch", "ts").alias("epoch"),
+        ).orderBy("event_id")
+
+    q["eval_registry_temporal"] = eval_registry_temporal
+
+    def eval_registry_array(s, d):
+        """Array evaluator slice (Reverse/CopyOfRange/Asc/LeftShift/
+        NormalizeSum/Unit/MinMaxScale/EBEAdd/Norm io/eval/) over the first
+        8 embedding dims; floats cast to double so both engines compute
+        identical IEEE sums (in-order folds on both sides)."""
+        e = (
+            _read(s, d, "embeddings")
+            .where(F.col("vec_id") < 20)
+            .select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+            )
+        )
+        v8 = evr("copyOfRange", "v", 0, 8)
+        a8 = F.transform(v8, F.abs)
+        return e.select(
+            "vec_id",
+            evr("length", "v").alias("dim"),
+            F.round(evr("valueAt", "v", 0), 4).alias("first"),
+            evr("precision", evr("asc", v8), 4).alias("sorted8"),
+            evr("precision", evr("rev", v8), 4).alias("rev8"),
+            evr("precision", evr("ltrim", v8), 4).alias("lshift"),
+            evr("precision", evr("normalizeSum", a8), 4).alias("nsum"),
+            evr("precision", evr("unitize", v8), 4).alias("unit"),
+            evr("precision", evr("minMaxScale", v8), 4).alias("mms"),
+            evr("precision", evr("ebeAdd", v8, evr("rev", v8)), 4).alias("plus_rev"),
+            F.round(evr("l2norm", v8), 4).alias("l2"),
+        ).orderBy("vec_id")
+
+    q["eval_registry_array"] = eval_registry_array
+
+    def eval_registry_distances(s, d):
+        """Distance evaluators (Euclidean/Manhattan/Chebyshev/Canberra/
+        CosineDistance/DotProduct io/eval/) on consecutive embedding
+        pairs — zip_with + in-order aggregate folds, all JVM."""
+        e = (
+            _read(s, d, "embeddings")
+            .where(F.col("vec_id") < 31)
+            .select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+            )
+        )
+        a, b = e.alias("a"), e.alias("b")
+        av, bv = F.col("a.v"), F.col("b.v")
+        return (
+            a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+            .select(
+                F.col("a.vec_id").alias("vec_id"),
+                F.round(evr("dotProduct", av, bv), 4).alias("dot"),
+                F.round(evr("cosineSimilarity", av, bv), 4).alias("cos_sim"),
+                F.round(evr("cosine", av, bv), 4).alias("cos_dist"),
+                F.round(evr("euclidean", av, bv), 4).alias("euclid"),
+                F.round(evr("manhattan", av, bv), 4).alias("manhattan"),
+                F.round(evr("chebyshev", av, bv), 4).alias("chebyshev"),
+                F.round(evr("canberra", av, bv), 4).alias("canberra"),
+            )
+            .orderBy("vec_id")
+        )
+
+    q["eval_registry_distances"] = eval_registry_distances
+
+    def eval_registry_matrix(s, d):
+        """Matrix evaluators (Matrix/Transpose/SumRows/SumColumns/GrandSum/
+        RowAt/ColumnAt/MatrixMultiply io/eval/) on a 3×4 matrix assembled
+        from the first three embeddings (deterministic: array_sort on the
+        (vec_id, row) struct fixes collect_list order)."""
+        em = (
+            _read(s, d, "embeddings")
+            .where(F.col("vec_id") < 3)
+            .select(
+                "vec_id",
+                F.slice(
+                    F.transform("embedding", lambda x: x.cast("double")), 1, 4
+                ).alias("r"),
+            )
+        )
+        wide = em.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("vec_id", "r"))).alias("z")
+        )
+        m = F.transform(F.col("z"), lambda st: st["r"])
+        return wide.select(
+            evr("rowCount", m).alias("n_rows"),
+            evr("columnCount", m).alias("n_cols"),
+            F.round(evr("grandSum", m), 4).alias("grand"),
+            evr("precision", evr("sumRows", m), 4).alias("sumrows"),
+            evr("precision", evr("sumColumns", m), 4).alias("sumcols"),
+            evr("precision", evr("colAt", m, 1), 4).alias("col1"),
+            evr("precision", evr("rowAt", evr("transpose", m), 2), 4).alias("trow2"),
+            F.transform(
+                evr("matrixMult", m, evr("transpose", m)),
+                lambda r: F.transform(r, lambda x: F.round(x, 4)),
+            ).alias("mmt"),
+        )
+
+    q["eval_registry_matrix"] = eval_registry_matrix
+
     def eval_moments(s, d):
         """Skewness / excess-kurtosis / geometric / harmonic means from
         raw power sums (price pre-scaled by 1e4 — the moments are
@@ -3271,6 +3415,87 @@ SELECT best.br AS restart,
        ROUND(best.bw, 4) AS wcss
 FROM a CROSS JOIN best
 GROUP BY best.br, 2, best.bw ORDER BY cluster
+""".strip()
+    # registry evaluators: DuckDB mirrors with identical op order (list
+    # folds run in element order on both engines, so double sums match)
+    o["eval_registry_scalars"] = """
+WITH b AS (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS q, l_linenumber AS ln
+           FROM lineitem WHERE l_linenumber <= 6)
+SELECT q, ln,
+  abs(q - 25.0) AS abs_dev,
+  fmod(q, 7.0) AS mod7,
+  round(cbrt(q), 6) AS cbrt,
+  round(log10(q), 6) AS log10,
+  pow(q, 2.0) AS sq,
+  CAST(floor((q - 2.5) + 0.5) AS BIGINT) AS rnd,
+  CAST(factorial(ln) AS DOUBLE) AS fact,
+  round(q * (q + 1.0) / 2.0 * (q + 2.0) / 3.0, 0) AS binom,
+  round(q * 1.609344, 6) AS mi_km,
+  round(sin(q), 6) AS sin,
+  round(atan(q), 6) AS atan
+FROM b ORDER BY q, ln
+""".strip()
+    o["eval_registry_temporal"] = """
+SELECT event_id,
+  year(ts) AS year, month(ts) AS month, day(ts) AS day,
+  dayofyear(ts) AS dayofyear,
+  dayofyear(ts) - dayofyear(date_trunc('quarter', ts)) + 1 AS dayofquarter,
+  hour(ts) AS hour, minute(ts) AS minute, second(ts) AS second,
+  weekofyear(ts) AS week, quarter(ts) AS quarter,
+  epoch_ms(ts) AS epoch
+FROM events WHERE event_id < 300 ORDER BY event_id
+""".strip()
+    o["eval_registry_array"] = """
+WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+           FROM embeddings WHERE vec_id < 20),
+s AS (SELECT vec_id, v, v[1:8] AS v8, [abs(x) for x in v[1:8]] AS a8 FROM e)
+SELECT vec_id, len(v) AS dim, round(v[1], 4) AS first,
+  [round(x, 4) for x in list_sort(v8)] AS sorted8,
+  [round(x, 4) for x in list_reverse(v8)] AS rev8,
+  [round(x, 4) for x in v8[2:8]] AS lshift,
+  [round(x / list_sum(a8), 4) for x in a8] AS nsum,
+  [round(x / sqrt(list_sum([y*y for y in v8])), 4) for x in v8] AS unit,
+  [round((x - list_min(v8)) * 1.0 / (list_max(v8) - list_min(v8)), 4)
+   for x in v8] AS mms,
+  [round(v8[i] + list_reverse(v8)[i], 4) for i in range(1, 9)] AS plus_rev,
+  round(sqrt(list_sum([y*y for y in v8])), 4) AS l2
+FROM s ORDER BY vec_id
+""".strip()
+    o["eval_registry_distances"] = """
+WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+           FROM embeddings WHERE vec_id < 31),
+p AS (SELECT a.vec_id, a.v AS av, b.v AS bv
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+ix AS (SELECT *, range(1, len(av) + 1) AS ii FROM p)
+SELECT vec_id,
+  round(list_sum([av[i]*bv[i] for i in ii]), 4) AS dot,
+  round(list_sum([av[i]*bv[i] for i in ii])
+        / (sqrt(list_sum([x*x for x in av])) * sqrt(list_sum([x*x for x in bv]))),
+        4) AS cos_sim,
+  round(1.0 - list_sum([av[i]*bv[i] for i in ii])
+        / (sqrt(list_sum([x*x for x in av])) * sqrt(list_sum([x*x for x in bv]))),
+        4) AS cos_dist,
+  round(sqrt(list_sum([(av[i]-bv[i])*(av[i]-bv[i]) for i in ii])), 4) AS euclid,
+  round(list_sum([abs(av[i]-bv[i]) for i in ii]), 4) AS manhattan,
+  round(list_max([abs(av[i]-bv[i]) for i in ii]), 4) AS chebyshev,
+  round(list_sum([CASE WHEN abs(av[i]) + abs(bv[i]) = 0 THEN 0.0
+                       ELSE abs(av[i]-bv[i]) / (abs(av[i]) + abs(bv[i])) END
+                  for i in ii]), 4) AS canberra
+FROM ix ORDER BY vec_id
+""".strip()
+    o["eval_registry_matrix"] = """
+WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding[1:4]] AS r
+           FROM embeddings WHERE vec_id < 3),
+m AS (SELECT (SELECT list(r ORDER BY vec_id) FROM e) AS mat)
+SELECT len(mat) AS n_rows, len(mat[1]) AS n_cols,
+  round(list_sum([list_sum(r) for r in mat]), 4) AS grand,
+  [round(list_sum(r), 4) for r in mat] AS sumrows,
+  [round(mat[1][i] + mat[2][i] + mat[3][i], 4) for i in range(1, 5)] AS sumcols,
+  [round(r[2], 4) for r in mat] AS col1,
+  [round(r[3], 4) for r in mat] AS trow2,
+  [[round(list_sum([a[i]*b[i] for i in range(1, 5)]), 4) for b in mat]
+   for a in mat] AS mmt
+FROM m
 """.strip()
     o["eval_moments"] = """
 WITH li AS (SELECT l_returnflag, l_extendedprice / 10000.0 AS x FROM lineitem),
