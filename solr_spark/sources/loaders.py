@@ -137,3 +137,86 @@ def parse_csv_col(df: DataFrame, col: str, schema: str, sep: str = ",") -> DataF
     Python, unlike the reference's per-tuple driver parse. ``sep='\\t'``
     is the TSV form. Adds a ``_parsed`` struct column."""
     return df.withColumn("_parsed", F.from_csv(F.col(col), schema, {"sep": sep}))
+
+
+def json_response_envelope(
+    df: DataFrame,
+    *,
+    start: int = 0,
+    rows: int = 10,
+    num_found: int | None = None,
+    params: dict | None = None,
+    q_time_ms: int = 0,
+) -> str:
+    """JSONResponseWriter analog (``response/JSONResponseWriter.java`` /
+    ``JSONWriter.java``): the classic Solr envelope
+    ``{"responseHeader":{"status":0,"QTime":…,"params":{…}},
+    "response":{"numFound":N,"start":S,"numFoundExact":true,"docs":[…]}}``.
+
+    The reference's writer serializes on ONE node after the distributed
+    search ends; same here — ``df`` is the (already ordered) result, the
+    page is ``offset(start).limit(rows)`` so only the page crosses to the
+    driver. Pass ``num_found`` when the caller already knows it (engines
+    do) to avoid the extra count job."""
+    import json as _json
+
+    if num_found is None:
+        num_found = df.count()
+    page = df.offset(start).limit(rows).collect() if start else df.limit(rows).collect()
+    envelope = {
+        "responseHeader": {
+            "status": 0,
+            "QTime": int(q_time_ms),
+            "params": {k: str(v) for k, v in (params or {}).items()},
+        },
+        "response": {
+            "numFound": int(num_found),
+            "start": int(start),
+            "numFoundExact": True,
+            "docs": [r.asDict(recursive=True) for r in page],
+        },
+    }
+    return _json.dumps(envelope, default=str)
+
+
+def xml_response_envelope(
+    df: DataFrame,
+    *,
+    start: int = 0,
+    rows: int = 10,
+    num_found: int | None = None,
+    q_time_ms: int = 0,
+) -> str:
+    """XMLResponseWriter analog (``response/XMLWriter.java:152-164``):
+    ``<response><lst name="responseHeader">…</lst>
+    <result name="response" numFound=… start=… numFoundExact="true">
+    <doc>…</doc></result></response>``. Field elements use Solr's typed
+    tags (<int>/<long>/<float>/<double>/<bool>/<str>)."""
+    import xml.sax.saxutils as _sx
+
+    if num_found is None:
+        num_found = df.count()
+    page = df.offset(start).limit(rows).collect() if start else df.limit(rows).collect()
+
+    def field(name, v):
+        if isinstance(v, bool):
+            tag, s = "bool", str(v).lower()
+        elif isinstance(v, int):
+            tag, s = "long", str(v)
+        elif isinstance(v, float):
+            tag, s = "double", repr(v)
+        else:
+            tag, s = "str", _sx.escape(str(v))
+        return f'<{tag} name="{_sx.escape(str(name))}">{s}</{tag}>'
+
+    docs = "".join(
+        "<doc>" + "".join(field(k, v) for k, v in r.asDict().items()) + "</doc>"
+        for r in page
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?><response>'
+        '<lst name="responseHeader"><int name="status">0</int>'
+        f'<int name="QTime">{int(q_time_ms)}</int></lst>'
+        f'<result name="response" numFound="{int(num_found)}" start="{int(start)}"'
+        ' numFoundExact="true">' + docs + "</result></response>"
+    )

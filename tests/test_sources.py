@@ -170,3 +170,44 @@ def test_cbor_spark_roundtrip(spark):
     back = load_cbor(spark, d, "doc_id long, lang string, score double")
     got = sorted([tuple(r) for r in back.collect()])
     assert got == [(1, "en", 3.5), (2, None, -0.25), (3, "zh", 0.0)]
+
+
+def test_json_response_envelope(spark):
+    from solr_spark.sources.loaders import json_response_envelope
+    import json
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.5), (2, "b", 0.25), (3, "c", 0.125)],
+        "doc_id long, lang string, score double",
+    ).orderBy("doc_id")
+    out = json.loads(
+        json_response_envelope(df, rows=2, params={"q": "text:a", "rows": 2})
+    )
+    assert out["responseHeader"]["status"] == 0
+    assert out["responseHeader"]["params"]["q"] == "text:a"
+    r = out["response"]
+    assert r["numFound"] == 3 and r["start"] == 0 and r["numFoundExact"] is True
+    assert [d["doc_id"] for d in r["docs"]] == [1, 2]
+    # paging: start=1 returns the middle page, numFound passed through
+    out2 = json.loads(json_response_envelope(df, start=1, rows=1, num_found=3))
+    assert [d["doc_id"] for d in out2["response"]["docs"]] == [2]
+
+
+def test_xml_response_envelope(spark):
+    from solr_spark.sources.loaders import xml_response_envelope
+    import xml.etree.ElementTree as ET
+
+    df = spark.createDataFrame(
+        [(1, "a<b&c", True), (2, "plain", False)],
+        "doc_id long, title string, flag boolean",
+    ).orderBy("doc_id")
+    xml = xml_response_envelope(df, rows=10)
+    root = ET.fromstring(xml)
+    result = root.find("result")
+    assert result.get("numFound") == "2" and result.get("numFoundExact") == "true"
+    docs = result.findall("doc")
+    assert len(docs) == 2
+    first = {f.get("name"): (f.tag, f.text) for f in docs[0]}
+    assert first["doc_id"] == ("long", "1")
+    assert first["title"] == ("str", "a<b&c")  # escaped then parsed back
+    assert first["flag"] == ("bool", "true")
