@@ -2545,6 +2545,136 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_features"] = mm_features
 
+    # --- classic facet parameter set (request/SimpleFacets.java:476-540) ---
+    q["facet_prefix_offset"] = lambda s, d: facet_field(
+        _read(s, d, "documents"), "source",
+        prefix="src1", sort_by_count=False, offset=2, limit=5,
+    ).select("source", F.col("count").cast("long").alias("count"))
+
+    q["facet_contains_index"] = lambda s, d: facet_field(
+        _read(s, d, "documents"), "source", contains="1", sort_by_count=False,
+    ).select("source", F.col("count").cast("long").alias("count"))
+
+    def facet_missing_q(s, d):
+        """facet.missing=true — the NULL bucket trails the term buckets
+        (SimpleFacets.java:529 getFieldMissingCount). The testdata has no
+        NULLs, so the entry facets a NULLIF-derived column; a real corpus
+        simply has the sparse field."""
+        docs = _read(s, d, "documents").withColumn(
+            "lang_nn", F.expr("nullif(lang, 'en')")
+        )
+        return facet_field(docs, "lang_nn", missing=True).select(
+            "lang_nn", F.col("count").cast("long").alias("count")
+        )
+
+    q["facet_missing_lang"] = facet_missing_q
+
+    def facet_allbuckets_q(s, d):
+        from solr_spark.operators.relational import json_facet_allbuckets
+
+        return json_facet_allbuckets(
+            _read(s, d, "documents"), "lang",
+            F.sum("n_chars").cast("long"), "sum_nchars",
+        )
+
+    q["facet_allbuckets_lang"] = facet_allbuckets_q
+
+    # --- TermsComponent terms.regex + mincount (TermsComponent.java:250-318) ---
+    def terms_regex(s, d):
+        td = _engine(s, d).index.term_dict
+        # Solr's terms.regex is a whole-term Pattern.matches — anchor it so
+        # Spark rlike (find semantics) applies the same contract.
+        return (
+            td.where(F.col("term").rlike("^s.*[kmt]$") & (F.col("df") >= 2))
+            .select("term", "df", "cf")
+            .orderBy(F.asc("term"))
+            .limit(20)
+        )
+
+    q["terms_regex_df"] = terms_regex
+
+    # --- response writers: GeoJSON + GraphML roundtrips ---
+    def geojson_roundtrip(s, d):
+        """GeoJSONResponseWriter (response/GeoJSONResponseWriter.java)
+        serialize → re-ingest roundtrip over the geodist top-10 page."""
+        from solr_spark.operators.spatial import geodist, synth_coords
+        from solr_spark.sources import geojson_response, parse_geojson_response
+
+        page = (
+            geodist(synth_coords(_read(s, d, "documents"), "doc_id"),
+                    "lat", "lon", (40.0, -74.0))
+            .select("doc_id", "lat", "lon", F.round("dist_km", 4).alias("dist_km"))
+            .orderBy(F.asc("dist_km"), F.asc("doc_id"))
+            .limit(10)
+        )
+        payload = geojson_response(page, "lat", "lon", rows=10)
+        back = parse_geojson_response(
+            s, payload, "lat double, lon double, doc_id long, dist_km double"
+        )
+        return back.select("doc_id", "lat", "lon", "dist_km").orderBy("doc_id")
+
+    q["geojson_roundtrip_page"] = geojson_roundtrip
+
+    def graphml_roundtrip(s, d):
+        """GraphMLResponseWriter (response/GraphMLResponseWriter.java:45-120)
+        over a customer→order edge set, parsed back via stdlib etree."""
+        from solr_spark.sources import graphml_response, parse_graphml_response
+
+        edges = (
+            _read(s, d, "orders")
+            .where(F.col("o_custkey") <= 50)
+            .select(
+                F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+                F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("dst"),
+            )
+        )
+        payload = graphml_response(edges, "src", "dst")
+        back = parse_graphml_response(s, payload)
+        return (
+            back.groupBy("src")
+            .agg(F.count("*").cast("long").alias("n_edges"))
+            .orderBy("src")
+        )
+
+    q["graphml_roundtrip_edges"] = graphml_roundtrip
+
+    # --- analysis: ShingleFilter + ASCIIFoldingFilter analogs ---
+    def shingle_bigrams(s, d):
+        """Word-bigram shingles (ShingleFilterFactory) as one JVM
+        higher-order expression; top-20 bigrams over the doc slice."""
+        from solr_spark.analysis import shingles
+
+        docs = _read(s, d, "documents").where(F.col("doc_id") < 200)
+        bi = docs.select(
+            F.explode(shingles(CODE_CHAIN.tokens(F.col("text")), 2)).alias("shingle")
+        )
+        return (
+            bi.groupBy("shingle")
+            .agg(F.count("*").cast("long").alias("count"))
+            .orderBy(F.desc("count"), F.asc("shingle"))
+            .limit(20)
+        )
+
+    q["shingle_bigrams_top"] = shingle_bigrams
+
+    def ascii_fold(s, d):
+        """ASCIIFoldingFilter chain (fold → case-split → lower → split):
+        the folded É creates a camel boundary, proving fold-before-split
+        ordering in all three engine forms."""
+        from solr_spark.analysis import CODE_FOLD_CHAIN
+
+        docs = _read(s, d, "documents").where(F.col("doc_id") < 50)
+        accented = F.concat(F.lit("Café Zürich àçcèntÉd "), F.col("text"))
+        return (
+            docs.select(F.explode(CODE_FOLD_CHAIN.tokens(accented)).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").cast("long").alias("count"))
+            .orderBy(F.desc("count"), F.asc("tok"))
+            .limit(20)
+        )
+
+    q["ascii_fold_tokens"] = ascii_fold
+
     return q
 
 
@@ -4361,4 +4491,76 @@ ORDER BY event_type, mid_x
     o["eval_tfidf_matrix"] = tfidf_matrix_sql(
         "doc_id < 15", min_df=2, max_df_frac=0.9
     )
+
+    # classic facet parameter set (request/SimpleFacets.java:476-540)
+    o["facet_prefix_offset"] = """
+        SELECT source, count(*) AS count FROM documents
+        WHERE source LIKE 'src1%'
+        GROUP BY source ORDER BY source ASC LIMIT 5 OFFSET 2
+    """
+    o["facet_contains_index"] = """
+        SELECT source, count(*) AS count FROM documents
+        WHERE source LIKE '%1%'
+        GROUP BY source ORDER BY source ASC LIMIT 100
+    """
+    o["facet_missing_lang"] = """
+        SELECT lang_nn, count(*) AS count
+        FROM (SELECT nullif(lang, 'en') AS lang_nn FROM documents)
+        WHERE lang_nn IS NOT NULL GROUP BY lang_nn
+        UNION ALL
+        SELECT NULL AS lang_nn, count(*) AS count FROM documents
+        WHERE nullif(lang, 'en') IS NULL
+    """
+    o["facet_allbuckets_lang"] = """
+        SELECT CAST(count(DISTINCT lang) AS BIGINT) AS num_buckets,
+               CAST(count(*) AS BIGINT) AS all_count,
+               CAST(sum(n_chars) AS BIGINT) AS sum_nchars
+        FROM documents WHERE lang IS NOT NULL
+    """
+
+    # TermsComponent terms.regex (whole-term match) + mincount
+    o["terms_regex_df"] = term_dict_sql(
+        order="term ASC",
+        term_filter="regexp_matches(tok, '^s.*[kmt]$')",
+        having="count(*) >= 2",
+        limit=20,
+    )
+
+    # response-writer roundtrips (GeoJSON / GraphML): the writers are
+    # lossless on the page, so the oracle is the page itself.
+    o["geojson_roundtrip_page"] = f"""
+WITH {_GEO_CTE},
+page AS (SELECT doc_id, lat, lon, ROUND(dist_km, 4) AS dist_km
+         FROM gd ORDER BY dist_km ASC, doc_id ASC LIMIT 10)
+SELECT doc_id, lat, lon, dist_km FROM page ORDER BY doc_id
+""".strip()
+    o["graphml_roundtrip_edges"] = """
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               CAST(count(*) AS BIGINT) AS n_edges
+        FROM orders WHERE o_custkey <= 50
+        GROUP BY 1 ORDER BY 1
+    """
+
+    # ShingleFilter bigrams + ASCIIFoldingFilter chain
+    o["shingle_bigrams_top"] = f"""
+WITH toks AS (SELECT doc_id, {tok.duckdb_tokens_expr('text')} AS tt
+              FROM documents WHERE doc_id < 200),
+bi AS (SELECT unnest(list_transform(
+         range(1, greatest(len(tt) - 1, 0) + 1),
+         i -> tt[i] || ' ' || tt[i + 1])) AS shingle
+       FROM toks)
+SELECT shingle, count(*) AS count FROM bi
+GROUP BY shingle ORDER BY count DESC, shingle ASC LIMIT 20
+""".strip()
+    from solr_spark.analysis import CODE_FOLD_CHAIN as _fold_chain
+
+    _fold_text = _fold_chain.duckdb_tokens_expr(
+        "concat('Café Zürich àçcèntÉd ', text)"
+    )
+    o["ascii_fold_tokens"] = f"""
+SELECT tok, count(*) AS count
+FROM (SELECT unnest({_fold_text}) AS tok
+      FROM documents WHERE doc_id < 50) t
+GROUP BY tok ORDER BY count DESC, tok ASC LIMIT 20
+""".strip()
     return o

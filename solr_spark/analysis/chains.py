@@ -58,6 +58,20 @@ _CAMEL1_RE = re.compile(_CAMEL1)
 _CAMEL2_RE = re.compile(_CAMEL2)
 _SPLIT_RE = re.compile(_SPLIT)
 
+# ASCIIFoldingFilter analog (Lucene ASCIIFoldingFilterFactory, wired in
+# Solr schemas as <filter class="solr.ASCIIFoldingFilterFactory"/>): a
+# FROZEN 1:1 Latin-1-supplement fold map, identical in all three engine
+# forms via `translate` (Spark F.translate / str.translate / DuckDB
+# translate). Multi-char expansions (æ→ae, ß→ss, œ→oe) are deliberately
+# excluded from the frozen map — translate is char-for-char and the three
+# forms must agree exactly; those chars fall to the non-alnum split like
+# any other symbol.
+_FOLD_SRC = "ÀÁÂÃÄÅàáâãäåÇçÈÉÊËèéêëÌÍÎÏìíîïÑñÒÓÔÕÖØòóôõöøÙÚÛÜùúûüÝýÿ"
+_FOLD_DST = "AAAAAAaaaaaaCcEEEEeeeeIIIIiiiiNnOOOOOOooooooUUUUuuuuYyy"
+if len(_FOLD_SRC) != len(_FOLD_DST):  # frozen-map invariant; survives -O
+    raise AssertionError("ascii fold map src/dst length mismatch")
+_FOLD_TABLE = str.maketrans(_FOLD_SRC, _FOLD_DST)
+
 
 def _minimal_stem_py(t: str) -> str:
     """Frozen minimal plural stemmer (Lucene EnglishMinimalStemFilter
@@ -91,6 +105,9 @@ class AnalyzerChain:
     split_case: bool = True
     stopwords: frozenset[str] = field(default_factory=lambda: CODE_STOPWORDS)
     stem: str | None = None
+    #: ASCIIFoldingFilter analog — fold the frozen Latin-1 accent map to
+    #: ASCII before case-splitting (so É still marks a camel boundary).
+    fold_ascii: bool = False
 
     # ---- form 1: Spark column expression (JVM-side, codegen'd) ----
     def tokens(self, col: Column | str) -> Column:
@@ -104,6 +121,8 @@ class AnalyzerChain:
             c = F.col(col) if isinstance(col, str) else col
             return self.tokens_pandas_udf()(c)
         c = F.col(col) if isinstance(col, str) else col
+        if self.fold_ascii:
+            c = F.translate(c, _FOLD_SRC, _FOLD_DST)
         if self.split_case:
             c = F.regexp_replace(c, _CAMEL1, r"$1 $2")
             c = F.regexp_replace(c, _CAMEL2, r"$1 $2")
@@ -123,6 +142,8 @@ class AnalyzerChain:
     def tokenize_py(self, text: str) -> list[str]:
         if text is None:
             return []
+        if self.fold_ascii:
+            text = text.translate(_FOLD_TABLE)
         if self.split_case:
             text = _CAMEL1_RE.sub(r"\1 \2", text)
             text = _CAMEL2_RE.sub(r"\1 \2", text)
@@ -145,6 +166,8 @@ class AnalyzerChain:
                 "unavailable offline); oracle coverage is golden-vector pytest"
             )
         e = text_expr
+        if self.fold_ascii:
+            e = f"translate({e}, '{_FOLD_SRC}', '{_FOLD_DST}')"
         if self.split_case:
             e = f"regexp_replace({e}, '{_CAMEL1}', '\\1 \\2', 'g')"
             e = f"regexp_replace({e}, '{_CAMEL2}', '\\1 \\2', 'g')"
@@ -212,3 +235,30 @@ CODE_PORTER_CHAIN = AnalyzerChain(name="code_porter", stem="porter")
 def tokenize_py(text: str) -> list[str]:
     """Module-level shortcut: CODE_CHAIN.tokenize_py."""
     return CODE_CHAIN.tokenize_py(text)
+
+
+#: Code chain + ASCIIFoldingFilter (accent fold before case split).
+CODE_FOLD_CHAIN = AnalyzerChain(name="code_fold", fold_ascii=True)
+
+
+def shingles(toks: Column, n: int = 2, sep: str = " ") -> Column:
+    """ShingleFilter analog (Lucene ShingleFilterFactory, wired in Solr
+    suggester/spellcheck field types): word n-grams over an analyzed token
+    array, as ONE JVM higher-order expression (transform over an index
+    sequence + concat_ws) — no explode, no Python, so shingling composes
+    into the same whole-stage-codegen span as the tokenizer.
+
+    Emits size(toks)-n+1 shingles; fewer than n tokens → empty array
+    (Solr's outputUnigramsIfNoShingles=false shape).
+    """
+    if n < 2:
+        raise ValueError("shingle size must be >= 2")
+
+    def mk(i: Column) -> Column:
+        ps = [F.element_at(toks, (i + F.lit(j)).cast("int")) for j in range(n)]
+        return F.concat_ws(sep, *ps)
+
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    return F.when(F.size(toks) >= n, F.transform(idx, mk)).otherwise(
+        F.array().cast("array<string>")
+    )

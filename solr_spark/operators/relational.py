@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "facet_field",
+    "json_facet_allbuckets",
     "facet_range",
     "facet_pivot",
     "stats_numeric",
@@ -66,14 +67,68 @@ def facet_field(
     limit: int = 100,
     mincount: int = 1,
     sort_by_count: bool = True,
+    prefix: str | None = None,
+    contains: str | None = None,
+    offset: int = 0,
+    missing: bool = False,
 ) -> DataFrame:
     """facet.field → (field, count); Solr default sort count desc, index asc
-    tie-break (FacetComponent)."""
-    out = df.groupBy(field).agg(F.count("*").alias("count"))
+    tie-break (FacetComponent).
+
+    Full classic parameter set (``request/SimpleFacets.java:476-540``):
+    ``facet.prefix`` / ``facet.contains`` restrict which buckets are
+    counted (applied BEFORE mincount/limit, like the reference's term-enum
+    seek); ``facet.offset`` pages into the sorted bucket list;
+    ``facet.missing`` appends the count of rows with a NULL field value as
+    a NULL-keyed bucket (SimpleFacets.java:529 getFieldMissingCount) —
+    ordered last, matching Solr's response placement.
+
+    Bucket predicates and the groupBy stay one shuffle; prefix/contains
+    filter BEFORE the aggregation so at scale the shuffle only carries
+    matching buckets (and the scan can prune on the pushed predicate).
+    """
+    c = F.col(field)
+    base = df
+    if prefix is not None:
+        base = base.where(c.startswith(prefix))
+    if contains is not None:
+        base = base.where(c.contains(contains))
+    out = base.where(c.isNotNull()).groupBy(field).agg(F.count("*").alias("count"))
     if mincount > 0:
         out = out.where(F.col("count") >= mincount)
     order = [F.desc("count"), F.asc(field)] if sort_by_count else [F.asc(field)]
-    return out.orderBy(*order).limit(limit)
+    out = out.orderBy(*order)
+    if offset:
+        out = out.offset(offset)
+    out = out.limit(limit)
+    if missing:
+        miss = df.where(c.isNull()).agg(
+            F.lit(None).cast(df.schema[field].dataType).alias(field),
+            F.count("*").alias("count"),
+        )
+        # union AFTER paging: Solr's missing bucket is not subject to
+        # limit/offset and always trails the bucket list.
+        out = out.unionByName(miss)
+    return out
+
+
+def json_facet_allbuckets(
+    df: DataFrame, field: str, metric: Column, metric_name: str = "metric"
+) -> DataFrame:
+    """JSON Facet API ``allBuckets:true`` + ``numBuckets:true``
+    (``search/facet/FacetFieldProcessor.java`` SpecialSlotAcc allBucketsAcc
+    / ``FacetField.java`` numBuckets): ONE row with the bucket count and
+    the metrics aggregated across every bucket (regardless of limit).
+
+    One aggregation, no window: numBuckets is countDistinct(field) and the
+    allBuckets accumulators fold over all non-null-field rows — exactly the
+    reference's special slot that every bucket also adds into."""
+    c = F.col(field)
+    return df.where(c.isNotNull()).agg(
+        F.countDistinct(c).cast("long").alias("num_buckets"),
+        F.count("*").cast("long").alias("all_count"),
+        metric.alias(metric_name),
+    )
 
 
 def facet_range(

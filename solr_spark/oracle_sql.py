@@ -76,20 +76,25 @@ def term_dict_sql(
     term_filter: str = "",
     limit: int = 20,
     chain: AnalyzerChain = CODE_CHAIN,
+    having: str = "",
 ) -> str:
     """Term dictionary (term, df, cf) — TermsComponent oracle.
 
     ``term_filter``: optional SQL predicate over ``tok`` (e.g. a prefix
-    bound, TermsComponent.java:250-311).
+    bound, TermsComponent.java:250-311). ``having``: optional predicate
+    over the aggregated ``df``/``cf`` (terms.mincount/maxcount analog,
+    TermsComponent.java:316-318).
     """
     toks = chain.duckdb_tokens_select(table, id_col, text_col)
     flt = f"WHERE {term_filter}" if term_filter else ""
+    hv = f"HAVING {having}" if having else ""
     return f"""
 WITH toks AS (SELECT {id_col} AS doc_id, tok FROM {toks} t),
 tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks {flt} GROUP BY doc_id, tok)
 SELECT tok AS term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
 FROM tf
 GROUP BY tok
+{hv}
 ORDER BY {order}
 LIMIT {limit}
 """.strip()

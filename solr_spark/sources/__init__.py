@@ -6,9 +6,13 @@ from solr_spark.sources.javabin import (
     write_javabin,
 )
 from solr_spark.sources.loaders import (
+    geojson_response,
+    graphml_response,
     load_csv_docs,
     load_json_docs,
     load_xml_docs,
+    parse_geojson_response,
+    parse_graphml_response,
     write_response_csv,
     write_response_json,
     write_update_xml,
@@ -21,6 +25,10 @@ __all__ = [
     "write_response_json",
     "write_response_csv",
     "write_update_xml",
+    "geojson_response",
+    "parse_geojson_response",
+    "graphml_response",
+    "parse_graphml_response",
     "JavaBinEncoder",
     "JavaBinDecoder",
     "load_javabin",

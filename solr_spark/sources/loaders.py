@@ -220,3 +220,96 @@ def xml_response_envelope(
         f'<result name="response" numFound="{int(num_found)}" start="{int(start)}"'
         ' numFoundExact="true">' + docs + "</result></response>"
     )
+
+
+def geojson_response(
+    df: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    *,
+    rows: int = 10,
+) -> str:
+    """GeoJSONResponseWriter analog (``response/GeoJSONResponseWriter.java``
+    / ``GeoJSONWriter.java:40-75``): serialize the result page as an RFC
+    7946 FeatureCollection — one Feature per doc, ``geometry`` a Point of
+    ``[lon, lat]`` (GeoJSON axis order), every other column under
+    ``properties``.
+
+    Like the reference's writer, serialization happens on ONE node after
+    the distributed search: only the page (``limit(rows)``) crosses to the
+    driver."""
+    import json as _json
+
+    page = df.limit(rows).collect()
+    feats = []
+    for r in page:
+        d = r.asDict(recursive=True)
+        lat, lon = d.pop(lat_col), d.pop(lon_col)
+        feats.append(
+            {
+                "type": "Feature",
+                "geometry": {"type": "Point", "coordinates": [lon, lat]},
+                "properties": d,
+            }
+        )
+    return _json.dumps({"type": "FeatureCollection", "features": feats}, default=str)
+
+
+def parse_geojson_response(spark: SparkSession, payload: str, schema: str) -> DataFrame:
+    """Inverse of :func:`geojson_response` — re-ingest a FeatureCollection
+    page as rows (lat/lon rebuilt from the Point geometry, properties
+    flattened). ``schema`` is the output DDL and must name ``lat`` and
+    ``lon``."""
+    import json as _json
+
+    obj = _json.loads(payload)
+    rows = []
+    for f in obj["features"]:
+        lon, lat = f["geometry"]["coordinates"]
+        rows.append({"lat": lat, "lon": lon, **f["properties"]})
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def graphml_response(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst", *, limit: int = 100000
+) -> str:
+    """GraphMLResponseWriter analog (``response/GraphMLResponseWriter.java:
+    45-120``): serialize a traversal result (e.g. ``gatherNodes`` output)
+    as GraphML — ``<node id=…/>`` for every distinct vertex, ``<edge
+    source=… target=…/>`` per edge. The reference streams the traversal's
+    tuples through one writer; same single-node serialization here, over
+    the collected edge page."""
+    import xml.sax.saxutils as _sx
+
+    rows = edges.select(src_col, dst_col).limit(limit).collect()
+    nodes: dict[str, None] = {}
+    for r in rows:
+        nodes.setdefault(str(r[0]), None)
+        nodes.setdefault(str(r[1]), None)
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">'
+        '<graph id="G" edgedefault="directed">'
+    ]
+    parts += [f'<node id={_sx.quoteattr(n)}/>' for n in nodes]
+    parts += [
+        f'<edge source={_sx.quoteattr(str(r[0]))} target={_sx.quoteattr(str(r[1]))}/>'
+        for r in rows
+    ]
+    parts.append("</graph></graphml>")
+    return "".join(parts)
+
+
+def parse_graphml_response(spark: SparkSession, payload: str) -> DataFrame:
+    """Inverse of :func:`graphml_response`: parse the GraphML back into an
+    edge DataFrame ``(src string, dst string)`` via stdlib etree (no
+    external xml package, mirroring ``load_xml_docs``)."""
+    import xml.etree.ElementTree as ET
+
+    ns = "{http://graphml.graphdrawing.org/xmlns}"
+    root = ET.fromstring(payload)
+    rows = [
+        {"src": e.get("source"), "dst": e.get("target")}
+        for e in root.iter(f"{ns}edge")
+    ]
+    return spark.createDataFrame(rows, schema="src string, dst string")

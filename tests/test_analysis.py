@@ -102,3 +102,39 @@ def test_porter_chain_spark_matches_python(spark, oracle_corpus):
 def test_porter_chain_has_no_sql_form():
     with pytest.raises(NotImplementedError):
         CODE_PORTER_CHAIN.duckdb_tokens_expr("'x'")
+
+
+def test_ascii_fold_chain_three_forms(spark):
+    """fold → case-split ordering: É creates a camel boundary after fold."""
+    import duckdb
+
+    from solr_spark.analysis import CODE_FOLD_CHAIN
+
+    text = "Café Zürich àçcèntÉd naïve HTTPServer"
+    expect = CODE_FOLD_CHAIN.tokenize_py(text)
+    assert "cafe" in expect and "zurich" in expect
+    assert "accent" in expect and "ed" in expect  # É → E camel split
+    got_spark = (
+        spark.createDataFrame([(text,)], "t string")
+        .select(CODE_FOLD_CHAIN.tokens("t").alias("toks"))
+        .collect()[0]["toks"]
+    )
+    assert got_spark == expect
+    got_duck = duckdb.sql(
+        f"SELECT {CODE_FOLD_CHAIN.duckdb_tokens_expr('?')} ", params=[text]
+    ).fetchone()[0]
+    assert got_duck == expect
+
+
+def test_shingles_column(spark):
+    from solr_spark.analysis import CODE_CHAIN, shingles
+
+    df = spark.createDataFrame(
+        [("scan the big table fast",), ("one",), ("",)], "t string"
+    )
+    out = df.select(shingles(CODE_CHAIN.tokens("t"), 2).alias("s")).collect()
+    # stopword 'the' is removed BEFORE shingling (Solr filter order)
+    assert out[0]["s"] == ["scan big", "big table", "table fast"]
+    assert out[1]["s"] == [] and out[2]["s"] == []
+    tri = df.select(shingles(CODE_CHAIN.tokens("t"), 3, sep="_").alias("s")).collect()
+    assert tri[0]["s"] == ["scan_big_table", "big_table_fast"]

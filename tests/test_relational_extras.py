@@ -98,3 +98,26 @@ def test_shortest_path_unreachable_is_empty(spark):
 
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     assert shortest_path(edges, "src", "dst", 1, 99, max_depth=3).count() == 0
+
+
+def test_facet_field_full_parameter_set(spark):
+    from solr_spark.operators.relational import facet_field, json_facet_allbuckets
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("src1",), ("src1",), ("src10",), ("src12",), ("other",), (None,)],
+        "source string",
+    )
+    # facet.prefix + facet.sort=index + facet.offset
+    got = facet_field(df, "source", prefix="src1", sort_by_count=False, offset=1).collect()
+    assert [(r["source"], r["count"]) for r in got] == [("src10", 1), ("src12", 1)]
+    # facet.contains
+    got = facet_field(df, "source", contains="2", sort_by_count=False).collect()
+    assert [r["source"] for r in got] == ["src12"]
+    # facet.missing: NULL bucket trails, exempt from limit
+    got = facet_field(df, "source", limit=1, missing=True).collect()
+    assert (got[0]["source"], got[0]["count"]) == ("src1", 2)
+    assert got[-1]["source"] is None and got[-1]["count"] == 1
+    # allBuckets/numBuckets: one row over every bucket regardless of limit
+    ab = json_facet_allbuckets(df, "source", F.count("*").cast("long"), "m").collect()[0]
+    assert (ab["num_buckets"], ab["all_count"], ab["m"]) == (4, 5, 5)

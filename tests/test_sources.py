@@ -211,3 +211,41 @@ def test_xml_response_envelope(spark):
     assert first["doc_id"] == ("long", "1")
     assert first["title"] == ("str", "a<b&c")  # escaped then parsed back
     assert first["flag"] == ("bool", "true")
+
+
+def test_geojson_response_roundtrip(spark):
+    from solr_spark.sources import geojson_response, parse_geojson_response
+
+    df = spark.createDataFrame(
+        [(1, 40.5, -73.25, 'quote"d'), (2, -12.0, 170.125, "plain")],
+        "doc_id long, lat double, lon double, label string",
+    )
+    payload = geojson_response(df.orderBy("doc_id"), "lat", "lon", rows=10)
+    import json
+
+    obj = json.loads(payload)
+    assert obj["type"] == "FeatureCollection"
+    f0 = obj["features"][0]
+    # GeoJSON axis order is [lon, lat] (RFC 7946 §3.1.1)
+    assert f0["geometry"]["coordinates"] == [-73.25, 40.5]
+    assert f0["properties"] == {"doc_id": 1, "label": 'quote"d'}
+    back = parse_geojson_response(
+        spark, payload, "lat double, lon double, doc_id long, label string"
+    )
+    rows = {r["doc_id"]: r for r in back.collect()}
+    assert rows[2]["lon"] == 170.125 and rows[1]["label"] == 'quote"d'
+
+
+def test_graphml_response_roundtrip(spark):
+    from solr_spark.sources import graphml_response, parse_graphml_response
+
+    edges = spark.createDataFrame(
+        [("a<1", "b&2"), ("a<1", 'c"3'), ("b&2", "c\"3")], "src string, dst string"
+    )
+    payload = graphml_response(edges)
+    assert payload.startswith('<?xml version="1.0"')
+    back = parse_graphml_response(spark, payload)
+    got = {(r["src"], r["dst"]) for r in back.collect()}
+    assert got == {("a<1", "b&2"), ("a<1", 'c"3'), ("b&2", 'c"3')}
+    # node list is deduped: 3 distinct vertices despite 6 endpoint slots
+    assert payload.count("<node ") == 3
