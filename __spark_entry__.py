@@ -524,6 +524,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lucene_and_filter"] = lambda s, d: _rounded(
         execute_query(_engine(s, d), "customer AND vector lang:de", k=10)
     )
+    # *:* (MatchAllDocsQuery), field:* (FieldExistsQuery), clause^=N
+    # (ConstantScoreQuery) — Solr standard-parser surfaces
+    q["lucene_match_all"] = lambda s, d: _rounded(
+        execute_query(_engine(s, d), "*:* AND lang:fr", k=10)
+    )
+    q["lucene_field_exists"] = lambda s, d: _rounded(
+        execute_query(_engine(s, d), "lang:* AND scan", k=10)
+    )
+    q["lucene_const_score"] = lambda s, d: _rounded(
+        execute_query(_engine(s, d), "scan^=0.5 OR batch", k=10)
+    )
     # v2 grammar: range / wildcard / regexp / boost / parenthesized nesting
     q["lucene_range_nchars"] = lambda s, d: _rounded(
         execute_query(_engine(s, d), "n_chars:[100 TO 300] spark merge", k=10)
@@ -3022,6 +3033,32 @@ SELECT sc.doc_id, ROUND(CAST(CAST(score_raw AS REAL) AS DOUBLE), 4) AS score
 FROM sc JOIN documents d USING (doc_id)
 WHERE d.lang = 'de' AND sc.nt = 2
 ORDER BY CAST(score_raw AS REAL) DESC, sc.doc_id ASC LIMIT 10
+"""
+    o["lucene_match_all"] = """
+        SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
+        WHERE lang = 'fr' ORDER BY doc_id ASC LIMIT 10
+    """
+    o["lucene_field_exists"] = f"""
+WITH {_prelude()},
+{_scored('sc', "('scan')")}
+SELECT sc.doc_id,
+       ROUND(CAST(CAST(score_raw + 1.0 AS REAL) AS DOUBLE), 4) AS score
+FROM sc JOIN documents d USING (doc_id)
+WHERE d.lang IS NOT NULL
+ORDER BY CAST(score_raw + 1.0 AS REAL) DESC, sc.doc_id ASC LIMIT 10
+"""
+    o["lucene_const_score"] = f"""
+WITH {_prelude()},
+{_scored('sc', "('batch')")},
+has_scan AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'scan'),
+combined AS (
+  SELECT COALESCE(sc.doc_id, hs.doc_id) AS doc_id,
+         COALESCE(sc.score_raw, 0.0)
+         + CASE WHEN hs.doc_id IS NOT NULL THEN 0.5 ELSE 0.0 END AS total
+  FROM sc FULL OUTER JOIN has_scan hs ON sc.doc_id = hs.doc_id)
+SELECT doc_id, ROUND(CAST(CAST(total AS REAL) AS DOUBLE), 4) AS score
+FROM combined
+ORDER BY CAST(total AS REAL) DESC, doc_id ASC LIMIT 10
 """
     from solr_spark.oracle_sql import boosted_bool_sql, expansion_topk_sql
 

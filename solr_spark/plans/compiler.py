@@ -42,7 +42,10 @@ from solr_spark.query.engine import SearchEngine, _DECODED_SCHEMA, _decode_block
 from solr_spark.query.extras import _expansion_stats
 from solr_spark.query.parser import (
     BoolQ,
+    ConstQ,
+    ExistsQ,
     FuzzyQ,
+    MatchAllQ,
     ParsedQuery,
     PhraseQ,
     RangeQ,
@@ -76,7 +79,12 @@ class _Ctx:
     term_rows: list  # (term, leaf_id, wfactor)
     phrase_leaves: list  # (leaf_id, phrase_text, slop, boost)
     filter_leaves: list  # (leaf_id, Column)
+    const_specs: list | None = None  # (condition spec, constant score)
     next_id: int = 0
+
+    def __post_init__(self):
+        if self.const_specs is None:
+            self.const_specs = []
 
     def new_leaf(self) -> int:
         self.next_id += 1
@@ -158,6 +166,41 @@ def _compile(ctx: _Ctx, node, boost: float):
             return _FALSE  # pure-negative query matches nothing
         return ("and", parts)
 
+    if isinstance(node, ConstQ):
+        # ConstantScoreQuery: compile the wrapped clause with boost 0 so
+        # every inner leaf registers for MATCHING but contributes no BM25
+        # weight; the constant (× enclosing boosts) is added at the final
+        # select, gated on the inner condition spec.
+        inner = _compile(ctx, node.node, 0.0)
+        if inner not in (_FALSE,):
+            ctx.const_specs.append((inner, float(node.score) * boost))
+        return inner
+
+    if isinstance(node, MatchAllQ):
+        # MatchAllDocsQuery: a lit(True) doc-registry leaf scoring a
+        # constant 1.0 (Lucene's score for *:*), × boosts.
+        lid = ctx.new_leaf()
+        ctx.filter_leaves.append((lid, F.lit(True)))
+        ctx.const_specs.append((("leaf", lid), 1.0 * boost * node.boost))
+        return ("leaf", lid)
+
+    if isinstance(node, ExistsQ):
+        # FieldExistsQuery (field:*): isNotNull over the doc registry,
+        # constant score 1.0 like Lucene's norms-based existence query.
+        if node.field not in eng.index.docs.columns:
+            import warnings
+
+            warnings.warn(
+                f"exists query on unknown field '{node.field}': "
+                "not a doc-registry column; matches nothing",
+                stacklevel=2,
+            )
+            return _FALSE
+        lid = ctx.new_leaf()
+        ctx.filter_leaves.append((lid, F.col(node.field).isNotNull()))
+        ctx.const_specs.append((("leaf", lid), 1.0 * boost * node.boost))
+        return ("leaf", lid)
+
     if _is_meta(eng, node):
         pred = _meta_pred(eng, node.field, node)
         lid = ctx.new_leaf()
@@ -238,6 +281,8 @@ def _collect_leaf_terms(engine: SearchEngine, node, out: list[str]) -> None:
     if isinstance(node, BoolQ):
         for c in (*node.should, *node.must, *node.must_not):
             _collect_leaf_terms(engine, c, out)
+    elif isinstance(node, ConstQ):
+        _collect_leaf_terms(engine, node.node, out)
     elif isinstance(node, (TermQ, PhraseQ)) and not _is_meta(engine, node):
         out.extend(engine.analyze_query(node.text))
 
@@ -369,9 +414,14 @@ def execute_ast(
         F.sum("contrib").alias("score_raw"), F.collect_set("leaf_id").alias("flags")
     )
     cond = _spec_to_column(spec, F.col("flags"))
+    score = F.col("score_raw")
+    for cspec, cval in ctx.const_specs:
+        score = score + F.when(
+            _spec_to_column(cspec, F.col("flags")), F.lit(float(cval))
+        ).otherwise(F.lit(0.0))
     return (
         agg.where(cond)
-        .select("doc_id", F.col("score_raw").cast("float").alias("score"))
+        .select("doc_id", score.cast("float").alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

@@ -168,6 +168,32 @@ class BoolQ:
     boost: float = 1.0
 
 
+@dataclass
+class ExistsQ:
+    """``field:*`` — Lucene FieldExistsQuery (Solr standard-parser
+    "find any document where the field exists"); constant-scores 1.0."""
+
+    field: str
+    boost: float = 1.0
+
+
+@dataclass
+class MatchAllQ:
+    """``*:*`` — MatchAllDocsQuery, Solr's default q; scores 1.0."""
+
+    boost: float = 1.0
+
+
+@dataclass
+class ConstQ:
+    """``clause^=N`` — ConstantScoreQuery (Solr standard parser's
+    constant-score operator): the wrapped clause matches as usual but
+    contributes exactly ``score`` instead of its computed score."""
+
+    node: object
+    score: float
+
+
 _LEX = re.compile(
     r"""
     \s*(?:
@@ -178,9 +204,9 @@ _LEX = re.compile(
       | (?P<not>NOT\b|!)
       | (?P<plus>\+)
       | (?P<minus>-)
-      | (?P<quoted>"[^"]*"(?:~\d+)?(?:\^[0-9.]+)?)
-      | (?P<regex>/(?:[^/\\]|\\.)+/(?:\^[0-9.]+)?)
-      | (?P<range>[\[{][^\]}]*?\sTO\s[^\]}]*?[\]}](?:\^[0-9.]+)?)
+      | (?P<quoted>"[^"]*"(?:~\d+)?(?:\^=?[0-9.]+)?)
+      | (?P<regex>/(?:[^/\\]|\\.)+/(?:\^=?[0-9.]+)?)
+      | (?P<range>[\[{][^\]}]*?\sTO\s[^\]}]*?[\]}](?:\^=?[0-9.]+)?)
       | (?P<fieldname>[A-Za-z_][A-Za-z0-9_]*:)
       | (?P<word>[^\s()"]+)
     )
@@ -189,6 +215,7 @@ _LEX = re.compile(
 )
 
 _BOOST_RE = re.compile(r"\^([0-9.]+)$")
+_CONST_RE = re.compile(r"\^=([0-9.]+)$")
 _FUZZ_RE = re.compile(r"~(\d*)$")
 
 
@@ -214,7 +241,17 @@ def _strip_boost(s: str) -> tuple[str, float]:
     return s, 1.0
 
 
+def _strip_const(s: str) -> tuple[str, float | None]:
+    """Split a trailing ``^=N`` constant-score marker off a token."""
+    m = _CONST_RE.search(s)
+    if m:
+        return s[: m.start()], float(m.group(1))
+    return s, None
+
+
 def _word_node(w: str, boost: float, fieldname: str | None):
+    if w == "*:*":  # MatchAllDocsQuery (Solr's default q)
+        return MatchAllQ(boost=boost)
     m = _FUZZ_RE.search(w)
     if m and m.start() > 0:  # fuzzy term~  /  term~1
         base = w[: m.start()]
@@ -324,14 +361,29 @@ class _Parser:
 
     def parse_primary(self):
         kind, val = self.next()
+        const = None
+        if kind in ("quoted", "regex", "range", "word"):
+            val, const = _strip_const(val)
+        node = self._primary(kind, val)
+        if const is not None and node is not None:
+            return ConstQ(node, const)
+        return node
+
+    def _primary(self, kind, val):
         if kind == "lparen":
             node = self.parse_or()
             if self.peek() and self.peek()[0] == "rparen":
                 self.next()
-            # group boost: `(a b)^2` — lexed as a word `^2` won't appear;
-            # peek a word starting with ^
+            # group boost `(a b)^2` / group constant score `(a b)^=2` —
+            # lexed as a trailing word starting with ^
             t = self.peek()
-            if t and t[0] == "word" and t[1].startswith("^"):
+            if t and t[0] == "word" and t[1].startswith("^="):
+                self.next()
+                try:
+                    return ConstQ(node, float(t[1][2:]))
+                except ValueError:
+                    pass
+            elif t and t[0] == "word" and t[1].startswith("^"):
                 self.next()
                 try:
                     node.boost = float(t[1][1:])
@@ -367,17 +419,24 @@ class _Parser:
                 # compiler maps metadata fields to equality filters and
                 # text-field phrases to the positional verifier
                 self.next()
-                body, boost = _strip_boost(nval)
+                body, const = _strip_const(nval)
+                body, boost = _strip_boost(body)
                 slop = 0
                 m = re.search(r'"~(\d+)$', body)
                 if m:
                     slop = int(m.group(1))
                     body = body[: m.start() + 1]
-                return PhraseQ(body.strip('"'), slop=slop, boost=boost, field=fname)
+                node = PhraseQ(body.strip('"'), slop=slop, boost=boost, field=fname)
+                return ConstQ(node, const) if const is not None else node
             if nkind == "word":
                 self.next()
-                w, boost = _strip_boost(nval)
-                return _word_node(w, boost, fname)
+                w, const = _strip_const(nval)
+                w, boost = _strip_boost(w)
+                if w == "*":  # field:* — FieldExistsQuery
+                    node = ExistsQ(fname, boost=boost)
+                else:
+                    node = _word_node(w, boost, fname)
+                return ConstQ(node, const) if const is not None else node
             return TermQ(fname)
         if kind == "word":
             w, boost = _strip_boost(val)

@@ -408,3 +408,53 @@ def test_search_exhausted_short_window_serves_any_k(index):
     bigger = eng.search("zzzznotaterm config", k=50, mode="AND")
     assert _is_local_relation(bigger)  # short window is exhaustive
     assert bigger.collect() == []
+
+
+def test_execute_match_all_scores_one(engine):
+    big = 10**6
+    n_docs = engine.index.docs.count()
+    rows = execute_query(engine, "*:*", k=big).collect()
+    assert len(rows) == n_docs
+    assert all(r["score"] == 1.0 for r in rows)
+
+
+def test_execute_field_exists_and_unknown_warns(engine):
+    import warnings
+
+    big = 10**6
+    n_docs = engine.index.docs.count()
+    rows = execute_query(engine, "lang:*", k=big).collect()
+    # synth corpus: every doc has a lang → exists matches all, score 1.0
+    assert len(rows) == n_docs and all(r["score"] == 1.0 for r in rows)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = execute_query(engine, "nosuchfield:* AND server", k=10).collect()
+    assert got == [] and any("unknown field" in str(x.message) for x in w)
+
+
+def test_execute_const_score_operator(engine):
+    base = {r["doc_id"]: r["score"]
+            for r in execute_query(engine, "server", k=10**6).collect()}
+    const = {r["doc_id"]: r["score"]
+             for r in execute_query(engine, "server^=0.25", k=10**6).collect()}
+    # same match set, every score exactly the constant
+    assert set(const) == set(base)
+    assert all(s == pytest.approx(0.25) for s in const.values())
+    # OR composition: matching docs add the constant on top of BM25
+    both = {r["doc_id"]: r["score"]
+            for r in execute_query(engine, "server^=0.25 OR parse", k=10**6).collect()}
+    parse = {r["doc_id"]: r["score"]
+             for r in execute_query(engine, "parse", k=10**6).collect()}
+    for d, s in both.items():
+        expect = parse.get(d, 0.0) + (0.25 if d in base else 0.0)
+        assert s == pytest.approx(expect, rel=1e-5)
+
+
+def test_execute_group_const_score(engine):
+    big = 10**6
+    a = {r["doc_id"] for r in execute_query(engine, "server", k=big).collect()}
+    b = {r["doc_id"] for r in execute_query(engine, "client", k=big).collect()}
+    got = {r["doc_id"]: r["score"]
+           for r in execute_query(engine, "(server OR client)^=2", k=big).collect()}
+    assert set(got) == (a | b)
+    assert all(s == pytest.approx(2.0) for s in got.values())
