@@ -2527,6 +2527,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vector_similarity_threshold"] = vec_threshold
 
+    def ann_quantized(s, d):
+        """int8 scalar-quantized store (Lucene ScalarQuantizedVectorsFormat
+        analog): quantize → reconstruct → exact cosine top-k."""
+        emb = _read(s, d, "embeddings")
+        qemb = similarity.quantize_embeddings(emb, "vec_id", "embedding")
+        qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        return similarity.cosine_topk_quantized(qemb, qv, k=10).select(
+            "id", F.round("cosine", 4).alias("cosine")
+        )
+
+    q["ann_quantized_top10"] = ann_quantized
+
     def ann_hnsw(s, d):
         """Partition-local HNSW (solr_spark/hnsw.py — Lucene HNSW analog,
         ref schema/DenseVectorField.java:68-80): one graph per hash
@@ -2589,6 +2601,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["facet_allbuckets_lang"] = facet_allbuckets_q
+
+    def facet_range_other_q(s, d):
+        from solr_spark.operators.relational import facet_range_other
+
+        return facet_range_other(_read(s, d, "documents"), "n_chars", 150.0, 450.0)
+
+    q["facet_range_other_nchars"] = facet_range_other_q
+
+    def facet_multiselect_q(s, d):
+        """Multi-select faceting: the lang facet excludes its own tagged
+        lang filter ({!ex=langtag}) but keeps the source filter."""
+        from solr_spark.operators.relational import facet_field_multiselect
+
+        return facet_field_multiselect(
+            _read(s, d, "documents"),
+            "lang",
+            {
+                "langtag": F.col("lang") == "en",
+                "srctag": F.col("source").isin("src1", "src2", "src3"),
+            },
+            exclude_tags={"langtag"},
+        ).select("lang", F.col("count").cast("long").alias("count"))
+
+    q["facet_multiselect_exclude"] = facet_multiselect_q
 
     # --- TermsComponent terms.regex + mincount (TermsComponent.java:250-318) ---
     def terms_regex(s, d):
@@ -4094,6 +4130,9 @@ FROM ab
     o["dedup_embedding_cosine"] = embedding_lsh_sql(0.45)
     o["dedup_embedding_exact"] = embedding_neardup_sql(0.45)
     o["ann_cosine_top10"] = ann_topk_sql(query_id=0, k=10)
+    from solr_spark.oracle_sql import quantized_topk_sql
+
+    o["ann_quantized_top10"] = quantized_topk_sql(query_id=0, k=10)
     o["ann_ivf_top10"] = ann_ivf_sql(query_id=0, k=10, n_probe=4)
     o["vector_similarity_threshold"] = vector_similarity_sql(query_id=0, threshold=0.2)
     # HNSW must reproduce the exact top-10 when every shard's beam
@@ -4553,6 +4592,17 @@ ORDER BY event_type, mid_x
                CAST(count(*) AS BIGINT) AS all_count,
                CAST(sum(n_chars) AS BIGINT) AS sum_nchars
         FROM documents WHERE lang IS NOT NULL
+    """
+    o["facet_range_other_nchars"] = """
+        SELECT CAST(sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS BIGINT) AS before,
+               CAST(sum(CASE WHEN n_chars >= 150 AND n_chars < 450 THEN 1 ELSE 0 END) AS BIGINT) AS between,
+               CAST(sum(CASE WHEN n_chars >= 450 THEN 1 ELSE 0 END) AS BIGINT) AS after
+        FROM documents
+    """
+    o["facet_multiselect_exclude"] = """
+        SELECT lang, count(*) AS count FROM documents
+        WHERE source IN ('src1', 'src2', 'src3')
+        GROUP BY lang ORDER BY count DESC, lang LIMIT 100
     """
 
     # TermsComponent terms.regex (whole-term match) + mincount

@@ -35,6 +35,8 @@ __all__ = [
     "facet_field",
     "json_facet_allbuckets",
     "facet_range",
+    "facet_range_other",
+    "facet_field_multiselect",
     "facet_pivot",
     "stats_numeric",
     "collapse",
@@ -144,6 +146,44 @@ def facet_range(
         .agg(F.count("*").alias("count"))
         .orderBy("bucket_start")
     )
+
+
+def facet_range_other(
+    df: DataFrame, field: str, start: float, end: float
+) -> DataFrame:
+    """``facet.range.other=all`` (FacetRangeProcessor's OTHER enum,
+    ``request/SimpleFacets.java`` / ``search/facet/FacetRange.java``):
+    the three out-of/in-range counts emitted alongside range buckets —
+    ``before`` (< start), ``between`` ([start, end)), ``after`` (>= end).
+    ONE aggregation pass (conditional sums), no extra scans."""
+    c = F.col(field)
+    return df.agg(
+        F.sum(F.when(c < start, 1).otherwise(0)).cast("long").alias("before"),
+        F.sum(F.when((c >= start) & (c < end), 1).otherwise(0)).cast("long").alias("between"),
+        F.sum(F.when(c >= end, 1).otherwise(0)).cast("long").alias("after"),
+    )
+
+
+def facet_field_multiselect(
+    df: DataFrame,
+    field: str,
+    tagged_filters: dict[str, Column],
+    exclude_tags: set[str] | None = None,
+    limit: int = 100,
+) -> DataFrame:
+    """Multi-select faceting — ``{!ex=tag}`` / JSON-facet
+    ``domain:{excludeTags:[...]}`` (``search/facet/FacetRequest.java``
+    domain filters): facet counts computed with every tagged filter
+    applied EXCEPT the excluded tags, so a UI filter on a field doesn't
+    collapse that field's own facet to one bucket.
+
+    Catalyst still sees one scan + one aggregation; the kept filters are
+    pushed predicates."""
+    exclude_tags = exclude_tags or set()
+    for tag, pred in tagged_filters.items():
+        if tag not in exclude_tags:
+            df = df.where(pred)
+    return facet_field(df, field, limit=limit)
 
 
 def facet_queries(df: DataFrame, named: dict[str, Column]) -> DataFrame:

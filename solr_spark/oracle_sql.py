@@ -428,6 +428,31 @@ ORDER BY {cos} DESC, e.vec_id ASC
 """.strip()
 
 
+def quantized_topk_sql(query_id: int, k: int = 10, bits: int = 8) -> str:
+    """Oracle for the int8-quantized cosine top-k: the same per-vector
+    symmetric quantization (scale = max|x|/qmax, half-up floor rounding)
+    applied in SQL, then exact cosine over the reconstruction."""
+    qmax = float(2 ** (bits - 1) - 1)
+    cos = ("list_dot_product(dv, qv) / "
+           "(sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(qv, qv)))")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+am AS (SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) AS absmax FROM e),
+qz AS (SELECT vec_id, v,
+              CASE WHEN absmax > 0 THEN absmax / {qmax} ELSE 1.0 END AS scale
+       FROM am),
+dq AS (SELECT vec_id,
+              list_transform(v, x -> floor(x / scale + 0.5) * scale) AS dv
+       FROM qz),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_id})
+SELECT dq.vec_id AS id, ROUND({cos}, 4) AS cosine
+FROM dq, q
+ORDER BY {cos} DESC, dq.vec_id ASC
+LIMIT {k}
+""".strip()
+
+
 def ann_topk_sql(query_id: int, k: int = 10) -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -446,3 +446,24 @@ def test_score_nodes_idf_formula(spark):
     got = {r["node"]: r for r in score_nodes(nodes, edges, "node_src").collect()}
     assert abs(got[10]["score"] - 2 * math.log(1 + 4 / 3)) < 1e-9
     assert abs(got[20]["score"] - 1 * math.log(1 + 4 / 1)) < 1e-9
+
+
+def test_quantize_embeddings_roundtrip_and_recall(emb):
+    from pyspark.sql import functions as F
+
+    from solr_spark import similarity
+
+    qemb = similarity.quantize_embeddings(emb, "vec_id", "embedding")
+    # storage contract: int8 codes + one double scale per vector
+    assert dict(qemb.dtypes)["qvec"] == "array<tinyint>"
+    row = qemb.where(F.col("id") == 3).collect()[0]
+    orig = emb.where(F.col("vec_id") == 3).collect()[0]["embedding"]
+    # reconstruction error bounded by scale/2 per component
+    for o, qc in zip(orig, row["qvec"]):
+        assert abs(o - qc * row["scale"]) <= row["scale"] / 2 + 1e-12
+    # top-10 over the quantized store ≈ float top-10 (64-dim, int8 →
+    # high overlap; exact identity not guaranteed)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    f10 = {r["id"] for r in similarity.cosine_topk(emb, "vec_id", "embedding", qv, k=10).collect()}
+    q10 = {r["id"] for r in similarity.cosine_topk_quantized(qemb, qv, k=10).collect()}
+    assert len(f10 & q10) >= 8

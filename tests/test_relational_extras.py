@@ -121,3 +121,29 @@ def test_facet_field_full_parameter_set(spark):
     # allBuckets/numBuckets: one row over every bucket regardless of limit
     ab = json_facet_allbuckets(df, "source", F.count("*").cast("long"), "m").collect()[0]
     assert (ab["num_buckets"], ab["all_count"], ab["m"]) == (4, 5, 5)
+
+
+def test_facet_range_other_and_multiselect(spark):
+    from pyspark.sql import functions as F
+
+    from solr_spark.operators.relational import (
+        facet_field_multiselect,
+        facet_range_other,
+    )
+
+    df = spark.createDataFrame(
+        [(50, "en", "a"), (150, "en", "a"), (300, "de", "b"), (500, "de", "a")],
+        "n integer, lang string, src string",
+    )
+    r = facet_range_other(df, "n", 100.0, 400.0).collect()[0]
+    assert (r["before"], r["between"], r["after"]) == (1, 2, 1)
+
+    tagged = {"langtag": F.col("lang") == "en", "srctag": F.col("src") == "a"}
+    # excluding the lang filter: facet over BOTH langs within src=a
+    got = {r["lang"]: r["count"]
+           for r in facet_field_multiselect(df, "lang", tagged, {"langtag"}).collect()}
+    assert got == {"en": 2, "de": 1}
+    # no exclusion: the lang filter collapses its own facet
+    got = {r["lang"]: r["count"]
+           for r in facet_field_multiselect(df, "lang", tagged).collect()}
+    assert got == {"en": 2}
