@@ -1168,6 +1168,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tlogit_classify_top10"] = tlogit_q
 
+    def tlogit_frozen(s, d):
+        """tlogit's q-time half with FROZEN literal weights — the scoring
+        path is pure arithmetic over JVM tf features, so unlike the
+        trained entry it is fully oracle-checkable."""
+        from solr_spark.tlogit import tlogit_classify
+
+        docs = _read(s, d, "documents").where(F.col("doc_id") < 60)
+        out = tlogit_classify(
+            docs, "text", [-1.0, 0.9, 0.6, -0.8],
+            ["spark", "merge", "batch"], keep_cols=["doc_id"],
+        )
+        return out.select(
+            "doc_id", F.round("prob", 6).alias("prob"), "predicted"
+        ).orderBy("doc_id")
+
+    q["tlogit_frozen_scores"] = tlogit_frozen
+
+    def child_transform_q(s, d):
+        """[child] doc transformer: parents carry nested child values
+        (ChildDocTransformerFactory with childFilter)."""
+        from solr_spark.operators.relational import child_transform
+
+        orders = _read(s, d, "orders").where(F.col("o_custkey") <= 3)
+        li = _read(s, d, "lineitem")
+        return (
+            child_transform(
+                orders.select("o_orderkey"), li, "o_orderkey", "l_orderkey",
+                "l_partkey", child_filter=F.col("l_quantity") >= 25,
+            )
+            .orderBy("o_orderkey")
+        )
+
+    q["child_doc_transform"] = child_transform_q
+
     # --- spatial: geofilt / bbox / geodist (SpatialFilterQParserPlugin) ---
     from solr_spark.operators.spatial import bbox, geodist, geofilt, synth_coords
 
@@ -4650,4 +4684,33 @@ FROM (SELECT unnest({_fold_text}) AS tok
       FROM documents WHERE doc_id < 50) t
 GROUP BY tok ORDER BY count DESC, tok ASC LIMIT 20
 """.strip()
+
+    # tlogit q-time half with frozen weights (training stays rows-only)
+    _te = tok.duckdb_tokens_expr("text")
+    o["tlogit_frozen_scores"] = f"""
+WITH f AS (
+  SELECT doc_id,
+         len(list_filter({_te}, x -> x = 'spark')) AS f0,
+         len(list_filter({_te}, x -> x = 'merge')) AS f1,
+         len(list_filter({_te}, x -> x = 'batch')) AS f2
+  FROM documents WHERE doc_id < 60),
+z AS (SELECT doc_id, -1.0 + 0.9 * f0 + 0.6 * f1 - 0.8 * f2 AS z FROM f)
+SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS prob,
+       CAST(CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5 THEN 1 ELSE 0 END
+            AS INTEGER) AS predicted
+FROM z ORDER BY doc_id
+""".strip()
+
+    # [child] doc transformer: nested child values as a sorted array
+    o["child_doc_transform"] = """
+        SELECT o.o_orderkey,
+               coalesce(list(l.l_partkey ORDER BY l.l_partkey)
+                          FILTER (WHERE l.l_partkey IS NOT NULL),
+                        CAST([] AS BIGINT[])) AS children
+        FROM orders o
+        LEFT JOIN lineitem l
+          ON l.l_orderkey = o.o_orderkey AND l.l_quantity >= 25
+        WHERE o.o_custkey <= 3
+        GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+    """
     return o

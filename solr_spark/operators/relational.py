@@ -412,6 +412,38 @@ def block_join_children(
     return children.join(keys, child_parent_key, "left_semi")
 
 
+def child_transform(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_parent_key: str,
+    child_value: str,
+    child_filter: Column | None = None,
+    out_col: str = "children",
+) -> DataFrame:
+    """``[child]`` doc transformer (``response/transform/
+    ChildDocTransformerFactory.java``): each parent row carries its
+    nested child values as a sorted array column (the nested-document
+    return shape, flattened to one atomic child field so the result is
+    engine-comparable). ``child_filter`` is the transformer's
+    ``childFilter=`` param.
+
+    One shuffle: children aggregate by parent key (map-side partial
+    collect), then join the parents — broadcastable when the parent page
+    is small, exactly the response-building case."""
+    ch = children
+    if child_filter is not None:
+        ch = ch.where(child_filter)
+    nested = ch.groupBy(F.col(child_parent_key).alias(parent_key)).agg(
+        F.sort_array(F.collect_list(child_value)).alias(out_col)
+    )
+    joined = parents.join(nested, parent_key, "left")
+    # parents with no matching children get [] (Solr returns the parent
+    # with no child docs, not a null)
+    empty = F.array().cast(dict(nested.dtypes)[out_col])
+    return joined.withColumn(out_col, F.coalesce(F.col(out_col), empty))
+
+
 def collapse(df: DataFrame, field: str, order_by: list[Column]) -> DataFrame:
     """CollapsingQParserPlugin (:122): keep one group-head per field value
     under the given sort policy."""

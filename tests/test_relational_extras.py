@@ -147,3 +147,22 @@ def test_facet_range_other_and_multiselect(spark):
     got = {r["lang"]: r["count"]
            for r in facet_field_multiselect(df, "lang", tagged).collect()}
     assert got == {"en": 2}
+
+
+def test_child_transform_nested_arrays(spark):
+    from pyspark.sql import functions as F
+
+    from solr_spark.operators.relational import child_transform
+
+    parents = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    children = spark.createDataFrame(
+        [(1, 30, 10), (1, 20, 40), (2, 99, 5)], "fk long, v long, qty long"
+    )
+    out = {r["pk"]: r["children"]
+           for r in child_transform(parents, children, "pk", "fk", "v").collect()}
+    assert out == {1: [20, 30], 2: [99], 3: []}
+    # childFilter drops non-matching children; parents keep [] not null
+    out = {r["pk"]: r["children"]
+           for r in child_transform(parents, children, "pk", "fk", "v",
+                                    child_filter=F.col("qty") >= 10).collect()}
+    assert out == {1: [20, 30], 2: [], 3: []}
