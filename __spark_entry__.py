@@ -748,6 +748,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["spellcheck_sparkk"] = lambda s, d: qx.spellcheck(_engine(s, d), "sparkk")
     q["suggest_prefix_s"] = lambda s, d: qx.suggest(_engine(s, d), "s")
     q["suggest_infix_er"] = lambda s, d: qx.suggest_infix(_engine(s, d), "er")
+    q["suggest_freetext_data"] = lambda s, d: qx.suggest_freetext(
+        _read(s, d, "documents"), "text", "data", n=5
+    )
+    q["mlt_interesting_terms"] = lambda s, d: qx.mlt_interesting_terms(
+        _engine(s, d), seed_doc_id=42, max_terms=10
+    )
     q["highlight_merge"] = lambda s, d: _rounded(
         qx.highlight_topk(_engine(s, d), "merge", _read(s, d, "documents"))
     )
@@ -3195,6 +3201,26 @@ LIMIT 10
     o["query_prefix"] = prefix_topk_sql("s")
     o["query_fuzzy"] = fuzzy_topk_sql("sprk")
     o["mlt_doc42"] = mlt_topk_sql(42)
+    o["mlt_interesting_terms"] = f"""
+WITH {_prelude()},
+alldf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+seedtf AS (SELECT tok, count(*) AS tf FROM toks WHERE doc_id = 42 GROUP BY tok)
+SELECT st.tok AS term, CAST(st.tf AS BIGINT) AS tf, CAST(a.df AS BIGINT) AS df,
+       ROUND(st.tf * ln(1.0 + (s.n_docs - a.df + 0.5) / (a.df + 0.5)), 4) AS tfidf
+FROM seedtf st JOIN alldf a USING (tok) CROSS JOIN stats s
+ORDER BY st.tf * ln(1.0 + (s.n_docs - a.df + 0.5) / (a.df + 0.5)) DESC, st.tok ASC
+LIMIT 10
+""".strip()
+    o["suggest_freetext_data"] = f"""
+WITH toks AS (SELECT doc_id, {tok.duckdb_tokens_expr('text')} AS tt FROM documents),
+bi AS (SELECT unnest(list_transform(
+         range(1, greatest(len(tt) - 1, 0) + 1),
+         i -> tt[i] || ' ' || tt[i + 1])) AS s
+       FROM toks)
+SELECT split_part(s, ' ', 2) AS suggestion, CAST(count(*) AS BIGINT) AS weight
+FROM bi WHERE split_part(s, ' ', 1) = 'data'
+GROUP BY 1 ORDER BY weight DESC, suggestion ASC LIMIT 5
+""".strip()
     o["rerank_weighted"] = rerank_sql(
         tok.tokenize_py("table row"), tok.tokenize_py("merge"), k=10, rerank_docs=50, weight=2.0
     )

@@ -1038,3 +1038,59 @@ def interleave_team_draft(
         .orderBy("slot")
         .limit(k)
     )
+
+
+def suggest_freetext(
+    docs: DataFrame, text_col: str, prev: str, n: int = 5, chain=None
+) -> DataFrame:
+    """FreeTextSuggester analog (Lucene ``suggest/fst/FreeTextSuggester``,
+    wired in Solr via ``lookupImpl=FreeTextLookupFactory``): an n-gram
+    language model over the corpus — here the bigram table — suggesting
+    the most likely NEXT token after ``prev``, weighted by bigram count.
+
+    Built from the same one-expression shingle pipeline as the shingle
+    facet: tokenize+shingle fuse into the scan, one aggregation shuffle.
+    At 100 TB the bigram table is precomputed once and reused, exactly
+    like the reference's suggester build pass."""
+    from solr_spark.analysis import CODE_CHAIN, shingles
+
+    chain = chain or CODE_CHAIN
+    bi = docs.select(
+        F.explode(shingles(chain.tokens(F.col(text_col)), 2)).alias("s")
+    )
+    parts = F.split(F.col("s"), " ")
+    return (
+        bi.where(parts[0] == prev.lower())
+        .select(parts[1].alias("suggestion"))
+        .groupBy("suggestion")
+        .agg(F.count("*").cast("long").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("suggestion"))
+        .limit(n)
+    )
+
+
+def mlt_interesting_terms(
+    engine: SearchEngine, seed_doc_id: int, max_terms: int = 10
+) -> DataFrame:
+    """MLT ``interestingTerms=details`` (``MoreLikeThisComponent`` /
+    ``MoreLikeThis.java retrieveInterestingTerms``): the ranked term list
+    itself — (term, tf in seed, corpus df, tf·idf) — using the exact
+    selection rule `mlt_topk` queries with."""
+    from collections import Counter
+
+    seed_rows = (
+        engine.index.docs.where(F.col("doc_id") == F.lit(seed_doc_id))
+        .select("stored_text")
+        .collect()
+    )
+    schema = "term string, tf long, df long, tfidf double"
+    if not seed_rows:
+        return engine.spark.createDataFrame([], schema)
+    tf_by_term = Counter(engine.analyze_query(seed_rows[0]["stored_text"]))
+    stats = engine._term_stats(list(tf_by_term))
+    ranked = sorted(stats, key=lambda s: (-tf_by_term[s.term] * s.idf, s.term))[:max_terms]
+    rows = [
+        (s.term, tf_by_term[s.term], s.df, round(tf_by_term[s.term] * s.idf, 4))
+        for s in ranked
+    ]
+    return engine.spark.createDataFrame(rows, schema)
