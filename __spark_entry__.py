@@ -1208,6 +1208,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["child_doc_transform"] = child_transform_q
 
+    def hash_filter_q(s, d):
+        """{!hash workers=4 worker=1} over documents — the /export
+        parallel() split filter."""
+        from solr_spark.operators.relational import hash_partition_filter
+
+        return (
+            hash_partition_filter(_read(s, d, "documents"), "doc_id", 4, 1)
+            .select("doc_id", "lang")
+            .orderBy("doc_id")
+        )
+
+    q["hash_partition_filter"] = hash_filter_q
+
+    def random_sample_q(s, d):
+        """random() stream as deterministic hash-threshold sampling."""
+        from solr_spark.operators.relational import random_hash_sample
+
+        return (
+            random_hash_sample(_read(s, d, "documents"), "doc_id", 0.1)
+            .select("doc_id")
+            .orderBy("doc_id")
+        )
+
+    q["random_hash_sample"] = random_sample_q
+
     # --- spatial: geofilt / bbox / geodist (SpatialFilterQParserPlugin) ---
     from solr_spark.operators.spatial import bbox, geodist, geofilt, synth_coords
 
@@ -4738,5 +4763,16 @@ FROM z ORDER BY doc_id
           ON l.l_orderkey = o.o_orderkey AND l.l_quantity >= 25
         WHERE o.o_custkey <= 3
         GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+    """
+    from solr_spark.functions.hashing import md5_long_sql as _mls
+
+    _h = _mls("CAST(doc_id AS VARCHAR)")
+    o["hash_partition_filter"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE ({_h}) % 4 = 1 ORDER BY doc_id
+    """
+    o["random_hash_sample"] = f"""
+        SELECT doc_id FROM documents
+        WHERE ({_h}) % 10000 < 1000 ORDER BY doc_id
     """
     return o

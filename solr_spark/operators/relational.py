@@ -532,6 +532,34 @@ def timeseries(
     return df.groupBy(bucket).agg(*[m.alias(n) for n, m in metrics.items()]).orderBy("bucket")
 
 
+def hash_partition_filter(
+    df: DataFrame, key: str, workers: int, worker: int
+) -> DataFrame:
+    """``{!hash workers=N worker=i}`` (HashQParserPlugin — the filter the
+    reference's /export + parallel() uses to split a collection across N
+    workers): keep the rows whose hashed key lands in partition
+    ``worker``. Deterministic md5-based hash with an exact SQL twin
+    (``functions/hashing.py``), so any engine slices identically; the
+    predicate is a pure JVM expression the scan evaluates in place."""
+    from solr_spark.functions.hashing import md5_long
+
+    h = F.pmod(md5_long(F.col(key).cast("string")), F.lit(workers))
+    return df.where(h == F.lit(worker))
+
+
+def random_hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """``random()`` stream (RandomStream / RandomFacadeStream) restated
+    deterministically: hash-threshold sampling — keep rows whose md5-hash
+    bucket of ``key`` falls below ``fraction``. Unlike rng-based
+    ``sample()``, the same rows are picked on ANY engine/partitioning
+    (the property that makes sampled pipelines reproducible at 100 TB),
+    and the oracle computes the identical set in SQL."""
+    from solr_spark.functions.hashing import md5_long
+
+    bucket = F.pmod(md5_long(F.col(key).cast("string")), F.lit(10000))
+    return df.where(bucket < F.lit(int(fraction * 10000)))
+
+
 def random_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     """random stream (RandomStream.java) — seeded sample."""
     return df.sample(fraction=fraction, seed=seed)

@@ -166,3 +166,25 @@ def test_child_transform_nested_arrays(spark):
            for r in child_transform(parents, children, "pk", "fk", "v",
                                     child_filter=F.col("qty") >= 10).collect()}
     assert out == {1: [20, 30], 2: [], 3: []}
+
+
+def test_hash_partition_filter_covers_and_disjoint(spark):
+    from solr_spark.operators.relational import (
+        hash_partition_filter,
+        random_hash_sample,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    parts = [
+        {r["k"] for r in hash_partition_filter(df, "k", 4, i).collect()}
+        for i in range(4)
+    ]
+    # the 4 worker slices are disjoint and cover the whole collection
+    assert sum(len(p) for p in parts) == 500
+    assert set().union(*parts) == set(range(500))
+    # deterministic: same slice on re-evaluation
+    assert parts[1] == {r["k"] for r in hash_partition_filter(df, "k", 4, 1).collect()}
+    # hash-threshold sampling: deterministic, roughly the asked fraction
+    s = {r["k"] for r in random_hash_sample(df, "k", 0.2).collect()}
+    assert s == {r["k"] for r in random_hash_sample(df, "k", 0.2).collect()}
+    assert 0.1 <= len(s) / 500 <= 0.3
