@@ -19,11 +19,19 @@ def qengine(index):
 
 @pytest.fixture(scope="module")
 def docsets(qengine):
-    return {t: {r["doc_id"] for r in qengine.topk(t, k=10**6).collect()} for t in TERMS}
+    out = {t: {r["doc_id"] for r in qengine.topk(t, k=10**6).collect()} for t in TERMS}
+    out["*"] = {r["doc_id"] for r in qengine.index.docs.select("doc_id").collect()}
+    return out
 
 
 def trees():
-    leaf = st.sampled_from(TERMS).map(lambda t: ("leaf", t))
+    leaf = st.one_of(
+        st.sampled_from(TERMS).map(lambda t: ("leaf", t)),
+        # constant-score leaf: t^=N matches the same set as t
+        st.sampled_from(TERMS).map(lambda t: ("cleaf", t)),
+        # match-all leaf: *:* is the full collection
+        st.just(("all",)),
+    )
 
     def extend(children):
         return st.one_of(
@@ -41,6 +49,10 @@ def render(node) -> str:
     kind = node[0]
     if kind == "leaf":
         return node[1]
+    if kind == "cleaf":
+        return f"{node[1]}^=0.5"
+    if kind == "all":
+        return "*:*"
     _, l, r = node
     if kind == "and":
         return f"({render(l)} AND {render(r)})"
@@ -55,8 +67,10 @@ def render(node) -> str:
 
 def evaluate(node, docsets) -> set:
     kind = node[0]
-    if kind == "leaf":
+    if kind in ("leaf", "cleaf"):
         return docsets[node[1]]
+    if kind == "all":
+        return docsets["*"]
     _, l, r = node
     a, b = evaluate(l, docsets), evaluate(r, docsets)
     if kind == "and":
