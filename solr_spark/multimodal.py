@@ -12,10 +12,20 @@ real decoder plugs into: same schema, same batch shape, same partition
 behavior), and frame sampling for the video modality.
 
 What is STUBBED (this container has no image/audio codecs): the actual
-``decode`` step — :func:`decode_image` raises ``NotImplementedError``
-unless PIL is importable, documenting the exact signature a real decoder
-must satisfy. Feature extraction does NOT depend on the stub; it works
-on raw bytes.
+*codec* ``decode`` step — :func:`decode_image` raises
+``NotImplementedError`` unless PIL is importable, documenting the exact
+signature a real decoder must satisfy. Feature extraction does NOT
+depend on the stub; it works on raw bytes.
+
+What is a DETERMINISTIC FAKE (and therefore fully testable end-to-end):
+:func:`decode_fake` expands each payload into a pixel tensor with a pure
+byte-arithmetic rule (no codec), so the downstream kernels —
+:func:`resize_image` (exact area-mean / nearest-neighbor),
+:func:`audio_features` (framed RMS / zero-crossing / spectral centroid
+via rFFT), :func:`frame_sample` + :func:`frame_features` — are REAL
+vectorized numpy over Arrow batches, map-only plans, byte-for-byte
+reproducible. Swapping :func:`decode_fake` for a Pillow/libvips decoder
+changes one function body and nothing else.
 """
 
 from __future__ import annotations
@@ -147,6 +157,174 @@ def frame_sample(mm: DataFrame, every_n: int = 4, frame_bytes: int = 32) -> Data
         "frame_no",
         F.expr(f"substring(data, frame_no * {frame_bytes} + 1, {frame_bytes})").alias("frame"),
     )
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pixels", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+
+def _fake_pixels(buf: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Deterministic byte→pixel expansion (the fake 'codec').
+
+    Cyclically tiles the payload bytes to ``w*h`` and XORs each position
+    with ``pos & 0xFF`` so the tiling is not trivially periodic. Pure
+    uint8 arithmetic — same bytes in, same pixels out, everywhere.
+    """
+    n = w * h
+    px = np.resize(buf, n) ^ (np.arange(n, dtype=np.int64) & 0xFF).astype(np.uint8)
+    return px
+
+
+def decode_fake(mm: DataFrame) -> DataFrame:
+    """Deterministic fake image decode (``mapInPandas``, map-only plan).
+
+    For each ``image`` row, expands the payload (header stripped) into a
+    ``meta.width × meta.height`` grayscale pixel array via
+    :func:`_fake_pixels`. This is the sandbox stand-in for a Pillow
+    decode: identical schema, batching, and partition behavior — only the
+    numpy body differs. Returns (doc_id, width, height, pixels).
+    """
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, data, meta in zip(pdf["doc_id"], pdf["data"], pdf["meta"]):
+                w, h = int(meta["width"]), int(meta["height"])
+                buf = np.frombuffer(bytes(data), dtype=np.uint8)[4:]  # strip header
+                px = _fake_pixels(buf, w, h)
+                rows.append((int(doc_id), w, h, px.astype(np.int32).tolist()))
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    imgs = mm.where(F.col("modality") == "image").select("doc_id", "data", "meta")
+    return imgs.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def _area_resize(px: np.ndarray, w: int, h: int, out_w: int, out_h: int) -> np.ndarray:
+    """Vectorized resize: exact area mean when the dims divide evenly,
+    nearest-neighbor otherwise. Returns float64 (out_h, out_w)."""
+    img = px.reshape(h, w).astype(np.float64)
+    if h % out_h == 0 and w % out_w == 0:
+        bh, bw = h // out_h, w // out_w
+        return img.reshape(out_h, bh, out_w, bw).mean(axis=(1, 3))
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return img[np.ix_(ri, ci)]
+
+
+def resize_image(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Real resize kernel over decoded pixel rows (``mapInPandas``).
+
+    Exact area-mean downsample (reshape/mean — the OpenCV ``INTER_AREA``
+    rule) when source dims are multiples of the target; deterministic
+    nearest-neighbor sampling otherwise. Output pixels are float means.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("pixels", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, w, h, px in zip(pdf["doc_id"], pdf["width"], pdf["height"], pdf["pixels"]):
+                small = _area_resize(np.asarray(px), int(w), int(h), out_w, out_h)
+                rows.append((int(doc_id), out_w, out_h, small.ravel().tolist()))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return decoded.mapInPandas(run, schema=out_schema)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("zcr", T.DoubleType(), False),
+        T.StructField("spectral_centroid", T.DoubleType(), False),
+    ]
+)
+
+
+def audio_features(mm: DataFrame, frame: int = 256, hop: int = 128) -> DataFrame:
+    """Real audio DSP over the (fake-PCM) payload (``mapInPandas``).
+
+    Treats payload bytes (header stripped) as unsigned-8-bit PCM centered
+    to [-1, 1] and computes framed RMS energy (stride-tricks framing,
+    ``frame``/``hop``), zero-crossing rate, and spectral centroid in Hz
+    from the rFFT magnitude at ``meta.sample_rate``. All numpy, no codec
+    — a real PCM decoder swaps in upstream without touching this kernel.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, data, meta in zip(pdf["doc_id"], pdf["data"], pdf["meta"]):
+                sr = int(meta["sample_rate"])
+                buf = np.frombuffer(bytes(data), dtype=np.uint8)[4:]
+                x = (buf.astype(np.float64) - 127.5) / 127.5
+                if len(x) >= frame:
+                    n_fr = 1 + (len(x) - frame) // hop
+                    fr = np.lib.stride_tricks.as_strided(
+                        x, shape=(n_fr, frame), strides=(x.strides[0] * hop, x.strides[0])
+                    )
+                    rms = float(np.sqrt((fr**2).mean(axis=1)).mean())
+                else:
+                    rms = float(np.sqrt((x**2).mean())) if len(x) else 0.0
+                zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if len(x) > 1 else 0.0
+                mag = np.abs(np.fft.rfft(x))
+                freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
+                centroid = float((freqs * mag).sum() / mag.sum()) if mag.sum() > 0 else 0.0
+                rows.append((int(doc_id), len(x), rms, zcr, centroid))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
+
+    auds = mm.where(F.col("modality") == "audio").select("doc_id", "data", "meta")
+    return auds.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def frame_features(frames: DataFrame) -> DataFrame:
+    """Per-sampled-frame stats (mean/std byte) over :func:`frame_sample`
+    output — pure JVM expressions via ``aggregate`` over the unpacked
+    bytes is not expressible on binary, so this uses the same Arrow
+    batch kernel shape as the other extractors."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("frame_no", T.IntegerType(), False),
+            T.StructField("mean_byte", T.DoubleType(), False),
+            T.StructField("std_byte", T.DoubleType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, frame_no, fr in zip(pdf["doc_id"], pdf["frame_no"], pdf["frame"]):
+                b = np.frombuffer(bytes(fr), dtype=np.uint8).astype(np.float64)
+                if len(b):
+                    rows.append((int(doc_id), int(frame_no), float(b.mean()), float(b.std())))
+                else:
+                    rows.append((int(doc_id), int(frame_no), 0.0, 0.0))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return frames.mapInPandas(run, schema=schema)
 
 
 def decode_image(mm: DataFrame):

@@ -325,6 +325,79 @@ def test_decode_image_is_gated_stub(docs):
         multimodal.decode_image(mm)
 
 
+def test_decode_fake_deterministic_and_shaped(docs):
+    mm = multimodal.synth_multimodal(docs.where(F.col("doc_id") < 30))
+    dec = multimodal.decode_fake(mm)
+    rows = {r["doc_id"]: r for r in dec.collect()}
+    again = {r["doc_id"]: r for r in multimodal.decode_fake(mm).collect()}
+    assert rows, "expected image rows"
+    payloads = {
+        r["doc_id"]: (bytes(r["data"]), r["meta"]) for r in mm.where("modality = 'image'").collect()
+    }
+    assert set(rows) == set(payloads)
+    for doc_id, r in rows.items():
+        data, meta = payloads[doc_id]
+        assert (r["width"], r["height"]) == (meta["width"], meta["height"])
+        assert len(r["pixels"]) == r["width"] * r["height"]
+        # numpy-oracle: identical byte-arithmetic expansion
+        buf = np.frombuffer(data, dtype=np.uint8)[4:]
+        exp = multimodal._fake_pixels(buf, r["width"], r["height"])
+        assert np.array_equal(np.asarray(r["pixels"], dtype=np.uint8), exp)
+        # run-to-run determinism
+        assert again[doc_id]["pixels"] == r["pixels"]
+    # map-only plan: decode must not introduce a shuffle
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_resize_area_mean_oracle(docs):
+    mm = multimodal.synth_multimodal(docs.where(F.col("doc_id") < 30))
+    dec = multimodal.decode_fake(mm)
+    # synth image dims are multiples of 64 → 32x16 divides every row evenly
+    small = {r["doc_id"]: r for r in multimodal.resize_image(dec, 32, 16).collect()}
+    for r in dec.collect():
+        w, h = r["width"], r["height"]
+        img = np.asarray(r["pixels"], dtype=np.float64).reshape(h, w)
+        exp = img.reshape(16, h // 16, 32, w // 32).mean(axis=(1, 3))
+        got = np.asarray(small[r["doc_id"]]["pixels"]).reshape(16, 32)
+        assert np.allclose(got, exp)
+        # area mean preserves the global mean exactly
+        assert got.mean() == pytest.approx(img.mean(), abs=1e-9)
+    # non-divisible target → nearest-neighbor picks existing pixel values
+    odd = multimodal.resize_image(dec, 7, 5).collect()
+    for r in odd:
+        assert len(r["pixels"]) == 35
+
+
+def test_audio_features_numpy_oracle(docs):
+    mm = multimodal.synth_multimodal(docs.where(F.col("doc_id") < 30))
+    feats = {r["doc_id"]: r for r in multimodal.audio_features(mm).collect()}
+    auds = mm.where("modality = 'audio'").collect()
+    assert feats and len(feats) == len(auds)
+    for a in auds:
+        x = (np.frombuffer(bytes(a["data"]), dtype=np.uint8)[4:].astype(np.float64) - 127.5) / 127.5
+        r = feats[a["doc_id"]]
+        assert r["n_samples"] == len(x)
+        assert r["zcr"] == pytest.approx(
+            float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()), abs=1e-12
+        )
+        mag = np.abs(np.fft.rfft(x))
+        freqs = np.fft.rfftfreq(len(x), d=1.0 / 16000)
+        assert r["spectral_centroid"] == pytest.approx(
+            float((freqs * mag).sum() / mag.sum()), rel=1e-9
+        )
+        assert 0.0 <= r["rms"] <= 1.0
+
+
+def test_frame_features_shapes(docs):
+    mm = multimodal.synth_multimodal(docs.where(F.col("doc_id") < 30))
+    frames = multimodal.frame_sample(mm, every_n=4, frame_bytes=32)
+    stats = multimodal.frame_features(frames).collect()
+    assert stats
+    for r in stats:
+        assert 0.0 <= r["mean_byte"] <= 255.0 and r["std_byte"] >= 0.0
+
+
 def test_ivf_assignment_matches_numpy(emb):
     cent = similarity.train_ivf_centroids(emb, "vec_id", "embedding", n_lists=8)
     ivf = similarity.build_ivf(emb, "vec_id", "embedding", cent)
