@@ -2787,6 +2787,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ascii_fold_tokens"] = ascii_fold
 
+    # --- admin handlers: Luke introspection + field analysis ---
+    def luke_index(s, d):
+        """LukeRequestHandler show=index analog: one-row index summary
+        from the term dictionary + O(1) build metadata."""
+        from solr_spark import admin
+
+        return admin.luke_summary(_engine(s, d).index)
+
+    q["luke_index_summary"] = luke_index
+
+    def luke_fields(s, d):
+        from solr_spark import admin
+
+        return admin.luke_field_stats(_read(s, d, "documents"), ["lang", "source"])
+
+    q["luke_field_stats"] = luke_fields
+
+    def analysis_probe(s, d):
+        """FieldAnalysisRequestHandler analog: per-stage token stream for
+        doc 42 through the stemmed chain (tokenizer → stop → stem)."""
+        from solr_spark import admin
+        from solr_spark.analysis import CODE_STEM_CHAIN
+
+        docs = _read(s, d, "documents").where(F.col("doc_id") == 42)
+        return admin.analysis_stages(docs, CODE_STEM_CHAIN).orderBy("stage_no", "pos")
+
+    q["analysis_probe_stages"] = analysis_probe
+
     return q
 
 
@@ -4775,4 +4803,16 @@ FROM z ORDER BY doc_id
         SELECT doc_id FROM documents
         WHERE ({_h}) % 10000 < 1000 ORDER BY doc_id
     """
+
+    from solr_spark.oracle_sql import (
+        analysis_stages_sql,
+        luke_field_stats_sql,
+        luke_summary_sql,
+    )
+
+    o["luke_index_summary"] = luke_summary_sql()
+    o["luke_field_stats"] = luke_field_stats_sql(["lang", "source"])
+    from solr_spark.analysis import CODE_STEM_CHAIN
+
+    o["analysis_probe_stages"] = analysis_stages_sql(42, CODE_STEM_CHAIN)
     return o

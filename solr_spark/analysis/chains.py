@@ -91,6 +91,18 @@ def _minimal_stem_py(t: str) -> str:
     return t[:-1]
 
 
+def _duckdb_minimal_stem(list_expr: str) -> str:
+    """DuckDB twin of ``_minimal_stem_py`` applied over a token list."""
+    return (
+        f"list_transform({list_expr}, t -> CASE "
+        "WHEN length(t) < 4 OR NOT ends_with(t, 's') THEN t "
+        "WHEN ends_with(t, 'ss') OR ends_with(t, 'us') OR ends_with(t, 'is') THEN t "
+        "WHEN ends_with(t, 'ies') AND length(t) > 4 "
+        "THEN substr(t, 1, length(t) - 3) || 'y' "
+        "ELSE substr(t, 1, length(t) - 1) END)"
+    )
+
+
 @dataclass(frozen=True)
 class AnalyzerChain:
     """A frozen tokenize→filter chain usable from Spark, Python and DuckDB.
@@ -157,6 +169,50 @@ class AnalyzerChain:
             out = [porter_stem(t) for t in out]
         return out
 
+    # ---- staged forms (FieldAnalysisRequestHandler analog) ----
+    def stage_tokens(self, col: Column | str) -> list[tuple[str, Column]]:
+        """Per-stage token arrays, in chain order — the analysis-handler
+        view of the same frozen chain (ref:
+        handler/AnalysisRequestHandlerBase.java, which reports the token
+        stream after the tokenizer and after each filter). The final
+        stage's array is identical to :meth:`tokens`."""
+        if self.stem == "porter":
+            raise NotImplementedError("porter chain has no staged column form")
+        c = F.col(col) if isinstance(col, str) else col
+        if self.fold_ascii:
+            c = F.translate(c, _FOLD_SRC, _FOLD_DST)
+        if self.split_case:
+            c = F.regexp_replace(c, _CAMEL1, r"$1 $2")
+            c = F.regexp_replace(c, _CAMEL2, r"$1 $2")
+        toks = F.filter(F.split(F.lower(c), _SPLIT), lambda t: t != F.lit(""))
+        stages = [("tokenizer", toks)]
+        stops = sorted(self.stopwords)
+        stopped = F.filter(toks, lambda t: ~t.isin(stops))
+        stages.append(("stopfilter", stopped))
+        if self.stem == "minimal":
+            stages.append(("stemfilter", F.transform(stopped, _minimal_stem_col)))
+        return stages
+
+    def duckdb_stage_exprs(self, text_expr: str) -> list[tuple[str, str]]:
+        """DuckDB twins of :meth:`stage_tokens`, one list expr per stage."""
+        if self.stem == "porter":
+            raise NotImplementedError("porter chain has no SQL form")
+        e = text_expr
+        if self.fold_ascii:
+            e = f"translate({e}, '{_FOLD_SRC}', '{_FOLD_DST}')"
+        if self.split_case:
+            e = f"regexp_replace({e}, '{_CAMEL1}', '\\1 \\2', 'g')"
+            e = f"regexp_replace({e}, '{_CAMEL2}', '\\1 \\2', 'g')"
+        e = f"string_split_regex(lower({e}), '{_SPLIT}')"
+        tok = f"list_filter({e}, t -> t <> '')"
+        stages = [("tokenizer", tok)]
+        stops = ", ".join(f"'{s}'" for s in sorted(self.stopwords))
+        stopped = f"list_filter({tok}, t -> t NOT IN ({stops}))"
+        stages.append(("stopfilter", stopped))
+        if self.stem == "minimal":
+            stages.append(("stemfilter", _duckdb_minimal_stem(stopped)))
+        return stages
+
     # ---- form 3: DuckDB SQL fragment (for oracle_sql) ----
     def duckdb_tokens_expr(self, text_expr: str) -> str:
         """DuckDB list<varchar> expression of analyzed tokens (incl. filter)."""
@@ -175,14 +231,7 @@ class AnalyzerChain:
         stops = ", ".join(f"'{s}'" for s in sorted(self.stopwords))
         e = f"list_filter({e}, t -> t <> '' AND t NOT IN ({stops}))"
         if self.stem == "minimal":
-            e = (
-                f"list_transform({e}, t -> CASE "
-                "WHEN length(t) < 4 OR NOT ends_with(t, 's') THEN t "
-                "WHEN ends_with(t, 'ss') OR ends_with(t, 'us') OR ends_with(t, 'is') THEN t "
-                "WHEN ends_with(t, 'ies') AND length(t) > 4 "
-                "THEN substr(t, 1, length(t) - 3) || 'y' "
-                "ELSE substr(t, 1, length(t) - 1) END)"
-            )
+            e = _duckdb_minimal_stem(e)
         return e
 
     def duckdb_tokens_select(self, table: str, id_col: str, text_col: str) -> str:

@@ -1109,3 +1109,61 @@ SELECT doc_id,
        CASE WHEN sa <= sb THEN 'A' ELSE 'B' END AS team,
        CAST(least(sa, sb) AS BIGINT) AS slot
 FROM j ORDER BY slot LIMIT {k}"""
+
+
+def luke_summary_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chain: AnalyzerChain = CODE_CHAIN,
+) -> str:
+    """DuckDB oracle for :func:`solr_spark.admin.luke_summary` — recompute
+    the index-level stats straight from the raw table: distinct terms,
+    postings = distinct (doc, term) pairs, tokens = surviving-token count,
+    avgdl = tokens / docs."""
+    toks = chain.duckdb_tokens_select(table, id_col, text_col)
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, tok FROM {toks} t),
+per AS (SELECT tok, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+        FROM toks GROUP BY tok)
+SELECT CAST((SELECT COUNT(*) FROM {table}) AS BIGINT) AS num_docs,
+       CAST(COUNT(*) AS BIGINT) AS num_terms,
+       CAST(SUM(df) AS BIGINT) AS total_postings,
+       CAST(SUM(cf) AS BIGINT) AS total_tokens,
+       CAST(ROUND((SELECT COUNT(*) FROM toks) * 1.0
+                  / (SELECT COUNT(*) FROM {table}), 4) AS DOUBLE) AS avgdl,
+       CAST(MAX(df) AS BIGINT) AS max_df
+FROM per
+""".strip()
+
+
+def luke_field_stats_sql(fields: list[str], table: str = "documents") -> str:
+    """DuckDB oracle for :func:`solr_spark.admin.luke_field_stats`."""
+    selects = [
+        f"SELECT '{f}' AS field, CAST(COUNT({f}) AS BIGINT) AS docs_with, "
+        f"CAST(COUNT(DISTINCT {f}) AS BIGINT) AS distinct_vals FROM {table}"
+        for f in fields
+    ]
+    return " UNION ALL ".join(selects) + " ORDER BY field"
+
+
+def analysis_stages_sql(
+    doc_id: int,
+    chain: AnalyzerChain,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for :func:`solr_spark.admin.analysis_stages` — the
+    same staged expressions (`duckdb_stage_exprs`) unnested with
+    per-stage positions via generate_subscripts."""
+    selects = []
+    for i, (name, expr) in enumerate(chain.duckdb_stage_exprs(text_col), start=1):
+        selects.append(
+            f"SELECT CAST({id_col} AS BIGINT) AS doc_id, {i} AS stage_no, "
+            f"'{name}' AS stage, "
+            f"CAST(generate_subscripts({expr}, 1) - 1 AS INT) AS pos, "
+            f"unnest({expr}) AS token "
+            f"FROM {table} WHERE {id_col} = {doc_id}"
+        )
+    return " UNION ALL ".join(selects) + " ORDER BY stage_no, pos"

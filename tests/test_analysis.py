@@ -138,3 +138,75 @@ def test_shingles_column(spark):
     assert out[1]["s"] == [] and out[2]["s"] == []
     tri = df.select(shingles(CODE_CHAIN.tokens("t"), 3, sep="_").alias("s")).collect()
     assert tri[0]["s"] == ["scan_big_table", "big_table_fast"]
+
+
+# ---------------------------------------------------------------------------
+# staged forms (FieldAnalysisRequestHandler analog) + Luke admin surfaces
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("chain", [CODE_CHAIN, CODE_STEM_CHAIN])
+def test_stage_tokens_final_stage_equals_tokens(spark, chain):
+    texts = [t for t, _ in GOLDEN if t is not None]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    stages = chain.stage_tokens("text")
+    assert stages[0][0] == "tokenizer" and stages[1][0] == "stopfilter"
+    rows = df.select(
+        "id", stages[-1][1].alias("last"), chain.tokens("text").alias("full")
+    ).collect()
+    for r in rows:
+        assert r["last"] == r["full"]
+
+
+@pytest.mark.parametrize("chain", [CODE_CHAIN, CODE_STEM_CHAIN])
+def test_duckdb_stage_exprs_match_spark_stages(spark, chain):
+    con = duckdb.connect()
+    texts = [t for t, _ in GOLDEN if t is not None]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    spark_stages = chain.stage_tokens("text")
+    got_spark = df.select("id", *[c.alias(n) for n, c in spark_stages]).collect()
+    for r in got_spark:
+        lit = "'" + texts[r["id"]].replace("'", "''") + "'"
+        for name, expr in chain.duckdb_stage_exprs(lit):
+            duck = con.execute(f"SELECT {expr}").fetchone()[0]
+            assert duck == r[name], (name, texts[r["id"]])
+
+
+def test_porter_chain_has_no_staged_forms():
+    with pytest.raises(NotImplementedError):
+        CODE_PORTER_CHAIN.stage_tokens("text")
+    with pytest.raises(NotImplementedError):
+        CODE_PORTER_CHAIN.duckdb_stage_exprs("text")
+
+
+def test_analysis_stages_positions(spark):
+    from solr_spark import admin
+
+    df = spark.createDataFrame(
+        [(1, "getUserName of the setUserNames values")], "doc_id long, text string"
+    )
+    rows = admin.analysis_stages(df, CODE_STEM_CHAIN).orderBy("stage_no", "pos").collect()
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], []).append((r["pos"], r["token"]))
+    # positions are dense 0..n-1 within every stage
+    for stage, toks in by_stage.items():
+        assert [p for p, _ in toks] == list(range(len(toks))), stage
+    # stopfilter drops 'and'/'the'; stemfilter folds plurals
+    assert "the" in [t for _, t in by_stage["tokenizer"]]
+    assert "the" not in [t for _, t in by_stage["stopfilter"]]
+    assert "name" in [t for _, t in by_stage["stemfilter"]]
+    # no shuffle: map-only plan
+    out = admin.analysis_stages(df, CODE_STEM_CHAIN)
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_luke_field_stats_single_scan(spark):
+    from solr_spark import admin
+
+    df = spark.createDataFrame(
+        [(1, "en", "a"), (2, "en", None), (3, "fr", "b")], "doc_id long, lang string, src string"
+    )
+    rows = {r["field"]: r for r in admin.luke_field_stats(df, ["lang", "src"]).collect()}
+    assert rows["lang"]["docs_with"] == 3 and rows["lang"]["distinct_vals"] == 2
+    assert rows["src"]["docs_with"] == 2 and rows["src"]["distinct_vals"] == 2
