@@ -2815,6 +2815,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["analysis_probe_stages"] = analysis_probe
 
+    def sort_missing(s, d):
+        """sortMissingLast (schema/FieldType.java sortMissingLast=true):
+        nulls order AFTER every real value on an asc sort. The nullable
+        key is derived (lang folded to NULL for 'en'); the rank is
+        materialized so the null placement is hash-verified (the driver
+        compare is order-insensitive). Unpartitioned window — proof-size
+        entry only; the scale path is export_sorted's range-partitioned
+        total sort."""
+        from pyspark.sql import Window
+
+        docs = _read(s, d, "documents").where(F.col("doc_id") < 60).select(
+            "doc_id", F.nullif(F.col("lang"), F.lit("en")).alias("k")
+        )
+        w = Window.orderBy(F.col("k").asc_nulls_last(), F.col("doc_id").asc())
+        return docs.select("doc_id", "k", F.row_number().over(w).alias("rank"))
+
+    q["sort_missing_last"] = sort_missing
+
+    def doc_ttl(s, d):
+        """DocExpirationUpdateProcessor analog: stamp expire_at = ts+TTL
+        at ingest, sweep with a frozen NOW; returns the sweep summary."""
+        from solr_spark.streaming.incremental import purge_expired, with_expiration
+
+        ev = with_expiration(_read(s, d, "events"), "ts", 72 * 3600)
+        live = purge_expired(ev, "2024-01-20 00:00:00")
+        return live.agg(
+            F.count("*").cast("long").alias("n_live"),
+            F.min("event_id").cast("long").alias("first_live_event"),
+            F.max("event_id").cast("long").alias("last_live_event"),
+        )
+
+    q["doc_expiration_ttl"] = doc_ttl
+
     return q
 
 
@@ -4815,4 +4848,18 @@ FROM z ORDER BY doc_id
     from solr_spark.analysis import CODE_STEM_CHAIN
 
     o["analysis_probe_stages"] = analysis_stages_sql(42, CODE_STEM_CHAIN)
+
+    o["sort_missing_last"] = """
+        SELECT doc_id, nullif(lang, 'en') AS k,
+               CAST(row_number() OVER (ORDER BY nullif(lang, 'en') ASC NULLS LAST,
+                                       doc_id ASC) AS INT) AS rank
+        FROM documents WHERE doc_id < 60
+    """
+    o["doc_expiration_ttl"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_live,
+               CAST(min(event_id) AS BIGINT) AS first_live_event,
+               CAST(max(event_id) AS BIGINT) AS last_live_event
+        FROM events
+        WHERE ts + INTERVAL 259200 SECOND > TIMESTAMP '2024-01-20 00:00:00'
+    """
     return o

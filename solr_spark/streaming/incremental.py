@@ -293,3 +293,28 @@ def stream_directory(
         q.awaitTermination()
         return q
     return writer.trigger(processingTime="5 seconds").start()
+
+
+# ---------------------------------------------------------------------------
+# DocExpirationUpdateProcessor analog (TTL documents)
+# ---------------------------------------------------------------------------
+
+
+def with_expiration(df: DataFrame, ts_col: str, ttl_seconds: int) -> DataFrame:
+    """Stamp an ``expire_at`` column at ingest time — the
+    DocExpirationUpdateProcessorFactory analog (ref:
+    update/processor/DocExpirationUpdateProcessorFactory.java, which
+    computes ``_expire_at_ = NOW + _ttl_`` per document). Pure JVM
+    interval arithmetic, map-only."""
+    return df.withColumn(
+        "expire_at", F.col(ts_col) + F.expr(f"INTERVAL {int(ttl_seconds)} SECOND")
+    )
+
+
+def purge_expired(df: DataFrame, now: str) -> DataFrame:
+    """The processor's periodic ``deleteByQuery _expire_at_:[* TO NOW]``
+    sweep as a batch filter: keep rows whose ``expire_at`` is strictly
+    after the (frozen, caller-supplied) ``now`` — determinism requires
+    the caller to pin NOW, exactly like the reference's
+    ``autoDeletePeriodSeconds`` sweeps pin a timestamp per sweep."""
+    return df.where(F.col("expire_at") > F.to_timestamp(F.lit(now)))

@@ -261,3 +261,20 @@ def test_windowed_stream_drops_late_rows(spark):
                         out, ckpt, watermark="5 minutes")
     t0_rows = [r for r in spark.read.parquet(out).collect() if r["window_start"] == t0]
     assert len(t0_rows) == 1 and t0_rows[0]["n"] == 1
+
+
+def test_doc_expiration_ttl(spark):
+    from solr_spark.streaming.incremental import purge_expired, with_expiration
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-10 00:00:00"), (3, "2024-01-19 12:00:00")],
+        "id long, ts_s string",
+    ).select("id", F.to_timestamp("ts_s").alias("ts"))
+    stamped = with_expiration(df, "ts", 72 * 3600)
+    assert "expire_at" in stamped.columns
+    live = purge_expired(stamped, "2024-01-20 00:00:00")
+    # id=3 expires 2024-01-22 12:00 (> now, kept); ids 1,2 expired
+    assert [r["id"] for r in live.collect()] == [3]
+    # boundary: expire_at == now is expired (strictly-after survives)
+    edge = purge_expired(stamped, "2024-01-22 12:00:00")
+    assert edge.count() == 0
