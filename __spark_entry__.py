@@ -2848,6 +2848,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_expiration_ttl"] = doc_ttl
 
+    def clustering_q(s, d):
+        """ClusteringComponent analog: dominant-term clusters over the
+        BM25 top-30 for the OR query."""
+        return qx.cluster_results(
+            _engine(s, d), _Q_OR, mode="OR", n_docs=30, n_clusters=8,
+            min_df=2, max_df_frac=0.5,
+        )
+
+    q["clustering_top30"] = clustering_q
+
     return q
 
 
@@ -4862,4 +4872,11 @@ FROM z ORDER BY doc_id
         FROM events
         WHERE ts + INTERVAL 259200 SECOND > TIMESTAMP '2024-01-20 00:00:00'
     """
+
+    from solr_spark.oracle_sql import cluster_results_sql
+
+    o["clustering_top30"] = cluster_results_sql(
+        tok.tokenize_py(_Q_OR), mode="OR", n_docs=30, n_clusters=8,
+        min_df=2, max_df_frac=0.5,
+    )
     return o

@@ -1167,3 +1167,43 @@ def analysis_stages_sql(
             f"FROM {table} WHERE {id_col} = {doc_id}"
         )
     return " UNION ALL ".join(selects) + " ORDER BY stage_no, pos"
+
+
+def cluster_results_sql(
+    terms: list[str],
+    mode: str = "OR",
+    n_docs: int = 30,
+    n_clusters: int = 8,
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+    chain: AnalyzerChain = CODE_CHAIN,
+) -> str:
+    """DuckDB oracle for :func:`...extras.cluster_results` — BM25 top-N
+    window, corpus df/N, per-hit dominant term at the same round-6
+    f32-stable TF-IDF, grouped into labeled clusters."""
+    and_flt = f"WHERE nt = {len(set(terms))}" if mode == "AND" else ""
+    return f"""WITH {_prelude(chain)},
+{_scored('s1', _inlist(terms))},
+hits AS (
+  SELECT doc_id FROM s1 {and_flt}
+  ORDER BY CAST(score_raw AS REAL) DESC, doc_id ASC LIMIT {n_docs}),
+dfall AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+tfh AS (
+  SELECT t.doc_id, t.tok, count(*) AS tf
+  FROM toks t JOIN hits USING (doc_id) GROUP BY 1, 2),
+m AS (
+  SELECT t.doc_id, t.tok AS term,
+         ROUND(CAST(CAST((t.tf * 1.0 / l.dl) * ln(1.0 + s.n_docs * 1.0 / d.df)
+                    AS REAL) AS DOUBLE), 6) AS tfidf_r
+  FROM tfh t JOIN dfall d USING (tok) JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+  WHERE d.df >= {min_df} AND d.df <= {max_df_frac} * s.n_docs),
+best AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_r DESC, term ASC) AS rn
+  FROM m)
+SELECT term AS label, CAST(count(*) AS BIGINT) AS size,
+       list(doc_id ORDER BY doc_id) AS doc_ids
+FROM best WHERE rn = 1
+GROUP BY term ORDER BY size DESC, label ASC LIMIT {n_clusters}"""

@@ -1094,3 +1094,74 @@ def mlt_interesting_terms(
         for s in ranked
     ]
     return engine.spark.createDataFrame(rows, schema)
+
+
+def cluster_results(
+    engine: SearchEngine,
+    query: str,
+    mode: str = "OR",
+    n_docs: int = 30,
+    n_clusters: int = 8,
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """ClusteringComponent analog (``handler/clustering/
+    ClusteringComponent.java`` + the carrot2 engines, test
+    ``handler/clustering/ClusteringComponentTest.java``): cluster the
+    top-N search results into labeled groups.
+
+    Carrot2's Lingo needs an SVD and STC a suffix tree — neither is
+    reproducible bit-for-bit across engines — so the frozen contract
+    here is the deterministic dominant-term rule the same component
+    shape supports: each hit is assigned to its highest-TF-IDF term
+    (round-6 f32-stable, ties to the lexicographically smallest term),
+    clusters are labeled by that term and ordered by (size desc, label).
+    Docs whose every term falls outside [min_df, max_df_frac·N] are
+    unclustered (carrot2's "Other Topics").
+
+    Plan: top-k first pass (the engine's pruned path) → broadcast the
+    N hit ids into the doc registry → re-analyze ONLY those stored
+    texts → join the term dictionary for df → one window argmax + one
+    groupBy. No driver-side result handling.
+    """
+    hits = engine.topk(query, k=n_docs, mode=mode).select("doc_id")
+    idx = engine.index
+    chain = engine.config.chain()
+    sel = idx.docs.join(F.broadcast(hits), "doc_id").select(
+        "doc_id", "doc_len", "stored_text"
+    )
+    tf = (
+        sel.select("doc_id", "doc_len", F.explode(chain.tokens("stored_text")).alias("term"))
+        .groupBy("doc_id", "doc_len", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    n_total = idx.docs.agg(F.count("*").alias("_n"))
+    tfidf = (
+        tf.join(idx.term_dict.select("term", "df"), "term")
+        .crossJoin(F.broadcast(n_total))
+        .where(
+            (F.col("df") >= F.lit(min_df))
+            & (F.col("df") <= F.lit(float(max_df_frac)) * F.col("_n"))
+        )
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                ((F.col("tf") / F.col("doc_len"))
+                 * F.log(F.lit(1.0) + F.col("_n") / F.col("df")))
+                .cast("float").cast("double"),
+                6,
+            ).alias("tfidf_r"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_r"), F.asc("term"))
+    best = tfidf.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return (
+        best.groupBy(F.col("term").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("size"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .orderBy(F.desc("size"), F.asc("label"))
+        .limit(n_clusters)
+    )

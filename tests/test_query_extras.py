@@ -179,3 +179,21 @@ def test_rank_feature_required_params_mirror_reference():
         rank_feature_score(F.lit(1.0), "sigm", exponent=2.0)
     with _pytest.raises(ValueError, match="unknown function"):
         rank_feature_score(F.lit(1.0), "cube")
+
+
+def test_cluster_results_partitions_hits(engine):
+    n_docs = 20
+    out = qx.cluster_results(engine, "server data merge", n_docs=n_docs, n_clusters=50).collect()
+    assert out, "expected clusters"
+    all_ids = [i for r in out for i in r["doc_ids"]]
+    # each clustered hit appears in exactly one cluster
+    assert len(all_ids) == len(set(all_ids))
+    assert all(r["size"] == len(r["doc_ids"]) for r in out)
+    # clustered docs are a subset of the top-N hits
+    hits = {r["doc_id"] for r in engine.topk("server data merge", k=n_docs).collect()}
+    assert set(all_ids) <= hits
+    # ordered by (size desc, label asc)
+    keys = [(-r["size"], r["label"]) for r in out]
+    assert keys == sorted(keys)
+    # labels are analyzed terms (lowercase, no separators)
+    assert all(r["label"] == r["label"].lower() and " " not in r["label"] for r in out)
