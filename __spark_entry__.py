@@ -2858,6 +2858,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["clustering_top30"] = clustering_q
 
+    def explain_q(s, d):
+        """debugQuery=true: per-(top-10 doc, term) BM25 Explanation rows."""
+        return qx.explain_scores(_engine(s, d), _Q_OR, k=10, mode="OR")
+
+    q["debug_explain_scores"] = explain_q
+
     return q
 
 
@@ -4879,4 +4885,8 @@ FROM z ORDER BY doc_id
         tok.tokenize_py(_Q_OR), mode="OR", n_docs=30, n_clusters=8,
         min_df=2, max_df_frac=0.5,
     )
+
+    from solr_spark.oracle_sql import explain_scores_sql
+
+    o["debug_explain_scores"] = explain_scores_sql(tok.tokenize_py(_Q_OR), k=10, mode="OR")
     return o

@@ -1207,3 +1207,37 @@ SELECT term AS label, CAST(count(*) AS BIGINT) AS size,
        list(doc_id ORDER BY doc_id) AS doc_ids
 FROM best WHERE rn = 1
 GROUP BY term ORDER BY size DESC, label ASC LIMIT {n_clusters}"""
+
+
+def explain_scores_sql(
+    terms: list[str],
+    k: int = 10,
+    mode: str = "OR",
+    chain: AnalyzerChain = CODE_CHAIN,
+) -> str:
+    """DuckDB oracle for :func:`...extras.explain_scores` — the same
+    BM25 decomposition per (top-k doc, term): df over the corpus,
+    idf = ln(1+(N-df+0.5)/(df+0.5)), contribution at the engine's
+    round-6 f32-stable precision."""
+    and_flt = f"WHERE nt = {len(set(terms))}" if mode == "AND" else ""
+    return f"""WITH {_prelude(chain)},
+{_scored('s1', _inlist(terms))},
+hits AS (
+  SELECT doc_id FROM s1 {and_flt}
+  ORDER BY CAST(score_raw AS REAL) DESC, doc_id ASC LIMIT {k}),
+tfq AS (
+  SELECT t.doc_id, t.tok, count(*) AS tf
+  FROM toks t JOIN hits USING (doc_id)
+  WHERE t.tok IN {_inlist(terms)} GROUP BY 1, 2),
+dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+        WHERE tok IN {_inlist(terms)} GROUP BY tok)
+SELECT t.doc_id, t.tok AS term, CAST(t.tf AS INT) AS tf,
+       CAST(d.df AS BIGINT) AS df,
+       ROUND(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 6) AS idf,
+       ROUND(CAST(CAST(
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * t.tf / (t.tf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl))
+         AS REAL) AS DOUBLE), 6) AS contribution
+FROM tfq t JOIN dfq d USING (tok) JOIN dl l USING (doc_id)
+CROSS JOIN stats s
+ORDER BY t.doc_id, t.tok"""

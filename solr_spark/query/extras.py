@@ -1165,3 +1165,48 @@ def cluster_results(
         .orderBy(F.desc("size"), F.asc("label"))
         .limit(n_clusters)
     )
+
+
+def explain_scores(
+    engine: SearchEngine, query: str, k: int = 10, mode: str = "OR"
+) -> DataFrame:
+    """debugQuery=true score explanation (``handler/component/
+    DebugComponent.java`` + Lucene's ``BM25Similarity`` Explanation
+    tree, test ``handler/component/DebugComponentTest.java``): for each
+    top-k hit, the per-term decomposition the reference renders as the
+    nested explain — (doc_id, term, tf, df, idf, contribution) where
+    contribution = weight·idf·tf/(tf + k1·(1-b+b·dl/avgdl)).
+
+    Plan: the engine's pruned block scan + vectorized decode for the
+    query terms, per-posting contribution (JVM expressions), broadcast
+    semi-join to the top-k ids — no second scoring pass and no driver
+    work beyond the O(#terms) stats lookup.
+    """
+    from solr_spark.query.engine import _DECODED_SCHEMA, _decode_blocks_udf
+
+    terms = engine.analyze_query(query)
+    stats = engine._term_stats(terms)
+    if not stats:
+        return engine.spark.createDataFrame(
+            [], "doc_id long, term string, tf int, df long, idf double, contribution double"
+        )
+    hits = engine.topk(query, k=k, mode=mode).select("doc_id")
+    blocks = engine._blocks_for([s.term for s in stats])
+    decoded = blocks.select("term", "n_docs", "doc_ids_enc", "tfs_enc", "dls_enc").mapInPandas(
+        _decode_blocks_udf(), schema=_DECODED_SCHEMA
+    )
+    scored = engine._score_decoded(decoded, stats)
+    df_map = F.create_map(*[x for s in stats for x in (F.lit(s.term), F.lit(s.df))])
+    idf_map = F.create_map(*[x for s in stats for x in (F.lit(s.term), F.lit(s.idf))])
+    return (
+        scored.join(F.broadcast(hits), "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            df_map[F.col("term")].cast("long").alias("df"),
+            F.round(idf_map[F.col("term")], 6).alias("idf"),
+            F.round(F.col("contrib").cast("float").cast("double"), 6).alias("contribution"),
+        )
+        .orderBy("doc_id", "term")
+    )

@@ -197,3 +197,18 @@ def test_cluster_results_partitions_hits(engine):
     assert keys == sorted(keys)
     # labels are analyzed terms (lowercase, no separators)
     assert all(r["label"] == r["label"].lower() and " " not in r["label"] for r in out)
+
+
+def test_explain_scores_sum_to_topk_scores(engine):
+    q = "server data merge"
+    rows = qx.explain_scores(engine, q, k=10).collect()
+    assert rows
+    sums = {}
+    for r in rows:
+        sums[r["doc_id"]] = sums.get(r["doc_id"], 0.0) + r["contribution"]
+        assert r["tf"] >= 1 and r["df"] >= 1 and r["idf"] > 0
+    hits = {r["doc_id"]: r["score"] for r in engine.topk(q, k=10).collect()}
+    assert set(sums) == set(hits)
+    for doc_id, s in sums.items():
+        # per-term rows re-sum to the ranked score (within round-6 noise)
+        assert abs(s - hits[doc_id]) < 5e-6 * max(1, len(rows)), doc_id
