@@ -868,3 +868,84 @@ def build_index(
         stage_fns[stage]()
         _write_manifest(out_dir, stage, config, t0)
     return InvertedIndex(spark, out_dir)
+
+
+# ---------------------------------------------------------------------------
+# snapshot / backup / restore (CoreAdmin BACKUPCORE / RESTORECORE analog)
+# ---------------------------------------------------------------------------
+
+_SNAP_STAGES = ("analyzed", "segments", "term_dict", "blocks")
+
+
+def create_snapshot(out_dir: str, name: str) -> str:
+    """Point-in-time snapshot of a built index (ref:
+    ``handler/admin/CoreAdminHandler.java`` CREATESNAPSHOT /
+    ``handler/ReplicationHandler.java`` backup, test
+    ``handler/TestReplicationHandlerBackup.java``).
+
+    Hard-links every stage's parquet files (copy fallback across
+    filesystems) plus meta.json and the lineage manifests into
+    ``<out_dir>/snapshots/<name>`` — the parquet files are immutable
+    once written (commits replace whole bucket directories), so
+    hard-links give O(#files) snapshots of arbitrarily large indexes,
+    exactly like Lucene's segment-file hard-link backups.
+    """
+    snap = os.path.join(out_dir, "snapshots", name)
+    if os.path.exists(snap):
+        raise ValueError(f"snapshot {name!r} already exists")
+
+    def _link_tree(src: str, dst: str) -> None:
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            tgt = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(tgt, exist_ok=True)
+            for fn in files:
+                s, t = os.path.join(root, fn), os.path.join(tgt, fn)
+                try:
+                    os.link(s, t)
+                except OSError:
+                    shutil.copy2(s, t)
+
+    os.makedirs(snap, exist_ok=True)
+    for stage in _SNAP_STAGES:
+        sdir = _stage_dir(out_dir, stage)
+        if os.path.isdir(sdir):
+            _link_tree(sdir, os.path.join(snap, os.path.basename(sdir)))
+        mpath = _manifest_path(out_dir, stage)
+        if os.path.exists(mpath):
+            shutil.copy2(mpath, os.path.join(snap, os.path.basename(mpath)))
+    shutil.copy2(os.path.join(out_dir, "meta.json"), os.path.join(snap, "meta.json"))
+    return snap
+
+
+def restore_snapshot(out_dir: str, name: str) -> None:
+    """RESTORECORE analog: replace the live index state with the named
+    snapshot's (stages, manifests, meta). The restore is staged into a
+    temp dir first so a crash mid-restore leaves either the old or the
+    new state, never a mix."""
+    snap = os.path.join(out_dir, "snapshots", name)
+    if not os.path.isdir(snap):
+        raise ValueError(f"no snapshot {name!r} under {out_dir}")
+    for stage in _SNAP_STAGES:
+        src = os.path.join(snap, os.path.basename(_stage_dir(out_dir, stage)))
+        live = _stage_dir(out_dir, stage)
+        if not os.path.isdir(src):
+            continue
+        tmp = live + ".restoring"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        shutil.copytree(src, tmp, copy_function=_link_or_copy)
+        if os.path.isdir(live):
+            shutil.rmtree(live)
+        os.replace(tmp, live)
+        msrc = os.path.join(snap, os.path.basename(_manifest_path(out_dir, stage)))
+        if os.path.exists(msrc):
+            shutil.copy2(msrc, _manifest_path(out_dir, stage))
+    shutil.copy2(os.path.join(snap, "meta.json"), os.path.join(out_dir, "meta.json"))
+
+
+def _link_or_copy(src: str, dst: str) -> None:
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy2(src, dst)

@@ -237,3 +237,32 @@ def test_arrow_postings_kernel_edge_cases(spark):
         (1, "wörld", 1, [1]),
         (3, "a", 2, [0, 1]),
     ]
+
+
+def test_snapshot_restore_roundtrip(spark, index, test_config, tmp_path):
+    """BACKUPCORE/RESTORECORE analog: snapshot, clobber the live blocks,
+    restore → queries answer identically to the pre-snapshot state."""
+    from solr_spark.index.build import InvertedIndex, create_snapshot, restore_snapshot
+    from solr_spark.query.engine import SearchEngine
+
+    out = str(tmp_path / "snap_idx")
+    shutil.copytree(index.dir, out)
+    eng = SearchEngine(InvertedIndex(spark, out))
+    before = [(r["doc_id"], r["score"]) for r in eng.topk("server data", k=10).collect()]
+
+    snap = create_snapshot(out, "pre")
+    assert os.path.isdir(os.path.join(snap, "blocks"))
+    with pytest.raises(ValueError):
+        create_snapshot(out, "pre")  # duplicate names refused
+
+    # clobber the live index (truncate blocks to nothing)
+    shutil.rmtree(os.path.join(out, "blocks"))
+    os.makedirs(os.path.join(out, "blocks"))
+
+    restore_snapshot(out, "pre")
+    eng2 = SearchEngine(InvertedIndex(spark, out))
+    after = [(r["doc_id"], r["score"]) for r in eng2.topk("server data", k=10).collect()]
+    assert after == before
+
+    with pytest.raises(ValueError):
+        restore_snapshot(out, "nope")
