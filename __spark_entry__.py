@@ -2864,6 +2864,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["debug_explain_scores"] = explain_q
 
+    def fuzzy_suggest_q(s, d):
+        return qx.suggest_fuzzy(_engine(s, d), "servr", max_edits=2, n=10)
+
+    q["suggest_fuzzy_servr"] = fuzzy_suggest_q
+
+    def relevance_fn_q(s, d):
+        """termfreq/docfreq/idf/tf/norm pseudo-fields for 'data'."""
+        return qx.relevance_functions(_engine(s, d), "data", F.col("doc_id") < 20)
+
+    q["function_relevance_fields"] = relevance_fn_q
+
     return q
 
 
@@ -4889,4 +4900,9 @@ FROM z ORDER BY doc_id
     from solr_spark.oracle_sql import explain_scores_sql
 
     o["debug_explain_scores"] = explain_scores_sql(tok.tokenize_py(_Q_OR), k=10, mode="OR")
+
+    from solr_spark.oracle_sql import relevance_functions_sql, suggest_fuzzy_sql
+
+    o["suggest_fuzzy_servr"] = suggest_fuzzy_sql("servr", max_edits=2, n=10)
+    o["function_relevance_fields"] = relevance_functions_sql("data", "d.doc_id < 20")
     return o

@@ -1241,3 +1241,45 @@ SELECT t.doc_id, t.tok AS term, CAST(t.tf AS INT) AS tf,
 FROM tfq t JOIN dfq d USING (tok) JOIN dl l USING (doc_id)
 CROSS JOIN stats s
 ORDER BY t.doc_id, t.tok"""
+
+
+def suggest_fuzzy_sql(
+    probe: str, max_edits: int = 2, n: int = 10, chain: AnalyzerChain = CODE_CHAIN
+) -> str:
+    """DuckDB oracle for :func:`...extras.suggest_fuzzy`."""
+    lit = "'" + probe.replace("'", "''") + "'"
+    toks = chain.duckdb_tokens_select("documents", "doc_id", "text")
+    return f"""
+WITH td AS (SELECT tok AS term, count(DISTINCT doc_id) AS df
+            FROM {toks} t GROUP BY tok)
+SELECT term, CAST(df AS BIGINT) AS weight,
+       CAST(levenshtein(term, {lit}) AS INT) AS distance
+FROM td WHERE levenshtein(term, {lit}) <= {max_edits}
+ORDER BY df DESC, term ASC LIMIT {n}
+""".strip()
+
+
+def relevance_functions_sql(
+    probe: str, where: str, chain: AnalyzerChain = CODE_CHAIN
+) -> str:
+    """DuckDB oracle for :func:`...extras.relevance_functions` — the same
+    termfreq/docfreq/idf/tf/norm pseudo-fields from the raw table."""
+    lit = "'" + probe.replace("'", "''") + "'"
+    return f"""WITH {_prelude(chain)},
+tfq AS (SELECT doc_id, count(*) AS tf FROM toks WHERE tok = {lit} GROUP BY doc_id),
+dfq AS (SELECT count(DISTINCT doc_id) AS df FROM toks WHERE tok = {lit})
+SELECT d.doc_id,
+       CAST(COALESCE(t.tf, 0) AS BIGINT) AS termfreq,
+       CAST(dfq.df AS BIGINT) AS docfreq,
+       ROUND(ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)), 6) AS idf,
+       ROUND(CAST(CAST(
+         COALESCE(t.tf, 0) * 1.0
+         / (COALESCE(t.tf, 0) + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl))
+         AS REAL) AS DOUBLE), 6) AS tf,
+       ROUND(CAST(CAST(1.0 - {B} + {B} * l.dl / s.avgdl AS REAL) AS DOUBLE), 6) AS norm
+FROM documents d
+JOIN dl l USING (doc_id)
+LEFT JOIN tfq t USING (doc_id)
+CROSS JOIN dfq CROSS JOIN stats s
+WHERE {where}
+ORDER BY d.doc_id"""

@@ -1210,3 +1210,66 @@ def explain_scores(
         )
         .orderBy("doc_id", "term")
     )
+
+
+def suggest_fuzzy(
+    engine: SearchEngine, q: str, max_edits: int = 2, n: int = 10
+) -> DataFrame:
+    """FuzzySuggester analog (``spelling/suggest/fst/FuzzyLookupFactory``
+    wiring Lucene's FuzzySuggester; test
+    ``spelling/suggest/TestFuzzyAnalyzedSuggester.java``): suggestions
+    within ``max_edits`` of the (analyzed) query token, weighted by df.
+    Frozen contract: plain Levenshtein (the reference's automaton also
+    counts transpositions as one edit at maxEdits≥1 with
+    ``transpositions=true``; the plain metric is what both engines can
+    compute identically), ordered (df desc, term asc). One term-dict
+    scan + one TakeOrdered — no index decode."""
+    toks = engine.analyze_query(q)
+    probe = toks[0] if toks else q.lower()
+    td = engine.index.term_dict
+    return (
+        td.select(
+            "term",
+            F.col("df").cast("long").alias("weight"),
+            F.levenshtein(F.col("term"), F.lit(probe)).alias("distance"),
+        )
+        .where(F.col("distance") <= max_edits)
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def relevance_functions(
+    engine: SearchEngine, term: str, doc_pred: Column
+) -> DataFrame:
+    """ValueSource function queries termfreq()/docfreq()/idf()/tf()/norm()
+    as pseudo-fields (``search/ValueSourceParser.java`` registrations,
+    test ``search/function/TestFunctionQuery.java``): per selected doc,
+    termfreq = raw tf of the analyzed term, docfreq/idf = corpus
+    constants from the O(#terms) stats lookup, tf = BM25-normalized
+    term frequency, norm = the doc-length normalization. Pure JVM
+    expressions over the doc registry — no posting decode."""
+    toks = engine.analyze_query(term)
+    probe = toks[0] if toks else term.lower()
+    stats = engine._term_stats([probe])
+    df_v = stats[0].df if stats else 0
+    idf_v = stats[0].idf if stats else 0.0
+    docs = engine.index.docs.where(doc_pred)
+    chain = engine.config.chain()
+    tf_raw = F.size(
+        F.filter(chain.tokens("stored_text"), lambda t: t == F.lit(probe))
+    ).cast("long")
+    dl = F.col("doc_len").cast("double")
+    norm = F.lit(1.0 - engine.b) + F.lit(engine.b) * dl / F.lit(engine.avgdl)
+    return docs.select(
+        "doc_id",
+        tf_raw.alias("termfreq"),
+        F.lit(int(df_v)).cast("long").alias("docfreq"),
+        F.round(F.lit(float(idf_v)), 6).alias("idf"),
+        F.round(
+            (tf_raw.cast("double") / (tf_raw.cast("double") + F.lit(engine.k1) * norm))
+            .cast("float").cast("double"),
+            6,
+        ).alias("tf"),
+        F.round(norm.cast("float").cast("double"), 6).alias("norm"),
+    ).orderBy("doc_id")

@@ -212,3 +212,21 @@ def test_explain_scores_sum_to_topk_scores(engine):
     for doc_id, s in sums.items():
         # per-term rows re-sum to the ranked score (within round-6 noise)
         assert abs(s - hits[doc_id]) < 5e-6 * max(1, len(rows)), doc_id
+
+
+def test_suggest_fuzzy_within_edits(engine):
+    rows = qx.suggest_fuzzy(engine, "servr", max_edits=2, n=10).collect()
+    assert rows and all(r["distance"] <= 2 for r in rows)
+    assert any(r["term"] == "server" for r in rows)
+    weights = [r["weight"] for r in rows]
+    assert weights == sorted(weights, reverse=True)
+
+
+def test_relevance_functions_consistent(engine):
+    rows = qx.relevance_functions(engine, "data", F.col("doc_id") < 30).collect()
+    assert rows
+    stats = engine._term_stats(["data"])
+    for r in rows:
+        assert r["docfreq"] == stats[0].df
+        assert (r["termfreq"] == 0) == (r["tf"] == 0.0)
+        assert 0.0 <= r["tf"] < 1.0 and r["norm"] > 0
