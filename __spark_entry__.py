@@ -2875,6 +2875,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["function_relevance_fields"] = relevance_fn_q
 
+    def stats_string_q(s, d):
+        from solr_spark.operators.relational import stats_string
+
+        return stats_string(_read(s, d, "documents"), "source")
+
+    q["stats_string_source"] = stats_string_q
+
+    def facet_group_q(s, d):
+        """group.facet=true: lang counts by distinct source group."""
+        from solr_spark.operators.relational import facet_by_group
+
+        return facet_by_group(_read(s, d, "documents"), "lang", "source")
+
+    q["facet_by_group_lang"] = facet_group_q
+
     return q
 
 
@@ -4905,4 +4920,17 @@ FROM z ORDER BY doc_id
 
     o["suggest_fuzzy_servr"] = suggest_fuzzy_sql("servr", max_edits=2, n=10)
     o["function_relevance_fields"] = relevance_functions_sql("data", "d.doc_id < 20")
+
+    o["stats_string_source"] = """
+        SELECT CAST(count(source) AS BIGINT) AS count,
+               CAST(count(*) - count(source) AS BIGINT) AS missing,
+               min(source) AS min, max(source) AS max,
+               CAST(count(DISTINCT source) AS BIGINT) AS distinct_values
+        FROM documents
+    """
+    o["facet_by_group_lang"] = """
+        SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS count
+        FROM documents WHERE lang IS NOT NULL
+        GROUP BY lang ORDER BY count DESC, lang ASC LIMIT 100
+    """
     return o

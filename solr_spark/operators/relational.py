@@ -895,3 +895,34 @@ def score_nodes(
             ).alias("score"),
         )
     )
+
+
+def stats_string(df: DataFrame, field: str) -> DataFrame:
+    """StatsComponent over a string field (StatsValuesFactory.java —
+    StringStatsValues: count/missing/min/max lexicographic +
+    calcdistinct's exact distinctValues count). One aggregate pass."""
+    c = F.col(field)
+    return df.agg(
+        F.count(c).cast("long").alias("count"),
+        F.count(F.when(c.isNull(), 1)).cast("long").alias("missing"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.countDistinct(c).cast("long").alias("distinct_values"),
+    )
+
+
+def facet_by_group(
+    df: DataFrame, facet_field: str, group_field: str, limit: int = 100
+) -> DataFrame:
+    """group.facet=true (Grouping.java / TermGroupFacetCollector):
+    facet counts computed per distinct GROUP rather than per document —
+    a value's count is how many groups contain at least one doc with it.
+    One distinct-aggregate shuffle (partial per-partition distinct →
+    count distinct group)."""
+    return (
+        df.where(F.col(facet_field).isNotNull())
+        .groupBy(facet_field)
+        .agg(F.countDistinct(group_field).cast("long").alias("count"))
+        .orderBy(F.desc("count"), F.asc(facet_field))
+        .limit(limit)
+    )

@@ -188,3 +188,18 @@ def test_hash_partition_filter_covers_and_disjoint(spark):
     s = {r["k"] for r in random_hash_sample(df, "k", 0.2).collect()}
     assert s == {r["k"] for r in random_hash_sample(df, "k", 0.2).collect()}
     assert 0.1 <= len(s) / 500 <= 0.3
+
+
+def test_stats_string_and_group_facet(spark):
+    from solr_spark.operators.relational import facet_by_group, stats_string
+
+    df = spark.createDataFrame(
+        [(1, "en", "a"), (2, "en", "b"), (3, "fr", "a"), (4, None, "a")],
+        "id long, lang string, grp string",
+    )
+    row = stats_string(df, "lang").collect()[0]
+    assert (row["count"], row["missing"]) == (3, 1)
+    assert (row["min"], row["max"], row["distinct_values"]) == ("en", "fr", 2)
+    fac = {r["lang"]: r["count"] for r in facet_by_group(df, "lang", "grp").collect()}
+    # 'en' appears in groups a+b -> 2; 'fr' only in a -> 1; NULL facet dropped
+    assert fac == {"en": 2, "fr": 1}
