@@ -920,28 +920,69 @@ def create_snapshot(out_dir: str, name: str) -> str:
 
 def restore_snapshot(out_dir: str, name: str) -> None:
     """RESTORECORE analog: replace the live index state with the named
-    snapshot's (stages, manifests, meta). The restore is staged into a
-    temp dir first so a crash mid-restore leaves either the old or the
-    new state, never a mix."""
+    snapshot's (stages, manifests, meta).
+
+    Crash semantics: the new state is FULLY materialized under
+    ``<out_dir>/.restore-tmp`` first (hard-links, no data copy), so the
+    slow phase touches nothing live. The swap phase is rename-only and is
+    journaled by a ``.restore-inprogress`` marker containing the snapshot
+    name: a crash mid-swap leaves the marker behind, and because snapshot
+    files are immutable, re-running ``restore_snapshot`` with that name
+    (see :func:`pending_restore`) rebuilds the temp tree and completes the
+    swap idempotently. Without the marker the state is guaranteed to be
+    either wholly old or wholly new.
+    """
     snap = os.path.join(out_dir, "snapshots", name)
     if not os.path.isdir(snap):
         raise ValueError(f"no snapshot {name!r} under {out_dir}")
+    tmp_root = os.path.join(out_dir, ".restore-tmp")
+    marker = os.path.join(out_dir, ".restore-inprogress")
+    if os.path.isdir(tmp_root):
+        shutil.rmtree(tmp_root)
+    os.makedirs(tmp_root)
+
+    # phase 1 (slow, non-destructive): materialize the whole restored
+    # state under tmp_root via hard links
+    staged: list[tuple[str, str]] = []  # (tmp path, live path) rename pairs
     for stage in _SNAP_STAGES:
-        src = os.path.join(snap, os.path.basename(_stage_dir(out_dir, stage)))
         live = _stage_dir(out_dir, stage)
-        if not os.path.isdir(src):
-            continue
-        tmp = live + ".restoring"
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        shutil.copytree(src, tmp, copy_function=_link_or_copy)
+        src = os.path.join(snap, os.path.basename(live))
+        if os.path.isdir(src):
+            tmp = os.path.join(tmp_root, os.path.basename(live))
+            shutil.copytree(src, tmp, copy_function=_link_or_copy)
+            staged.append((tmp, live))
+        mlive = _manifest_path(out_dir, stage)
+        msrc = os.path.join(snap, os.path.basename(mlive))
+        if os.path.exists(msrc):
+            mtmp = os.path.join(tmp_root, os.path.basename(mlive))
+            _link_or_copy(msrc, mtmp)
+            staged.append((mtmp, mlive))
+    mtmp = os.path.join(tmp_root, "meta.json")
+    _link_or_copy(os.path.join(snap, "meta.json"), mtmp)
+    staged.append((mtmp, os.path.join(out_dir, "meta.json")))
+
+    # phase 2 (fast, journaled): rename-only swap
+    with open(marker, "w") as f:
+        f.write(name)
+    for tmp, live in staged:
         if os.path.isdir(live):
             shutil.rmtree(live)
+        elif os.path.exists(live):
+            os.remove(live)
         os.replace(tmp, live)
-        msrc = os.path.join(snap, os.path.basename(_manifest_path(out_dir, stage)))
-        if os.path.exists(msrc):
-            shutil.copy2(msrc, _manifest_path(out_dir, stage))
-    shutil.copy2(os.path.join(snap, "meta.json"), os.path.join(out_dir, "meta.json"))
+    os.remove(marker)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+
+
+def pending_restore(out_dir: str) -> str | None:
+    """Name of a snapshot whose restore was interrupted mid-swap (the
+    ``.restore-inprogress`` journal marker), or None if the live state is
+    consistent. Callers recover with ``restore_snapshot(out_dir, name)``."""
+    marker = os.path.join(out_dir, ".restore-inprogress")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return f.read().strip() or None
+    return None
 
 
 def _link_or_copy(src: str, dst: str) -> None:

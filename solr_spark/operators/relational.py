@@ -109,8 +109,10 @@ def facet_field(
             F.count("*").alias("count"),
         )
         # union AFTER paging: Solr's missing bucket is not subject to
-        # limit/offset and always trails the bucket list.
-        out = out.unionByName(miss)
+        # limit/offset and always trails the bucket list. Spark gives no
+        # order guarantee across a union, so re-sort with an explicit
+        # is-missing key to make the trailing placement a real contract.
+        out = out.unionByName(miss).orderBy(F.col(field).isNull().asc(), *order)
     return out
 
 
@@ -557,7 +559,9 @@ def random_hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     from solr_spark.functions.hashing import md5_long
 
     bucket = F.pmod(md5_long(F.col(key).cast("string")), F.lit(10000))
-    return df.where(bucket < F.lit(int(fraction * 10000)))
+    # round, don't truncate: 0.29 * 10000 is 2899.999... in binary floats,
+    # and int() would silently shift the cutoff by one basis point
+    return df.where(bucket < F.lit(int(round(fraction * 10000))))
 
 
 def random_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:

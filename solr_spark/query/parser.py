@@ -402,8 +402,10 @@ class _Parser:
             body, boost = _strip_boost(val)
             return RegexQ(body[1:-1], boost=boost)
         if kind == "range":
-            body, boost = _strip_boost(val)
-            return _range_node(body, boost, None)
+            body, const = _strip_const(val)
+            body, boost = _strip_boost(body)
+            node = _range_node(body, boost, None)
+            return ConstQ(node, const) if const is not None else node
         if kind == "fieldname":
             fname = val[:-1]
             t = self.peek()
@@ -412,8 +414,12 @@ class _Parser:
             nkind, nval = t
             if nkind == "range":
                 self.next()
-                body, boost = _strip_boost(nval)
-                return _range_node(body, boost, fname)
+                # strip the ^=N constant-score marker before ^N boost —
+                # the lexer keeps both attached to range tokens
+                body, const = _strip_const(nval)
+                body, boost = _strip_boost(body)
+                node = _range_node(body, boost, fname)
+                return ConstQ(node, const) if const is not None else node
             if nkind == "quoted":
                 # field:"a b" keeps quoted (phrase) semantics — the
                 # compiler maps metadata fields to equality filters and

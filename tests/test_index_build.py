@@ -263,6 +263,23 @@ def test_snapshot_restore_roundtrip(spark, index, test_config, tmp_path):
     eng2 = SearchEngine(InvertedIndex(spark, out))
     after = [(r["doc_id"], r["score"]) for r in eng2.topk("server data", k=10).collect()]
     assert after == before
+    # a completed restore leaves no journal marker or temp tree behind
+    from solr_spark.index.build import pending_restore
+    assert pending_restore(out) is None
+    assert not os.path.exists(os.path.join(out, ".restore-tmp"))
 
     with pytest.raises(ValueError):
         restore_snapshot(out, "nope")
+
+    # interrupted restore: simulate a crash mid-swap (marker written, a
+    # live stage already deleted) — pending_restore names the snapshot and
+    # re-running it heals the index idempotently
+    with open(os.path.join(out, ".restore-inprogress"), "w") as f:
+        f.write("pre")
+    shutil.rmtree(os.path.join(out, "blocks"))
+    assert pending_restore(out) == "pre"
+    restore_snapshot(out, pending_restore(out))
+    assert pending_restore(out) is None
+    eng3 = SearchEngine(InvertedIndex(spark, out))
+    healed = [(r["doc_id"], r["score"]) for r in eng3.topk("server data", k=10).collect()]
+    assert healed == before

@@ -199,6 +199,27 @@ def test_parse_lucene_shapes():
     assert isinstance(t, TermQ) and t.boost == 2.5
 
 
+def test_parse_range_const_score():
+    """^=N on a (fielded) range clause — the lexer keeps the marker
+    attached to the range token, so the range branches must strip it
+    (round-4 ADVICE fix: previously produced RangeQ(hi='300]^=')."""
+    from solr_spark.query.parser import ConstQ
+
+    for q in ("n_chars:[100 TO 300]^=2", "[100 TO 300]^=2"):
+        node = parse_lucene(q)
+        assert isinstance(node, ConstQ) and node.score == 2.0
+        rng = node.node
+        assert isinstance(rng, RangeQ) and rng.lo == "100" and rng.hi == "300"
+        assert rng.incl_hi and rng.boost == 1.0
+    # plain boost on a fielded range still parses
+    r = parse_lucene("n_chars:[100 TO 300]^2")
+    assert isinstance(r, RangeQ) and r.boost == 2.0 and r.hi == "300"
+    # exclusive + open-ended with const marker
+    node = parse_lucene("n_chars:{100 TO *}^=1.5")
+    assert isinstance(node, ConstQ) and node.score == 1.5
+    assert node.node.hi is None and not node.node.incl_lo
+
+
 def test_execute_nested_bool_matches_setalgebra(engine):
     """(a OR b) AND c == docs(c) ∩ (docs(a) ∪ docs(b)), scored as the
     sum of all three terms' contributions."""
@@ -448,6 +469,18 @@ def test_execute_const_score_operator(engine):
     for d, s in both.items():
         expect = parse.get(d, 0.0) + (0.25 if d in base else 0.0)
         assert s == pytest.approx(expect, rel=1e-5)
+
+
+def test_execute_range_const_score(engine):
+    """Fielded numeric range with ^=N executes as a constant-score filter
+    (round-4 fix: previously a parse-time corruption → float('300]^=')."""
+    big = 10**6
+    match = {r["doc_id"] for r in
+             execute_query(engine, "doc_len:[150 TO 400]", k=big).collect()}
+    got = {r["doc_id"]: r["score"] for r in
+           execute_query(engine, "doc_len:[150 TO 400]^=2", k=big).collect()}
+    assert match and set(got) == match
+    assert all(s == pytest.approx(2.0) for s in got.values())
 
 
 def test_execute_group_const_score(engine):

@@ -188,6 +188,14 @@ def test_hash_partition_filter_covers_and_disjoint(spark):
     s = {r["k"] for r in random_hash_sample(df, "k", 0.2).collect()}
     assert s == {r["k"] for r in random_hash_sample(df, "k", 0.2).collect()}
     assert 0.1 <= len(s) / 500 <= 0.3
+    # threshold rounds, not truncates: 0.29*10000 == 2899.999… in binary
+    # floats, so 0.29 must behave exactly like the 2900-bucket cutoff
+    from pyspark.sql import functions as F
+    from solr_spark.functions.hashing import md5_long
+
+    bucket = F.pmod(md5_long(F.col("k").cast("string")), F.lit(10000))
+    exact = {r["k"] for r in df.where(bucket < 2900).collect()}
+    assert {r["k"] for r in random_hash_sample(df, "k", 0.29).collect()} == exact
 
 
 def test_stats_string_and_group_facet(spark):
