@@ -545,6 +545,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["query_regexp"] = lambda s, d: _rounded(
         execute_query(_engine(s, d), "/s[pt]ark/", k=10)
     )
+    # leading wildcard: prefix seek on the reversed dictionary
+    # (ReversedWildcardFilterFactory analog — see suffix_topk)
+    q["query_leading_wildcard"] = lambda s, d: _rounded(
+        execute_query(_engine(s, d), "*er", k=10)
+    )
     q["query_boosted_or"] = lambda s, d: _rounded(
         execute_query(_engine(s, d), "(spark^2 OR merge) AND table", k=10)
     )
@@ -746,6 +751,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _engine(s, d), ["spark merge", "table row"], k=10, depth=20
     ).withColumn("rrf_score", F.round("rrf_score", 6))
     q["spellcheck_sparkk"] = lambda s, d: qx.spellcheck(_engine(s, d), "sparkk")
+    # WordBreak spellchecker: split an unknown compound / combine adjacent
+    # fragments (spelling/WordBreakSolrSpellChecker.java)
+    q["spellcheck_wordbreak_split"] = lambda s, d: qx.wordbreak_split(
+        _engine(s, d), "sparkmerge"
+    )
+    q["spellcheck_wordbreak_combine"] = lambda s, d: qx.wordbreak_combine(
+        _engine(s, d), ["win", "dow", "cus", "tomer"]
+    )
     q["suggest_prefix_s"] = lambda s, d: qx.suggest(_engine(s, d), "s")
     q["suggest_infix_er"] = lambda s, d: qx.suggest_infix(_engine(s, d), "er")
     q["suggest_freetext_data"] = lambda s, d: qx.suggest_freetext(
@@ -997,6 +1010,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return page.select("doc_id", "n_chars")
 
     q["cursor_page3"] = cursor_q
+    # the stateless form: ONE call, cursor passed as plain data (no
+    # driver-side chaining) — what a real pager issues per request
+    q["search_after_page"] = lambda s, d: cursor_page(
+        _read(s, d, "documents"), [("n_chars", "desc"), ("doc_id", "asc")],
+        page_size=20, after=(900, 123),
+    ).select("doc_id", "n_chars")
 
     def atomic_q(s, d):
         docs = _read(s, d, "documents")
@@ -1207,6 +1226,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["child_doc_transform"] = child_transform_q
+
+    def subquery_transform_q(s, d):
+        """[subquery] doc transformer: each customer row carries its 3
+        earliest orders (subq.sort=o_orderdate asc, subq.rows=3)."""
+        from solr_spark.operators.relational import subquery_transform
+
+        cust = _read(s, d, "customer").where(F.col("c_custkey") <= 5).select(
+            "c_custkey", "c_name"
+        )
+        orders = _read(s, d, "orders")
+        return subquery_transform(
+            cust, orders, "c_custkey", "o_custkey",
+            [F.asc("o_orderdate"), F.asc("o_orderkey")],
+            ["o_orderdate", "o_orderkey"], rows=3,
+        ).orderBy("c_custkey")
+
+    q["subquery_doc_transform"] = subquery_transform_q
 
     def hash_filter_q(s, d):
         """{!hash workers=4 worker=1} over documents — the /export
@@ -2543,6 +2579,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup.simhash(_read(s, d, "documents"), "doc_id", "text"), max_hamming=4
     ).orderBy("doc_a", "doc_b")
 
+    def dedup_clusters_q(s, d):
+        """Near-dup pairs → connected components (distributed min-label
+        propagation w/ pointer jumping) → keep-best canonical per
+        cluster: the full dedup post-processing chain."""
+        docs = _read(s, d, "documents")
+        pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+        clusters = dedup.dup_clusters(pairs)
+        return dedup.canonical_per_cluster(
+            docs.select("doc_id", "n_chars"), clusters
+        ).orderBy("cluster_id")
+
+    q["dedup_cluster_canonical"] = dedup_clusters_q
+
+    def decontaminate_q(s, d):
+        """Benchmark decontamination: corpus docs (doc_id >= 5) sharing a
+        4-token shingle with the eval slice (doc_id < 5)."""
+        docs = _read(s, d, "documents")
+        return dedup.decontaminate_flags(
+            docs.where(F.col("doc_id") >= 5),
+            docs.where(F.col("doc_id") < 5),
+            n=4,
+        ).orderBy("doc_id")
+
+    q["decontaminate_overlap"] = decontaminate_q
+
+    def stratified_q(s, d):
+        """Balanced training mix: deterministic 20-doc sample per lang."""
+        from solr_spark.operators.relational import stratified_hash_sample
+
+        return stratified_hash_sample(
+            _read(s, d, "documents").select("doc_id", "lang", "n_chars"),
+            "lang", "doc_id", 20,
+        ).orderBy("lang", "doc_id")
+
+    q["stratified_sample_lang"] = stratified_q
+
     # SCALE path (VERDICT r2 #3): hyperplane-LSH banded candidates →
     # exact cosine on candidates ONLY (no unconditioned cross join —
     # mirrors the r2 MinHash fix); the O(n²) exact variant stays as its
@@ -3120,6 +3192,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_chars FROM documents
         ORDER BY n_chars DESC, doc_id ASC LIMIT 20 OFFSET 40
     """
+    o["search_after_page"] = """
+        SELECT doc_id, n_chars FROM documents
+        WHERE n_chars < 900 OR (n_chars = 900 AND doc_id > 123)
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+    """
     o["atomic_update_docs"] = """
         SELECT doc_id,
                CASE WHEN doc_id < 50 THEN 'updated' ELSE lang END AS lang,
@@ -3273,6 +3350,7 @@ ORDER BY CAST(total AS REAL) DESC, doc_id ASC LIMIT 10
     )
     o["query_wildcard"] = expansion_topk_sql("regexp_matches(tok, '^sp.rk.*$')")
     o["query_regexp"] = expansion_topk_sql("regexp_matches(tok, '^(?:s[pt]ark)$')")
+    o["query_leading_wildcard"] = expansion_topk_sql("tok LIKE '%er'")
     o["query_boosted_or"] = boosted_bool_sql(
         {"spark": 2.0, "merge": 1.0, "table": 1.0},
         must_any=[["spark", "merge"], ["table"]],
@@ -3446,6 +3524,12 @@ ORDER BY doc_id
         tok.tokenize_py("spark merge"), tok.tokenize_py("table row"), k=10, depth=20
     )
     o["spellcheck_sparkk"] = spellcheck_sql("sparkk")
+    from solr_spark.oracle_sql import wordbreak_combine_sql, wordbreak_split_sql
+
+    o["spellcheck_wordbreak_split"] = wordbreak_split_sql("sparkmerge")
+    o["spellcheck_wordbreak_combine"] = wordbreak_combine_sql(
+        ["win", "dow", "cus", "tomer"]
+    )
     o["suggest_prefix_s"] = suggest_sql("s")
     from solr_spark.oracle_sql import suggest_infix_sql
 
@@ -3553,6 +3637,17 @@ GROUP BY tok ORDER BY tok
     """
     o["dedup_exact"] = exact_dedup_sql(clone_below=50, offset=10000)
     o["dedup_ngram_jaccard"] = ngram_jaccard_sql(0.5)
+    from solr_spark.oracle_sql import (
+        decontaminate_sql,
+        dedup_clusters_sql,
+        stratified_sample_sql,
+    )
+
+    o["dedup_cluster_canonical"] = dedup_clusters_sql(0.5)
+    o["decontaminate_overlap"] = decontaminate_sql("doc_id < 5", "doc_id >= 5", n=4)
+    o["stratified_sample_lang"] = stratified_sample_sql(
+        "lang", "doc_id", 20, "doc_id, lang, n_chars"
+    )
     o["dedup_minhash_lsh"] = minhash_lsh_sql(0.5)
     o["dedup_simhash"] = simhash_pairs_sql(4)
     from solr_spark.oracle_sql import (
@@ -4867,6 +4962,25 @@ FROM z ORDER BY doc_id
         WHERE o.o_custkey <= 3
         GROUP BY o.o_orderkey ORDER BY o.o_orderkey
     """
+    # [subquery] doc transformer: per-parent top-N of a bound subquery
+    o["subquery_doc_transform"] = """
+        WITH ranked AS (
+          SELECT o_custkey,
+                 concat_ws('|', CAST(o_orderdate AS VARCHAR),
+                                CAST(o_orderkey AS VARCHAR)) AS item,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders)
+        SELECT c.c_custkey, c.c_name,
+               coalesce(list(r.item ORDER BY r.item)
+                          FILTER (WHERE r.item IS NOT NULL),
+                        CAST([] AS VARCHAR[])) AS subq
+        FROM customer c
+        LEFT JOIN ranked r ON r.o_custkey = c.c_custkey AND r.rn <= 3
+        WHERE c.c_custkey <= 5
+        GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey
+    """
+
     from solr_spark.functions.hashing import md5_long_sql as _mls
 
     _h = _mls("CAST(doc_id AS VARCHAR)")

@@ -514,3 +514,129 @@ def embedding_lsh_pairs(
         .distinct()
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters + canonical selection (pipeline post-processing)
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair list → duplicate
+    clusters. Returns ``(doc_id, cluster_id)`` for every doc appearing in
+    a pair, with ``cluster_id`` = the smallest doc_id in the component.
+
+    Distributed min-label propagation with pointer jumping: each round
+    (a) every node takes the min label among itself and its neighbors
+    (one shuffle join on the edge list), then (b) labels compress through
+    the label graph (``label := label(label)``), which halves the
+    remaining path length — convergence in O(log diameter) rounds, the
+    standard large-star/small-star behavior. Each round
+    ``localCheckpoint``s to truncate lineage so the loop stays
+    re-optimizable at any corpus size. Driver work is O(1) per round
+    (a single converged? count), never O(rows).
+    """
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        new = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: follow one hop through the label graph
+        lab2 = new.select(
+            F.col("node").alias("label"), F.col("label").alias("label2")
+        )
+        new = (
+            new.join(lab2, "label", "left")
+            .select("node", F.coalesce("label2", "label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "node")
+            .where(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def canonical_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    prefer: list | None = None,
+) -> DataFrame:
+    """Per duplicate cluster: size + the canonical (kept) document —
+    the doc winning the ``prefer`` sort (default: longest ``n_chars``,
+    then smallest id). The keep-best policy of training-data dedup
+    (c.f. the reference's overwriteDupes=true keep-one semantics,
+    update/processor/SignatureUpdateProcessorFactory.java).
+
+    One window over (cluster_id) — the same shuffle the cluster
+    aggregation needs, so canonical selection is free at scale."""
+    from pyspark.sql import Window
+
+    prefer = prefer or [F.desc("n_chars"), F.asc(id_col)]
+    j = clusters.join(docs, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(*prefer)
+    ranked = j.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("size"),
+            F.min(F.when(F.col("_rn") == 1, F.col(id_col))).alias("canonical_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    chain: AnalyzerChain = CODE_CHAIN,
+) -> DataFrame:
+    """Flag corpus documents sharing any ``n``-token shingle with a
+    benchmark/eval set — the contamination check every LLM training
+    pipeline runs before a corpus ships. Returns
+    ``(doc_id, n_overlap)`` for contaminated docs: the count of DISTINCT
+    benchmark shingles the doc contains.
+
+    Both sides shingle with the same analyzer; the join is on the
+    shingle string (hash it to long for 100 TB — kept as the string here
+    so the oracle is byte-exact). The benchmark side is tiny by nature
+    (eval sets are KBs), so Spark broadcasts it and the corpus-side scan
+    never shuffles."""
+    from solr_spark.analysis import shingles
+
+    def _sh(df: DataFrame, idc: str) -> DataFrame:
+        return df.select(
+            F.col(idc),
+            F.explode(shingles(chain.tokens(F.col(text_col)), n)).alias("shingle"),
+        ).distinct()
+
+    bench = F.broadcast(_sh(benchmark, id_col).select("shingle").distinct())
+    hits = _sh(corpus, id_col).join(bench, "shingle")
+    return hits.groupBy(id_col).agg(F.count("*").cast("long").alias("n_overlap"))

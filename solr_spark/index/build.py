@@ -417,6 +417,19 @@ def _stage_term_dict(spark: SparkSession, out_dir: str, config: IndexConfig) -> 
      .sortWithinPartitions("term")
      .write.mode("overwrite").parquet(_stage_dir(out_dir, "term_dict")))
 
+    # Reversed projection of the dictionary, range-sorted by the REVERSED
+    # term (ReversedWildcardFilterFactory analog, ref
+    # solr/core/src/java/org/apache/solr/analysis/ReversedWildcardFilterFactory.java):
+    # a leading-wildcard expansion (*suffix) becomes a prefix scan on
+    # term_rev, which parquet row-group min/max stats prune — instead of
+    # an rlike over the whole vocabulary. The dictionary is O(vocabulary),
+    # tiny next to postings, so the second sort order is cheap to keep.
+    (spark.read.parquet(_stage_dir(out_dir, "term_dict"))
+     .withColumn("term_rev", F.reverse(F.col("term")))
+     .repartitionByRange(max(1, spark.sparkContext.defaultParallelism // 4), "term_rev")
+     .sortWithinPartitions("term_rev")
+     .write.mode("overwrite").parquet(_stage_dir(out_dir, "term_dict_rev")))
+
     meta = {
         "n_docs": int(n_docs),
         "sum_doc_len": int(sum_dl),
@@ -783,6 +796,16 @@ class InvertedIndex:
         return self.spark.read.parquet(_stage_dir(self.dir, "term_dict"))
 
     @functools.cached_property
+    def term_dict_rev(self) -> DataFrame:
+        """Dictionary sorted by reversed term (leading-wildcard seeks).
+        Falls back to deriving term_rev on the fly for indexes built
+        before the stage existed (correct, just not range-pruned)."""
+        rev_dir = _stage_dir(self.dir, "term_dict_rev")
+        if os.path.isdir(rev_dir):
+            return self.spark.read.parquet(rev_dir)
+        return self.term_dict.withColumn("term_rev", F.reverse(F.col("term")))
+
+    @functools.cached_property
     def blocks(self) -> DataFrame:
         return self.spark.read.parquet(_stage_dir(self.dir, "blocks"))
 
@@ -874,7 +897,7 @@ def build_index(
 # snapshot / backup / restore (CoreAdmin BACKUPCORE / RESTORECORE analog)
 # ---------------------------------------------------------------------------
 
-_SNAP_STAGES = ("analyzed", "segments", "term_dict", "blocks")
+_SNAP_STAGES = ("analyzed", "segments", "term_dict", "term_dict_rev", "blocks")
 
 
 def create_snapshot(out_dir: str, name: str) -> str:

@@ -446,6 +446,43 @@ def child_transform(
     return joined.withColumn(out_col, F.coalesce(F.col(out_col), empty))
 
 
+def subquery_transform(
+    parents: DataFrame,
+    sub: DataFrame,
+    parent_key: str,
+    sub_key: str,
+    order_by: list[Column],
+    value_cols: list[str],
+    rows: int = 3,
+    out_col: str = "subq",
+) -> DataFrame:
+    """``[subquery]`` doc transformer (``response/transform/
+    SubQueryAugmenterFactory.java``, test ``TestSubQueryTransformer.java``):
+    each parent row carries the top-``rows`` results of a subquery bound to
+    one of its fields (Solr's ``subq.q={!terms f=.. v=$row.<field>}`` with
+    ``subq.rows``/``subq.sort``). The binding is the equi-join key; the
+    subquery's own sort+limit is a per-key window top-N.
+
+    Each sub-result is flattened to one ``|``-joined string so the nested
+    array stays engine-comparable; ``sort_array`` makes the column value
+    deterministic. One shuffle for the window + one for the aggregation
+    (same key → AQE reuses the partitioning); the parent join broadcasts
+    when the parent page is small."""
+    w = Window.partitionBy(sub_key).orderBy(*order_by)
+    item = F.concat_ws("|", *[F.col(c).cast("string") for c in value_cols])
+    top = (
+        sub.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= rows)
+        .select(F.col(sub_key).alias(parent_key), item.alias("_item"))
+    )
+    nested = top.groupBy(parent_key).agg(
+        F.sort_array(F.collect_list("_item")).alias(out_col)
+    )
+    joined = parents.join(nested, parent_key, "left")
+    empty = F.array().cast("array<string>")
+    return joined.withColumn(out_col, F.coalesce(F.col(out_col), empty))
+
+
 def collapse(df: DataFrame, field: str, order_by: list[Column]) -> DataFrame:
     """CollapsingQParserPlugin (:122): keep one group-head per field value
     under the given sort policy."""
@@ -562,6 +599,27 @@ def random_hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     # round, don't truncate: 0.29 * 10000 is 2899.999... in binary floats,
     # and int() would silently shift the cutoff by one basis point
     return df.where(bucket < F.lit(int(round(fraction * 10000))))
+
+
+def stratified_hash_sample(
+    df: DataFrame, strata_col: str, key: str, n_per_stratum: int
+) -> DataFrame:
+    """Balanced training-mix sampler: deterministic top-N per stratum
+    (e.g. N docs per language). Rows rank inside their stratum by
+    (md5-hash of ``key``, ``key``) — a seedless shuffle-once order that
+    picks the SAME rows on any engine/partitioning, like
+    ``random_hash_sample``; one window over the strata partitioning."""
+    from pyspark.sql import Window
+
+    from solr_spark.functions.hashing import md5_long
+
+    h = md5_long(F.col(key).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
 
 
 def random_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:

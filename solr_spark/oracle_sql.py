@@ -157,6 +157,67 @@ ORDER BY doc_a, doc_b
 """.strip()
 
 
+def dedup_clusters_sql(threshold: float, n: int = 3,
+                       chain: AnalyzerChain = CODE_CHAIN) -> str:
+    """Connected components over the exact n-gram-Jaccard pair relation
+    (recursive CTE = the ground truth for the engine's distributed
+    min-label propagation), plus per-cluster canonical pick."""
+    return f"""
+WITH RECURSIVE {_toks_cte(chain)},
+{_shingle_cte(n)},
+{_JACCARD_CTES},
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= {threshold}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+ranked AS (
+  SELECT c.cluster_id, c.node AS doc_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.node ASC) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.node)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS size,
+       min(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id
+FROM ranked GROUP BY cluster_id ORDER BY cluster_id
+""".strip()
+
+
+def decontaminate_sql(bench_pred: str, corpus_pred: str, n: int = 4,
+                      chain: AnalyzerChain = CODE_CHAIN) -> str:
+    """Benchmark-contamination oracle: corpus docs sharing any n-token
+    shingle with the benchmark slice, with distinct-shingle counts."""
+    elems = ", ".join(f"tt[i+{j}]" for j in range(n))
+    return f"""
+WITH {_toks_cte(chain)},
+shs AS (SELECT DISTINCT doc_id, unnest(list_transform(
+          range(1, greatest(len(tt)-{n - 1}, 0)+1),
+          i -> concat_ws(' ', {elems}))) AS s FROM toks),
+bench AS (SELECT DISTINCT s FROM shs WHERE {bench_pred}),
+hits AS (SELECT shs.doc_id, shs.s FROM shs JOIN bench USING (s)
+         WHERE {corpus_pred})
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+FROM hits GROUP BY doc_id ORDER BY doc_id
+""".strip()
+
+
+def stratified_sample_sql(strata_col: str, key: str, n_per: int,
+                          cols: str, table: str = "documents") -> str:
+    from solr_spark.functions.hashing import md5_long_sql
+    h = md5_long_sql(f"CAST({key} AS VARCHAR)")
+    return f"""
+WITH ranked AS (
+  SELECT {cols},
+         row_number() OVER (PARTITION BY {strata_col}
+                            ORDER BY ({h}) ASC, {key} ASC) AS rn
+  FROM {table})
+SELECT {cols} FROM ranked WHERE rn <= {n_per} ORDER BY {strata_col}, {key}
+""".strip()
+
+
 def minhash_lsh_sql(
     threshold: float,
     n_hashes: int = 32,
@@ -900,6 +961,41 @@ FROM alldf
 WHERE abs(length(tok) - {len(word)}) <= {max_edits}
   AND levenshtein(tok, '{esc}') <= {max_edits}
 ORDER BY dist ASC, df DESC, tok ASC LIMIT {n}"""
+
+
+def wordbreak_split_sql(word: str, n: int = 10, min_part: int = 2,
+                        chain: AnalyzerChain = CODE_CHAIN) -> str:
+    esc = word.lower().replace("'", "''")
+    hi = len(word) - min_part + 1  # range() end is exclusive
+    return f"""WITH {_prelude(chain)},
+alldf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+splits AS (SELECT CAST(i AS INT) AS split_at,
+                  substr('{esc}', 1, CAST(i AS INT)) AS left_part,
+                  substr('{esc}', CAST(i AS INT) + 1) AS right_part
+           FROM range({min_part}, {hi}) r(i))
+SELECT s.split_at, s.left_part, s.right_part, a.df AS df_left, b.df AS df_right
+FROM splits s JOIN alldf a ON a.tok = s.left_part
+              JOIN alldf b ON b.tok = s.right_part
+ORDER BY (a.df + b.df) DESC, s.split_at ASC LIMIT {n}"""
+
+
+def wordbreak_combine_sql(words: list[str], n: int = 10,
+                          chain: AnalyzerChain = CODE_CHAIN) -> str:
+    rows = ", ".join(
+        "({}, '{}', '{}', '{}')".format(
+            i,
+            words[i].lower().replace("'", "''"),
+            words[i + 1].lower().replace("'", "''"),
+            (words[i] + words[i + 1]).lower().replace("'", "''"),
+        )
+        for i in range(len(words) - 1)
+    )
+    return f"""WITH {_prelude(chain)},
+alldf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+pairs(pos, word1, word2, combined) AS (VALUES {rows})
+SELECT CAST(p.pos AS INT) AS pos, p.word1, p.word2, p.combined, a.df
+FROM pairs p JOIN alldf a ON a.tok = p.combined
+ORDER BY a.df DESC, p.pos ASC LIMIT {n}"""
 
 
 def suggest_sql(prefix: str, n: int = 10, chain: AnalyzerChain = CODE_CHAIN) -> str:

@@ -242,12 +242,24 @@ def _compile(ctx: _Ctx, node, boost: float):
 
     # multi-term expansions against the term dictionary
     if isinstance(node, (WildQ, RegexQ, FuzzyQ, RangeQ)):
+        source = None
         if isinstance(node, WildQ):
-            pat = node.pattern
-            if pat.endswith("*") and "*" not in pat[:-1] and "?" not in pat:
-                cond = F.col("term").startswith(pat[:-1].lower())
+            pat = node.pattern.lower()
+            inner = pat.strip("*")
+            plain_inner = "*" not in inner and "?" not in inner
+            if pat.endswith("*") and not pat.startswith("*") and plain_inner:
+                cond = F.col("term").startswith(inner)
+            elif pat.startswith("*") and not pat.endswith("*") and plain_inner:
+                # leading wildcard → prefix seek on the REVERSED dictionary
+                # (ReversedWildcardFilterFactory analog): startswith on the
+                # range-sorted term_rev column is parquet-prunable, unlike
+                # an rlike over the whole vocabulary
+                cond = F.col("term_rev").startswith(inner[::-1])
+                source = ctx.engine.index.term_dict_rev
+            elif pat.startswith("*") and pat.endswith("*") and plain_inner and inner:
+                cond = F.col("term").contains(inner)
             else:
-                cond = F.col("term").rlike(_glob_to_regex(pat.lower()))
+                cond = F.col("term").rlike(_glob_to_regex(pat))
         elif isinstance(node, RegexQ):
             cond = F.col("term").rlike(f"^(?:{node.pattern})$")
         elif isinstance(node, FuzzyQ):
@@ -265,7 +277,7 @@ def _compile(ctx: _Ctx, node, boost: float):
                 cond = cond & (
                     F.col("term") <= node.hi.lower() if node.incl_hi else F.col("term") < node.hi.lower()
                 )
-        stats = _expansion_stats(ctx.engine, cond, ctx.max_expansions)
+        stats = _expansion_stats(ctx.engine, cond, ctx.max_expansions, source=source)
         if not stats:
             return _FALSE
         lid = ctx.new_leaf()

@@ -44,12 +44,15 @@ from solr_spark.query.engine import SearchEngine, TermStats
 # ---------------------------------------------------------------------------
 
 
-def _expansion_stats(engine: SearchEngine, cond, max_expansions: int) -> list[TermStats]:
+def _expansion_stats(
+    engine: SearchEngine, cond, max_expansions: int, source=None
+) -> list[TermStats]:
     """Top ``max_expansions`` matching terms by (df desc, term asc) — the
     frozen MultiTermQuery rewrite. A filtered read of the sorted
-    term_dict; collected stats are O(max_expansions)."""
+    term_dict (or ``source``, e.g. the reversed dictionary for leading
+    wildcards); collected stats are O(max_expansions)."""
     rows = (
-        engine.index.term_dict.where(cond)
+        (source if source is not None else engine.index.term_dict).where(cond)
         .select("term", "df", "idf")
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(max_expansions)
@@ -63,6 +66,23 @@ def prefix_topk(
 ) -> DataFrame:
     """``field:pre*`` → scoring OR over the expanded terms."""
     stats = _expansion_stats(engine, F.col("term").startswith(prefix), max_expansions)
+    return engine.topk_from_stats(stats, k=k, mode="OR", prune=False)
+
+
+def suffix_topk(
+    engine: SearchEngine, suffix: str, k: int = 10, max_expansions: int = 50
+) -> DataFrame:
+    """``field:*suffix`` → scoring OR over the expanded terms, seeded by a
+    prefix seek on the REVERSED dictionary (ReversedWildcardFilterFactory
+    analog, ref analysis/ReversedWildcardFilterFactory.java): term_rev is
+    range-sorted at build time, so the filter prunes parquet row groups
+    instead of regex-scanning the vocabulary."""
+    stats = _expansion_stats(
+        engine,
+        F.col("term_rev").startswith(suffix[::-1].lower()),
+        max_expansions,
+        source=engine.index.term_dict_rev,
+    )
     return engine.topk_from_stats(stats, k=k, mode="OR", prune=False)
 
 
@@ -409,6 +429,61 @@ def spellcheck(engine: SearchEngine, word: str, max_edits: int = 2, n: int = 5) 
         .where(F.col("dist") <= max_edits)
         .select("term", "df", "dist")
         .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def wordbreak_split(
+    engine: SearchEngine, word: str, n: int = 10, min_part: int = 2
+) -> DataFrame:
+    """WordBreak spellcheck, BREAK direction (ref
+    spelling/WordBreakSolrSpellChecker.java / Lucene
+    WordBreakSpellChecker.suggestWordBreaks, test
+    spelling/WordBreakSolrSpellCheckerTest.java): split an unknown word at
+    every position where BOTH halves are dictionary terms, ranked by
+    combined document frequency (desc), then split position.
+
+    The candidate splits are O(len(word)) literals broadcast against the
+    dictionary — two prunable equi-joins, no vocabulary scan."""
+    w = word.lower()
+    spark = engine.index.spark
+    splits = [(i, w[:i], w[i:]) for i in range(min_part, len(w) - min_part + 1)]
+    schema = "split_at int, left_part string, right_part string"
+    if not splits:
+        return spark.createDataFrame([], schema + ", df_left long, df_right long")
+    sdf = F.broadcast(spark.createDataFrame(splits, schema))
+    td = engine.index.term_dict.select("term", "df")
+    left = td.withColumnsRenamed({"term": "left_part", "df": "df_left"})
+    right = td.withColumnsRenamed({"term": "right_part", "df": "df_right"})
+    return (
+        sdf.join(left, "left_part")
+        .join(right, "right_part")
+        .select("split_at", "left_part", "right_part", "df_left", "df_right")
+        .orderBy(F.desc(F.col("df_left") + F.col("df_right")), F.asc("split_at"))
+        .limit(n)
+    )
+
+
+def wordbreak_combine(
+    engine: SearchEngine, words: list[str], n: int = 10
+) -> DataFrame:
+    """WordBreak spellcheck, COMBINE direction: concatenate each adjacent
+    query-word pair and keep the ones that are dictionary terms, ranked by
+    df desc then pair position (Lucene suggestWordCombinations)."""
+    spark = engine.index.spark
+    lw = [x.lower() for x in words]
+    pairs = [(i, lw[i], lw[i + 1], lw[i] + lw[i + 1]) for i in range(len(lw) - 1)]
+    schema = "pos int, word1 string, word2 string, combined string"
+    if not pairs:
+        return spark.createDataFrame([], schema + ", df long")
+    pdf = F.broadcast(spark.createDataFrame(pairs, schema))
+    td = engine.index.term_dict.select(
+        F.col("term").alias("combined"), "df"
+    )
+    return (
+        pdf.join(td, "combined")
+        .select("pos", "word1", "word2", "combined", "df")
+        .orderBy(F.desc("df"), F.asc("pos"))
         .limit(n)
     )
 

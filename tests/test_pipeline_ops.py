@@ -540,3 +540,66 @@ def test_quantize_embeddings_roundtrip_and_recall(emb):
     f10 = {r["id"] for r in similarity.cosine_topk(emb, "vec_id", "embedding", qv, k=10).collect()}
     q10 = {r["id"] for r in similarity.cosine_topk_quantized(qemb, qv, k=10).collect()}
     assert len(f10 & q10) >= 8
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters / canonicalization / decontamination / stratification
+# ---------------------------------------------------------------------------
+
+
+def test_dup_clusters_connected_components(spark):
+    """Min-label propagation + pointer jumping finds components exactly:
+    a 5-node chain (worst case for diameter), a triangle, and a pair."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain 1-2-3-4-5
+         (10, 11), (11, 12), (10, 12),        # triangle
+         (20, 21)],                           # pair
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_canonical_per_cluster_keeps_best(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    clusters = dedup.dup_clusters(pairs)
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (4, 50)], "doc_id long, n_chars long"
+    )
+    rows = dedup.canonical_per_cluster(docs, clusters).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # longest doc wins; doc_id asc breaks the 300-char tie
+    assert (r["cluster_id"], r["size"], r["canonical_id"]) == (1, 3, 2)
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    corpus = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the dog"),
+         (11, "completely unrelated words here only"),
+         (12, "quick brown fox jumps somewhere else")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "a quick brown fox jumps test question")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_overlap"]
+           for r in dedup.decontaminate_flags(corpus, bench, n=4).collect()}
+    # docs 10 and 12 share the 4-gram 'quick brown fox jumps'; 11 is clean
+    assert set(got) == {10, 12} and all(v >= 1 for v in got.values())
+
+
+def test_stratified_hash_sample_quota_and_determinism(docs, spark):
+    from solr_spark.operators.relational import stratified_hash_sample
+
+    s1 = stratified_hash_sample(docs, "lang", "doc_id", 7)
+    counts = {r["lang"]: r["n"] for r in
+              s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(7, full[lang])
+    # deterministic: same rows under a different partitioning
+    s2 = stratified_hash_sample(docs.repartition(13), "lang", "doc_id", 7)
+    assert {r["doc_id"] for r in s1.collect()} == {r["doc_id"] for r in s2.collect()}

@@ -247,6 +247,42 @@ def test_execute_wildcard_equals_prefix_for_trailing_star(engine):
     assert [d for d, _ in w] == [d for d, _ in p]
 
 
+def test_leading_wildcard_reversed_dictionary(engine, index):
+    """``*suffix`` expands via a prefix seek on the reversed dictionary
+    (ReversedWildcardFilterFactory analog) — same terms as the regex scan,
+    and the filter is pushed to the parquet scan (prunable)."""
+    from pyspark.sql import functions as F
+    from solr_spark.query.extras import _expansion_stats, suffix_topk
+
+    via_rev = {
+        s.term
+        for s in _expansion_stats(
+            engine, F.col("term_rev").startswith("es"), 10**6,
+            source=index.term_dict_rev)
+    }
+    via_rlike = {
+        r["term"]
+        for r in index.term_dict.where(F.col("term").rlike("^.*se$")).collect()
+    }
+    assert via_rev and via_rev == via_rlike
+
+    # the executed query is unchanged vs the old full-vocabulary scan
+    got = [(r["doc_id"], r["score"])
+           for r in execute_query(engine, "*se", k=20).collect()]
+    via_api = [(r["doc_id"], r["score"])
+               for r in suffix_topk(engine, "se", k=20, max_expansions=50).collect()]
+    assert got == via_api and got
+
+    # scale contract: startswith on term_rev reaches the scan as a pushed
+    # filter (row-group prunable); the old path was an unprunable RLIKE
+    plan = (index.term_dict_rev
+            .where(F.col("term_rev").startswith("es"))
+            ._sc._jvm.PythonSQLUtils.explainString(
+                index.term_dict_rev.where(F.col("term_rev").startswith("es"))
+                ._jdf.queryExecution(), "formatted"))
+    assert "StringStartsWith(term_rev,es)" in plan
+
+
 def test_execute_term_range_expands_dictionary(engine, index):
     terms = {r["term"] for r in index.term_dict
              .where((F_col("term") >= "server") & (F_col("term") <= "set")).collect()}

@@ -230,3 +230,28 @@ def test_relevance_functions_consistent(engine):
         assert r["docfreq"] == stats[0].df
         assert (r["termfreq"] == 0) == (r["tf"] == 0.0)
         assert 0.0 <= r["tf"] < 1.0 and r["norm"] > 0
+
+
+def test_wordbreak_split_and_combine(engine, index):
+    """WordBreakSolrSpellChecker analog: every split whose halves are both
+    dictionary terms; adjacent-pair combinations that are terms."""
+    rows = qx.wordbreak_split(engine, "serverclient", n=10).collect()
+    assert ("server", "client") in {(r["left_part"], r["right_part"]) for r in rows}
+    dfs = {r["term"]: r["df"] for r in
+           index.term_dict.where(F.col("term").isin("server", "client")).collect()}
+    hit = [r for r in rows if r["left_part"] == "server"][0]
+    assert (hit["df_left"], hit["df_right"]) == (dfs["server"], dfs["client"])
+    assert hit["split_at"] == 6
+    # ranked by combined df desc — verify ordering key is monotonic
+    sums = [r["df_left"] + r["df_right"] for r in rows]
+    assert sums == sorted(sums, reverse=True)
+
+    combos = qx.wordbreak_combine(engine, ["ser", "ver", "client"], n=10).collect()
+    assert [(r["word1"], r["word2"], r["combined"]) for r in combos] == [
+        ("ser", "ver", "server")
+    ]
+    assert combos[0]["df"] == dfs["server"]
+    # no candidates → empty, stable schema
+    assert qx.wordbreak_combine(engine, ["zz"], n=5).columns == [
+        "pos", "word1", "word2", "combined", "df"]
+    assert qx.wordbreak_split(engine, "zzq", n=5).count() == 0
