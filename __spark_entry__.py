@@ -756,11 +756,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["spellcheck_wordbreak_split"] = lambda s, d: qx.wordbreak_split(
         _engine(s, d), "sparkmerge"
     )
+
+    def filter_pack_q(s, d):
+        """Analysis filter pack: EdgeNGram / NGram / Length / KeepWord /
+        PatternReplace / Truncate / Reverse / LimitCount / CommonGrams as
+        JVM higher-order expressions over the code chain's tokens."""
+        from solr_spark.analysis import filters as flt
+
+        docs = _read(s, d, "documents").where(F.col("doc_id") < 30)
+        toks = CODE_CHAIN.tokens(F.col("text"))
+        out = None
+        for name, expr in flt.pack_columns(toks):
+            part = docs.select(
+                "doc_id",
+                F.lit(name).alias("filter"),
+                F.posexplode(expr).alias("pos", "token"),
+            )
+            out = part if out is None else out.unionByName(part)
+        return out.orderBy("doc_id", "filter", "pos")
+
+    q["analysis_filter_pack"] = filter_pack_q
     q["spellcheck_wordbreak_combine"] = lambda s, d: qx.wordbreak_combine(
         _engine(s, d), ["win", "dow", "cus", "tomer"]
     )
     q["suggest_prefix_s"] = lambda s, d: qx.suggest(_engine(s, d), "s")
     q["suggest_infix_er"] = lambda s, d: qx.suggest_infix(_engine(s, d), "er")
+    q["suggest_blended_infix_ar"] = lambda s, d: qx.suggest_blended_infix(
+        _engine(s, d), "ar"
+    )
     q["suggest_freetext_data"] = lambda s, d: qx.suggest_freetext(
         _read(s, d, "documents"), "text", "data", n=5
     )
@@ -3534,6 +3557,9 @@ ORDER BY doc_id
     from solr_spark.oracle_sql import suggest_infix_sql
 
     o["suggest_infix_er"] = suggest_infix_sql("er")
+    from solr_spark.oracle_sql import suggest_blended_infix_sql
+
+    o["suggest_blended_infix_ar"] = suggest_blended_infix_sql("ar")
     o["highlight_merge"] = highlight_sql("merge")
     o["significant_terms_spark"] = significant_terms_sql("spark")
     o["highlight_multi_terms"] = f"""
@@ -3644,6 +3670,9 @@ GROUP BY tok ORDER BY tok
     )
 
     o["dedup_cluster_canonical"] = dedup_clusters_sql(0.5)
+    from solr_spark.oracle_sql import filter_pack_sql
+
+    o["analysis_filter_pack"] = filter_pack_sql()
     o["decontaminate_overlap"] = decontaminate_sql("doc_id < 5", "doc_id >= 5", n=4)
     o["stratified_sample_lang"] = stratified_sample_sql(
         "lang", "doc_id", 20, "doc_id, lang, n_chars"

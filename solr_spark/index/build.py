@@ -798,12 +798,24 @@ class InvertedIndex:
     @functools.cached_property
     def term_dict_rev(self) -> DataFrame:
         """Dictionary sorted by reversed term (leading-wildcard seeks).
-        Falls back to deriving term_rev on the fly for indexes built
-        before the stage existed (correct, just not range-pruned)."""
+        Indexes built before the stage existed are lazily backfilled
+        (one dictionary-sized write); if the directory is read-only the
+        column derives on the fly instead (correct, just not
+        range-pruned)."""
         rev_dir = _stage_dir(self.dir, "term_dict_rev")
-        if os.path.isdir(rev_dir):
-            return self.spark.read.parquet(rev_dir)
-        return self.term_dict.withColumn("term_rev", F.reverse(F.col("term")))
+        if not os.path.isdir(rev_dir):
+            try:
+                (self.term_dict
+                 .withColumn("term_rev", F.reverse(F.col("term")))
+                 .repartitionByRange(
+                     max(1, self.spark.sparkContext.defaultParallelism // 4),
+                     "term_rev")
+                 .sortWithinPartitions("term_rev")
+                 .write.mode("overwrite").parquet(rev_dir))
+            except Exception:
+                return self.term_dict.withColumn(
+                    "term_rev", F.reverse(F.col("term")))
+        return self.spark.read.parquet(rev_dir)
 
     @functools.cached_property
     def blocks(self) -> DataFrame:

@@ -157,6 +157,24 @@ ORDER BY doc_a, doc_b
 """.strip()
 
 
+def filter_pack_sql(chain: AnalyzerChain = CODE_CHAIN,
+                    where: str = "doc_id < 30") -> str:
+    """Oracle for the analysis filter pack: every filter's DuckDB twin
+    unnested with positions (same pack spec as the Spark side)."""
+    from solr_spark.analysis import filters as flt
+
+    tt = chain.duckdb_tokens_expr("text")
+    selects = []
+    for name, expr in flt.pack_sql_exprs(tt):
+        selects.append(
+            f"SELECT CAST(doc_id AS BIGINT) AS doc_id, '{name}' AS filter, "
+            f"CAST(generate_subscripts({expr}, 1) - 1 AS INT) AS pos, "
+            f"unnest({expr}) AS token "
+            f"FROM documents WHERE {where}"
+        )
+    return " UNION ALL ".join(selects) + " ORDER BY doc_id, filter, pos"
+
+
 def dedup_clusters_sql(threshold: float, n: int = 3,
                        chain: AnalyzerChain = CODE_CHAIN) -> str:
     """Connected components over the exact n-gram-Jaccard pair relation
@@ -1178,6 +1196,18 @@ SELECT tok AS term, df,
        substr(tok, strpos(tok, '{esc}') + {ln}) AS highlighted
 FROM alldf WHERE tok LIKE '%{esc}%'
 ORDER BY df DESC, tok ASC LIMIT {n}"""
+
+
+def suggest_blended_infix_sql(needle: str, n: int = 10,
+                              chain: AnalyzerChain = CODE_CHAIN) -> str:
+    esc = needle.replace("'", "''")
+    return f"""WITH {_prelude(chain)},
+alldf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
+SELECT tok AS term, df,
+       CAST(strpos(tok, '{esc}') - 1 AS INT) AS position,
+       ROUND(df / CAST(strpos(tok, '{esc}') AS DOUBLE), 6) AS weight
+FROM alldf WHERE strpos(tok, '{esc}') > 0
+ORDER BY weight DESC, tok ASC LIMIT {n}"""
 
 
 def interleave_sql(

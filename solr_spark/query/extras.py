@@ -1066,6 +1066,25 @@ def suggest_infix(engine: SearchEngine, needle: str, n: int = 10) -> DataFrame:
     )
 
 
+def suggest_blended_infix(engine: SearchEngine, needle: str, n: int = 10) -> DataFrame:
+    """BlendedInfix suggester (``BlendedInfixLookupFactory``, blenderType
+    =position_reciprocal): infix matches re-weighted by where the match
+    starts — ``weight = df / (1 + position)`` with 0-based match position,
+    so earlier matches outrank later ones at equal frequency."""
+    pos = F.locate(needle, F.col("term"))  # 1-based; 0 = no match
+    weight = F.round(F.col("df") / pos.cast("double"), 6)
+    return (
+        engine.index.term_dict.where(pos > 0)
+        .select(
+            "term", "df",
+            (pos - F.lit(1)).cast("int").alias("position"),
+            weight.alias("weight"),
+        )
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(n)
+    )
+
+
 def interleave_team_draft(
     engine: SearchEngine, query_a: str, query_b: str, k: int = 10, depth: int = 20
 ) -> DataFrame:

@@ -210,3 +210,42 @@ def test_luke_field_stats_single_scan(spark):
     rows = {r["field"]: r for r in admin.luke_field_stats(df, ["lang", "src"]).collect()}
     assert rows["lang"]["docs_with"] == 3 and rows["lang"]["distinct_vals"] == 2
     assert rows["src"]["docs_with"] == 2 and rows["src"]["distinct_vals"] == 2
+
+
+def test_filter_pack_golden_vectors(spark):
+    """Token-array filters: golden outputs incl. the short-token /
+    empty-array edge cases (Spark sequence() runs descending when
+    stop < start — the guards must yield [] instead)."""
+    from pyspark.sql import functions as F
+
+    from solr_spark.analysis import filters as flt
+
+    df = spark.createDataFrame(
+        [(["spark", "io", "x", "merge42data"],), ([],)], "toks array<string>"
+    )
+    t = F.col("toks")
+    out = df.select(
+        flt.edge_ngrams(t, 2, 4).alias("edge"),
+        flt.char_ngrams(t, 3).alias("ng3"),
+        flt.length_filter(t, 3, 6).alias("len36"),
+        flt.keep_words(t, ["spark", "x"]).alias("keep"),
+        flt.pattern_replace(t, "[0-9]+", "#").alias("repl"),
+        flt.truncate_tokens(t, 4).alias("trunc"),
+        flt.reverse_tokens(t).alias("rev"),
+        flt.limit_token_count(t, 2).alias("lim2"),
+        flt.common_grams(t, ["io"]).alias("cg"),
+    ).collect()
+    r = out[0]
+    assert r["edge"] == ["sp", "spa", "spar", "io", "me", "mer", "merg"]
+    assert r["ng3"][:3] == ["spa", "par", "ark"] and "x" not in r["ng3"]
+    assert r["len36"] == ["spark"]
+    assert r["keep"] == ["spark", "x"]
+    assert r["repl"] == ["spark", "io", "x", "merge#data"]
+    assert r["trunc"] == ["spar", "io", "x", "merg"]
+    assert r["rev"] == ["kraps", "oi", "x", "atad24egrem"]
+    assert r["lim2"] == ["spark", "io"]
+    # common grams: bigram emitted at positions adjacent to 'io'
+    assert r["cg"] == ["spark", "spark_io", "io", "io_x", "x", "merge42data"]
+    empty = out[1]
+    assert all(empty[c] == [] for c in
+               ("edge", "ng3", "len36", "keep", "repl", "trunc", "rev", "lim2", "cg"))
