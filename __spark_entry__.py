@@ -169,6 +169,27 @@ def _engine_field(spark: SparkSession, sf_dir: str, field: str) -> SearchEngine:
     return _field_engines[key]
 
 
+_sorted_projs: dict[str, object] = {}
+
+
+def _sorted_proj(spark: SparkSession, sf_dir: str):
+    """Index-time-sorted docs projection (segmentTerminateEarly analog):
+    documents range-partitioned + sorted by (n_chars, doc_id) with a
+    per-range bounds manifest, cached per sf like the engines."""
+    if sf_dir not in _sorted_projs:
+        from solr_spark.index.sorted import SortedProjection, build_sorted_projection
+
+        out = f"/tmp/solr_spark_entry_sorted_{os.path.basename(os.path.normpath(sf_dir))}"
+        if os.path.exists(os.path.join(out, "sorted_manifest.json")):
+            _sorted_projs[sf_dir] = SortedProjection(spark, out)
+        else:
+            docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+            _sorted_projs[sf_dir] = build_sorted_projection(
+                docs, out, key="n_chars", tiebreak="doc_id", num_ranges=8
+            )
+    return _sorted_projs[sf_dir]
+
+
 def _rounded(df: DataFrame, col: str = "score") -> DataFrame:
     return df.withColumn(col, F.round(F.col(col).cast("double"), 4))
 
@@ -1085,6 +1106,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         [F.desc("n_chars"), F.asc("doc_id")],
         ["doc_id", "n_chars", "lang"],
     )
+
+    q["sorted_early_topk"] = lambda s, d: _sorted_proj(s, d).topk(
+        25, fl=["doc_id", "lang", "n_chars"]
+    )
+
+    def composite_route_q(s, d):
+        """compositeId router co-location invariant: every `lang!doc_id`
+        routes to EXACTLY ONE of 8 shards (2^16-aligned shard ranges
+        never split a route key's 16 blended low bits). Hash parity
+        itself is pinned by the murmur3 golden-vector pytest."""
+        from solr_spark.index.routing import route_shard
+
+        docs = _read(s, d, "documents").select(
+            F.concat_ws(
+                "!", F.col("lang"), F.col("doc_id").cast("string")
+            ).alias("id"),
+            "lang",
+        )
+        return (
+            docs.select("lang", route_shard(F.col("id"), 8).alias("shard"))
+            .groupBy("lang")
+            .agg(
+                F.countDistinct("shard").alias("shards_used"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+            .orderBy("lang")
+        )
+
+    q["composite_route_colocation"] = composite_route_q
 
     q["realtime_get_ids"] = lambda s, d: realtime_get(
         _read(s, d, "documents"), "doc_id", [5, 17, 123]
@@ -3267,6 +3317,15 @@ FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
     o["realtime_get_ids"] = """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE doc_id IN (5, 17, 123) ORDER BY doc_id
+    """
+    o["sorted_early_topk"] = """
+        SELECT doc_id, lang, n_chars FROM documents
+        ORDER BY n_chars ASC, doc_id ASC LIMIT 25
+    """
+    o["composite_route_colocation"] = """
+        SELECT lang, CAST(1 AS BIGINT) AS shards_used,
+               count(*) AS n_docs
+        FROM documents GROUP BY lang ORDER BY lang
     """
     o["facet_pivot_lang_source"] = """
         SELECT lang, source, count(*) AS count FROM documents

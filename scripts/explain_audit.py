@@ -617,6 +617,22 @@ def main() -> None:
         ],
     ))
 
+    # 39. Sorted-projection early termination (segmentTerminateEarly):
+    #     sorted top-k scans ONLY the covering leading range directories
+    #     — an _srange partition filter, never a full-table sort
+    proj = entry._sorted_proj(spark, SF)
+    p = plan_of(proj.topk(25, fl=["doc_id", "n_chars"]))
+    n_ranges = len(proj.ranges)
+    picked = proj._covering_ranges(25, desc=False)
+    sections.append((
+        "Sorted top-k early termination (_srange partition pruning)", p,
+        [
+            ("partition filter on _srange", "_srange" in p and "PartitionFilters" in p),
+            ("covering set is a strict subset of ranges", 0 < len(picked) < n_ranges),
+            ("top-k collapses to TakeOrderedAndProject", "TakeOrderedAndProject" in p),
+        ],
+    ))
+
     # --- per-query driver-action counts (VERDICT r2 #1: measured, not
     # guessed — the r2 regression was driver-round-trip-bound) ---
     import time

@@ -283,3 +283,118 @@ def test_snapshot_restore_roundtrip(spark, index, test_config, tmp_path):
     eng3 = SearchEngine(InvertedIndex(spark, out))
     healed = [(r["doc_id"], r["score"]) for r in eng3.topk("server data", k=10).collect()]
     assert healed == before
+
+
+def test_sorted_projection_early_termination(spark, tmp_path):
+    """segmentTerminateEarly analog: sorted top-k over the range-sorted
+    projection equals a full sort, reads ONLY the covering leading range
+    directories (partition pruning), and the desc path mirrors it."""
+    from solr_spark.index.sorted import build_sorted_projection
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 37 % 101).alias("key"),
+    )
+    out = str(tmp_path / "sorted_proj")
+    proj = build_sorted_projection(df, out, key="key", tiebreak="doc_id",
+                                   num_ranges=8)
+    assert len(proj.ranges) == 8 and sum(r["n"] for r in proj.ranges) == 500
+
+    expect = [(r["doc_id"], r["key"]) for r in
+              df.orderBy("key", "doc_id").limit(30).collect()]
+    got_df = proj.topk(30, fl=["doc_id", "key"])
+    got = [(r["doc_id"], r["key"]) for r in got_df.collect()]
+    assert got == expect
+
+    # early termination is real: the covering set is a strict subset and
+    # the scan's partition filter prunes to it
+    picked = proj._covering_ranges(30, desc=False)
+    assert picked == [0] or (len(picked) < 8 and picked[0] == 0)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "_srange" in plan
+
+    # ties at the boundary stay deterministic via the tiebreak column
+    expect_desc = [(r["doc_id"], r["key"]) for r in
+                   df.orderBy(F.desc("key"), F.desc("doc_id")).limit(30).collect()]
+    got_desc = [(r["doc_id"], r["key"]) for r in
+                proj.topk(30, fl=["doc_id", "key"], desc=True).collect()]
+    assert got_desc == expect_desc
+
+    # k spanning several ranges still matches the full sort
+    k_wide = 200
+    expect_wide = [r["doc_id"] for r in df.orderBy("key", "doc_id").limit(k_wide).collect()]
+    got_wide = [r["doc_id"] for r in
+                proj.topk(k_wide, fl=["doc_id"]).collect()]
+    assert got_wide == expect_wide
+    assert len(proj._covering_ranges(k_wide, desc=False)) > 1
+
+
+def test_iceberg_catalog_gating(spark, index):
+    """Iceberg publication is gated: in this sandbox (no
+    iceberg-spark-runtime jar) availability is False and publish raises
+    a RuntimeError that names the spark-submit fix, without touching
+    the index."""
+    from solr_spark.index import catalog as cat
+
+    assert cat.iceberg_available(spark) is False
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        cat.publish_index(index, "ice", "solr")
+    with pytest.raises(RuntimeError):
+        cat.read_stage(spark, "ice", "solr", "blocks")
+    # the stage->partition map matches the parquet layout the build writes
+    assert cat.STAGE_PARTITIONING["blocks"] == ["term_bucket"]
+
+
+def test_murmur3_routing_golden_vectors():
+    """Vectorized MurmurHash3 x86_32 matches the published test vectors
+    (public-domain reference values) — block path, all three tail
+    lengths, and the empty string."""
+    import pandas as pd
+
+    from solr_spark.index.routing import murmur3_x86_32_batch
+
+    vecs = {
+        "": 0x00000000,
+        "a": 0x3C2569B2,
+        "ab": 0x9BBFD75F,
+        "abc": 0xB3DD93FA,
+        "abcd": 0x43ED676A,
+        "hello": 0x248BFA47,
+        "hello, world": 0x149BBB7F,
+        "The quick brown fox jumps over the lazy dog": 0x2E4FF723,
+    }
+    got = murmur3_x86_32_batch(pd.Series(list(vecs)))
+    for (s, exp), g in zip(vecs.items(), got):
+        assert int(np.uint32(g)) == exp, s
+
+
+def test_composite_id_routing(spark):
+    """route!id blending: same route key -> same top-16 hash bits -> one
+    shard (2^16-aligned shard ranges never split a route); plain ids
+    spread across shards."""
+    from solr_spark.index.routing import composite_id_hash, route_shard
+
+    df = spark.createDataFrame(
+        [(f"r{i % 5}!doc{i}",) for i in range(200)]
+        + [(f"doc{i}",) for i in range(200)],
+        "id string",
+    )
+    out = df.select(
+        "id",
+        composite_id_hash(F.col("id")).alias("h"),
+        route_shard(F.col("id"), 8).alias("shard"),
+    ).collect()
+    by_route: dict[str, set] = {}
+    plain_shards = set()
+    for r in out:
+        assert r["shard"] is not None and 0 <= r["shard"] < 8
+        if "!" in r["id"]:
+            route = r["id"].split("!")[0]
+            by_route.setdefault(route, set()).add(r["shard"])
+            by_route.setdefault(route + "_top", set()).add(r["h"] & 0xFFFF0000)
+        else:
+            plain_shards.add(r["shard"])
+    for route in ("r0", "r1", "r2", "r3", "r4"):
+        assert len(by_route[route]) == 1, route          # co-located
+        assert len(by_route[route + "_top"]) == 1, route  # top bits shared
+    assert len(plain_shards) > 4  # un-routed ids spread
