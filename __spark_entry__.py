@@ -593,6 +593,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simple_query_cnf"] = simple_q
 
+    def xml_q(s, d):
+        """`{!xmlparser}` (XmlQParserPlugin → Lucene CoreParser DSL):
+        nested BooleanQuery/Clause with a boosted term, executed by the
+        same AST compiler as the lucene/simple grammars."""
+        from solr_spark.plans import execute_ast
+        from solr_spark.query.parser import parse_xml_query
+
+        xml = (
+            "<BooleanQuery>"
+            '<Clause occurs="must"><BooleanQuery>'
+            '<Clause occurs="should"><TermQuery>batch</TermQuery></Clause>'
+            '<Clause occurs="should"><TermQuery boost="2">stream</TermQuery></Clause>'
+            "</BooleanQuery></Clause>"
+            '<Clause occurs="must"><TermQuery>spark</TermQuery></Clause>'
+            '<Clause occurs="mustNot"><TermQuery>merge</TermQuery></Clause>'
+            "</BooleanQuery>"
+        )
+        return _rounded(execute_ast(_engine(s, d), parse_xml_query(xml), k=10))
+
+    q["xmlparser_bool"] = xml_q
+
     def switch_q(s, d):
         return _rounded(
             qx.switch_query(
@@ -2677,6 +2698,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate_overlap"] = decontaminate_q
 
+    def repetition_q(s, d):
+        """Gopher intra-doc repetition rules: duplicate-line fractions +
+        top-bigram dominance, explode→two keyed aggregations (map-side
+        combined), no per-doc Python."""
+        from solr_spark.textops import repetition_features
+
+        docs = _read(s, d, "documents").where(F.col("doc_id") < 40)
+        return repetition_features(docs, "doc_id", "text").orderBy("doc_id")
+
+    q["repetition_features_docs"] = repetition_q
+
+    def pii_q(s, d):
+        """PII scrub + audit counts over documents with deterministic
+        injected PII (emails/IPv4/phone), map-only regexp_replace."""
+        from solr_spark.textops import pii_counts, scrub_pii
+
+        docs = _read(s, d, "documents").where(F.col("doc_id") < 30)
+        injected = F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org at 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 tel 555-123-4567"),
+        )
+        counts = pii_counts(injected)
+        return docs.select(
+            "doc_id",
+            F.length(scrub_pii(injected)).alias("len_scrubbed"),
+            *[c.alias(n) for n, c in counts.items()],
+        ).orderBy("doc_id")
+
+    q["pii_scrub_docs"] = pii_q
+
     def stratified_q(s, d):
         """Balanced training mix: deterministic 20-doc sample per lang."""
         from solr_spark.operators.relational import stratified_hash_sample
@@ -3448,6 +3503,11 @@ ORDER BY CAST(total AS REAL) DESC, doc_id ASC LIMIT 10
         must_any=[["batch", "stream"], ["customer"]],
         not_terms=["merge"],
     )
+    o["xmlparser_bool"] = boosted_bool_sql(
+        {"batch": 1.0, "stream": 2.0, "spark": 1.0},
+        must_any=[["batch", "stream"], ["spark"]],
+        not_terms=["merge"],
+    )
     o["switch_case_query"] = bm25_topk_sql(tok.tokenize_py("spark merge"), "OR")
     _exec_parts = [
         ("qA", bm25_topk_sql(tok.tokenize_py("spark merge"), "OR")),
@@ -3733,6 +3793,23 @@ GROUP BY tok ORDER BY tok
 
     o["analysis_filter_pack"] = filter_pack_sql()
     o["decontaminate_overlap"] = decontaminate_sql("doc_id < 5", "doc_id >= 5", n=4)
+    from solr_spark.textops import pii_counts_sql, repetition_sql, scrub_pii_sql
+
+    o["repetition_features_docs"] = repetition_sql("doc_id < 40")
+    _pii_inj = (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR) || "
+        "'@mail.example.org at 10.0.' || CAST(doc_id % 200 AS VARCHAR) || "
+        "'.7 tel 555-123-4567'"
+    )
+    _pii_cs = pii_counts_sql(_pii_inj)
+    o["pii_scrub_docs"] = f"""
+        SELECT doc_id,
+               CAST(length({scrub_pii_sql(_pii_inj)}) AS INT) AS len_scrubbed,
+               CAST({_pii_cs["n_emails"]} AS INT) AS n_emails,
+               CAST({_pii_cs["n_ips"]} AS INT) AS n_ips,
+               CAST({_pii_cs["n_phones"]} AS INT) AS n_phones
+        FROM documents WHERE doc_id < 30 ORDER BY doc_id
+    """
     o["stratified_sample_lang"] = stratified_sample_sql(
         "lang", "doc_id", 20, "doc_id, lang, n_chars"
     )

@@ -25,6 +25,24 @@ import subprocess
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def _control_agg(width: int) -> float:
+    """Platform-parallelism control: aggregate numpy sort+cumsum
+    passes/sec across `width` concurrent processes (same kernel bench.py
+    brackets BENCH runs with). The sandbox host throttles
+    memory-bandwidth-bound work well below core count — this measures
+    how much parallel speedup the HOST itself offers at each width in
+    the same window as the engine trials, so the engine's scaling can
+    be reported against the platform's actual ceiling rather than the
+    nominal core ratio."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    from bench import _control_pass
+
+    with ProcessPoolExecutor(width) as ex:
+        return round(sum(ex.map(_control_pass, range(width))), 3)
 
 
 def _run_worker(cpus: int, n_docs: int, trials: int = 1) -> list[dict]:
@@ -38,14 +56,30 @@ def _run_worker(cpus: int, n_docs: int, trials: int = 1) -> list[dict]:
 
 def run_pair(n_docs: int, lo: int = 8, hi: int = 32, trials: int = 4) -> dict:
     all_trials: dict[int, list[dict]] = {lo: [], hi: []}
+    controls: dict[int, list[float]] = {lo: [], hi: []}
     for _ in range(trials):  # interleave to decorrelate host-steal bursts
         for cpus in (lo, hi):
+            # same-window platform probe bracketing each engine trial
+            controls[cpus].append(_control_agg(cpus))
             # ONE timed trial per fresh warmed JVM: repeated in-JVM trials
             # degrade nondeterministically (cache eviction + accumulated
             # JVM state — measured 2-6x inflation on second trials)
             all_trials[cpus].extend(_run_worker(cpus, n_docs, trials=1))
     best = {c: min(ts, key=lambda t: t["sec"]) for c, ts in all_trials.items()}
     eff = (best[hi]["docs_per_sec"] / best[lo]["docs_per_sec"]) / (hi / lo)
+    # Platform ceiling: how much parallel speedup the host ITSELF gives
+    # from lo to hi concurrent bandwidth-bound workers (best clean window
+    # per width, matching the best-trial selection). Engine efficiency is
+    # also reported against min(nominal, platform) — on a host whose
+    # memory bandwidth saturates below the core ratio, that ceiling (not
+    # the core ratio) is what a real multi-node cluster would restore.
+    plat = max(controls[hi]) / max(controls[lo]) if controls[lo] else None
+    eff_vs_plat = None
+    if plat:
+        ceiling = min(hi / lo, plat)
+        eff_vs_plat = round(
+            (best[hi]["docs_per_sec"] / best[lo]["docs_per_sec"]) / ceiling, 3
+        )
     return {
         "n_docs": n_docs,
         f"local[{lo}]_docs_per_sec": best[lo]["docs_per_sec"],
@@ -53,11 +87,16 @@ def run_pair(n_docs: int, lo: int = 8, hi: int = 32, trials: int = 4) -> dict:
         f"local[{lo}]_sec": best[lo]["sec"],
         f"local[{hi}]_sec": best[hi]["sec"],
         "scaling_efficiency": round(eff, 3),
+        "platform_scaling": round(plat, 3) if plat else None,
+        "efficiency_vs_platform_ceiling": eff_vs_plat,
         "trials": {
             f"local[{c}]": [
                 {"sec": t["sec"], "steal_frac": t["steal_frac"]} for t in ts
             ]
             for c, ts in all_trials.items()
+        },
+        "platform_control_agg_passes_per_sec": {
+            f"local[{c}]": controls[c] for c in (lo, hi)
         },
     }
 

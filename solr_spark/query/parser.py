@@ -631,3 +631,92 @@ def parse_simple(q: str, default_op: str = "OR"):
                 break
     node = _SimpleParser(toks, default_op).parse_or()
     return node if node is not None else BoolQ()
+
+
+# ---------------------------------------------------------------------------
+# XML query parser ({!xmlparser} — XmlQParserPlugin)
+# ---------------------------------------------------------------------------
+
+def parse_xml_query(xml: str):
+    """Parse the Lucene XML query DSL into the shared boolean AST.
+
+    Reference: ``search/XmlQParserPlugin.java`` delegates to Lucene's
+    ``queryparser/xml/CoreParser`` element builders; the subset mapped
+    here covers the builders the reference registers that our engine
+    can execute:
+
+    - ``<BooleanQuery>`` + ``<Clause occurs="must|should|mustNot|filter">``
+      (filter = required but scoreless → ConstQ(node, 0.0), exactly
+      Lucene's FILTER occur)
+    - ``<TermQuery fieldName boost>``, ``<TermsQuery>`` (whitespace-split
+      disjunction), ``<MatchAllDocsQuery/>``
+    - ``<RangeQuery fieldName lowerTerm upperTerm includeLower
+      includeUpper>`` (TermRangeQueryBuilder semantics)
+    - ``<ConstantScoreQuery boost>`` wrapping any child
+    - ``<UserQuery>`` (classic-syntax escape hatch → parse_lucene)
+    - ``<SpanNear slop inOrder>`` of ``<SpanTerm>`` children → phrase
+      with slop when inOrder (the engine's positional verify)
+
+    Executed by ``plans.execute_ast`` like every other front-end grammar.
+    """
+    import xml.etree.ElementTree as ET
+
+    return _xml_node(ET.fromstring(xml))
+
+
+def _xml_node(el):
+    tag = el.tag
+    boost = float(el.get("boost", "1"))
+    field = el.get("fieldName")
+    if tag == "BooleanQuery":
+        node = BoolQ(boost=boost)
+        for cl in el:
+            if cl.tag != "Clause":
+                raise ValueError(f"BooleanQuery child must be Clause, got {cl.tag}")
+            occurs = cl.get("occurs", "should")
+            children = list(cl)
+            if len(children) != 1:
+                raise ValueError("Clause must wrap exactly one query element")
+            sub = _xml_node(children[0])
+            if occurs == "must":
+                node.must.append(sub)
+            elif occurs == "mustNot":
+                node.must_not.append(sub)
+            elif occurs == "filter":
+                node.must.append(ConstQ(sub, 0.0))
+            else:
+                node.should.append(sub)
+        return node
+    if tag == "TermQuery":
+        return TermQ((el.text or "").strip(), field=field, boost=boost)
+    if tag == "TermsQuery":
+        terms = (el.text or "").split()
+        return BoolQ(
+            should=[TermQ(t, field=field) for t in terms], boost=boost
+        )
+    if tag == "MatchAllDocsQuery":
+        return MatchAllQ(boost=boost)
+    if tag == "RangeQuery":
+        lo, hi = el.get("lowerTerm"), el.get("upperTerm")
+        return RangeQ(
+            field=field, lo=lo, hi=hi,
+            incl_lo=el.get("includeLower", "true").lower() == "true",
+            incl_hi=el.get("includeUpper", "true").lower() == "true",
+            boost=boost,
+        )
+    if tag == "ConstantScoreQuery":
+        children = list(el)
+        if len(children) != 1:
+            raise ValueError("ConstantScoreQuery must wrap exactly one child")
+        return ConstQ(_xml_node(children[0]), boost)
+    if tag == "UserQuery":
+        inner = parse_lucene((el.text or "").strip())
+        if boost != 1.0:
+            inner.boost = getattr(inner, "boost", 1.0) * boost
+        return inner
+    if tag == "SpanNear":
+        terms = [(c.text or "").strip() for c in el if c.tag == "SpanTerm"]
+        if el.get("inOrder", "true").lower() != "true":
+            raise ValueError("unordered SpanNear: use the surround parser (N operator)")
+        return PhraseQ(" ".join(terms), slop=int(el.get("slop", "0")), boost=boost)
+    raise ValueError(f"unsupported XML query element: {tag}")

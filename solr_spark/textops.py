@@ -242,3 +242,161 @@ def fingerprint_sql(text_expr: str, chain: AnalyzerChain = CODE_CHAIN) -> str:
         )
 
     return f"({fold(FP_BASES[0])} * {FP_MOD} + {fold(FP_BASES[1])})"
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition (Gopher repetition rules)
+# ---------------------------------------------------------------------------
+
+
+def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals (the "repetitive
+    content" filter family of large-corpus curation): per document,
+
+    - ``n_lines`` / ``dup_line_frac``: fraction of non-empty lines that
+      are duplicates of an earlier line
+    - ``dup_line_char_frac``: fraction of line characters belonging to
+      duplicated lines
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over all bigram slots
+
+    Distributed shape: explode → per-(doc, line/bigram) count with
+    map-side partial aggregation → per-doc aggregate — two shuffles both
+    keyed by ``id_col``, no per-doc Python, no O(lines²) expressions (an
+    array-only formulation would be quadratic per document, which a
+    100 TB corpus with long documents cannot afford).
+    """
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: F.length(l) > 0)
+    line_rows = df.select(id_col, F.explode(lines).alias("line"))
+    line_agg = (
+        line_rows.groupBy(id_col, "line")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_lines"),
+            F.count(F.lit(1)).alias("n_distinct_lines"),
+            F.sum(F.length("line") * F.col("cnt")).alias("chars_all"),
+            F.sum(
+                F.when(F.col("cnt") > 1, F.length("line") * F.col("cnt")).otherwise(0)
+            ).alias("chars_dup"),
+        )
+    )
+    words = F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')"
+    )
+    bigrams = F.expr(
+        f"zip_with(slice(filter(split(lower({text_col}), '\\\\s+'), t -> t <> ''), 1, "
+        f"greatest(size(filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')) - 1, 0)), "
+        f"slice(filter(split(lower({text_col}), '\\\\s+'), t -> t <> ''), 2, "
+        f"greatest(size(filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')) - 1, 0)), "
+        f"(a, b) -> concat(a, ' ', b))"
+    )
+    bg_rows = df.select(id_col, F.explode(bigrams).alias("bg"))
+    bg_agg = (
+        bg_rows.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").alias("top_bigram_cnt"), F.sum("cnt").alias("n_bigrams"))
+    )
+    out = line_agg.join(bg_agg, id_col, "left")
+    return out.select(
+        id_col,
+        "n_lines",
+        F.round((F.col("n_lines") - F.col("n_distinct_lines")) / F.col("n_lines"), 6)
+        .alias("dup_line_frac"),
+        F.round(F.col("chars_dup") / F.col("chars_all"), 6).alias("dup_line_char_frac"),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.round(
+            F.coalesce(F.col("top_bigram_cnt") / F.col("n_bigrams"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+def repetition_sql(where: str = "doc_id < 40") -> str:
+    """DuckDB twin of :func:`repetition_features` over ``documents``."""
+    return f"""
+WITH lines AS (
+  SELECT doc_id, l.line FROM documents,
+    unnest(list_filter(string_split(text, chr(10)), x -> length(x) > 0)) AS l(line)
+  WHERE {where}
+), lc AS (
+  SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY 1, 2
+), la AS (
+  SELECT doc_id, SUM(cnt) AS n_lines, COUNT(*) AS n_distinct,
+         SUM(length(line) * cnt) AS chars_all,
+         SUM(CASE WHEN cnt > 1 THEN length(line) * cnt ELSE 0 END) AS chars_dup
+  FROM lc GROUP BY 1
+), wd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+  FROM documents WHERE {where}
+), bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS b
+  FROM wd, unnest(range(1, len(w))) AS r(i)
+), bc AS (
+  SELECT doc_id, b, count(*) AS cnt FROM bg GROUP BY 1, 2
+), ba AS (
+  SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS n_bigrams FROM bc GROUP BY 1
+)
+SELECT la.doc_id,
+       CAST(la.n_lines AS BIGINT) AS n_lines,
+       ROUND((la.n_lines - la.n_distinct) / CAST(la.n_lines AS DOUBLE), 6) AS dup_line_frac,
+       ROUND(la.chars_dup / CAST(la.chars_all AS DOUBLE), 6) AS dup_line_char_frac,
+       CAST(COALESCE(ba.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       ROUND(COALESCE(ba.top_cnt / CAST(ba.n_bigrams AS DOUBLE), 0.0), 6) AS top_bigram_frac
+FROM la LEFT JOIN ba USING (doc_id)
+ORDER BY doc_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# patterns chosen to compile with IDENTICAL semantics under Java regex
+# (Spark) and RE2 (DuckDB): character classes + bounded repetition + \b
+# only — no backrefs, no lookaround
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Replace emails / IPv4s / phone-shaped numbers with typed
+    placeholders (ordered email → ip → phone so earlier replacements
+    can't be re-matched by later, looser patterns). Pure JVM
+    ``regexp_replace`` — the map-only 100 TB form."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IP_RE, "<IP>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-type PII match counts (audit columns)."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_email = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    no_ip = F.regexp_replace(no_email, PII_IP_RE, "<IP>")
+    return {
+        "n_emails": F.regexp_count(c, F.lit(PII_EMAIL_RE)),
+        "n_ips": F.regexp_count(no_email, F.lit(PII_IP_RE)),
+        "n_phones": F.regexp_count(no_ip, F.lit(PII_PHONE_RE)),
+    }
+
+
+def scrub_pii_sql(text_expr: str) -> str:
+    """DuckDB twin of :func:`scrub_pii` (RE2; 'g' = replace ALL — DuckDB
+    defaults to first-match-only, unlike Spark)."""
+    out = f"regexp_replace({text_expr}, '{PII_EMAIL_RE}', '<EMAIL>', 'g')"
+    out = f"regexp_replace({out}, '{PII_IP_RE}', '<IP>', 'g')"
+    return f"regexp_replace({out}, '{PII_PHONE_RE}', '<PHONE>', 'g')"
+
+
+def pii_counts_sql(text_expr: str) -> dict[str, str]:
+    no_email = f"regexp_replace({text_expr}, '{PII_EMAIL_RE}', '<EMAIL>', 'g')"
+    no_ip = f"regexp_replace({no_email}, '{PII_IP_RE}', '<IP>', 'g')"
+    return {
+        "n_emails": f"len(regexp_extract_all({text_expr}, '{PII_EMAIL_RE}'))",
+        "n_ips": f"len(regexp_extract_all({no_email}, '{PII_IP_RE}'))",
+        "n_phones": f"len(regexp_extract_all({no_ip}, '{PII_PHONE_RE}'))",
+    }

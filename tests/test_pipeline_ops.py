@@ -603,3 +603,67 @@ def test_stratified_hash_sample_quota_and_determinism(docs, spark):
     # deterministic: same rows under a different partitioning
     s2 = stratified_hash_sample(docs.repartition(13), "lang", "doc_id", 7)
     assert {r["doc_id"] for r in s1.collect()} == {r["doc_id"] for r in s2.collect()}
+
+
+def test_repetition_features(spark):
+    """Gopher repetition rules: duplicate-line fractions and top-bigram
+    dominance on constructed docs."""
+    from solr_spark.textops import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaa\nbbb\naaa\n\nccc"),          # 'aaa' duplicated
+            (2, "x y x y x y"),                    # 'x y' dominates bigrams
+            (3, "unique line\nanother one"),       # no repetition
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            repetition_features(df, "doc_id", "text").collect()}
+    r1 = rows[1]
+    assert r1["n_lines"] == 4 and abs(r1["dup_line_frac"] - 0.25) < 1e-9
+    assert abs(r1["dup_line_char_frac"] - 6 / 12) < 1e-9  # 'aaa' twice = 6 of 12 chars
+    r2 = rows[2]
+    # bigrams of 6 tokens: 5 slots; 'x y' appears 3 times
+    assert r2["n_bigrams"] == 5 and abs(r2["top_bigram_frac"] - 0.6) < 1e-9
+    r3 = rows[3]
+    assert r3["dup_line_frac"] == 0.0 and r3["dup_line_char_frac"] == 0.0
+
+
+def test_pii_scrub_and_counts(spark):
+    """PII scrubbing: emails/IPv4/phones replaced with typed placeholders,
+    counts match, non-PII text untouched; Spark and DuckDB twins agree."""
+    import duckdb
+
+    from solr_spark.textops import (
+        pii_counts, pii_counts_sql, scrub_pii, scrub_pii_sql,
+    )
+
+    texts = [
+        "mail a.user+tag@sub.example.org or b@x.io, host 10.0.0.1, call 555-123-4567",
+        "no pii here, just 1.5 numbers and code()",
+        "+44 123-456-7890 then 192.168.001.255 end",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    counts = pii_counts("text")
+    got = df.select(
+        scrub_pii("text").alias("clean"), *[c.alias(n) for n, c in counts.items()]
+    ).collect()
+    assert got[0]["clean"] == "mail <EMAIL> or <EMAIL>, host <IP>, call <PHONE>"
+    assert (got[0]["n_emails"], got[0]["n_ips"], got[0]["n_phones"]) == (2, 1, 1)
+    assert got[1]["clean"] == texts[1]  # untouched
+    assert got[1]["n_emails"] == got[1]["n_ips"] == got[1]["n_phones"] == 0
+    assert "<IP>" in got[2]["clean"] and "<PHONE>" in got[2]["clean"]
+
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        lit = "'" + t.replace("'", "''") + "'"
+        sql_clean = con.execute(f"SELECT {scrub_pii_sql(lit)}").fetchone()[0]
+        assert sql_clean == got[i]["clean"], t
+        cs = pii_counts_sql(lit)
+        vals = con.execute(
+            f"SELECT {cs['n_emails']}, {cs['n_ips']}, {cs['n_phones']}"
+        ).fetchone()
+        assert tuple(vals) == (
+            got[i]["n_emails"], got[i]["n_ips"], got[i]["n_phones"]
+        ), t

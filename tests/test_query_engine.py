@@ -527,3 +527,48 @@ def test_execute_group_const_score(engine):
            for r in execute_query(engine, "(server OR client)^=2", k=big).collect()}
     assert set(got) == (a | b)
     assert all(s == pytest.approx(2.0) for s in got.values())
+
+
+def test_parse_xml_query_shapes():
+    """XmlQParserPlugin front-end: element mapping + strictness (no
+    Spark needed — execution shares execute_ast with the other
+    grammars, gated by the xmlparser_bool oracle entry)."""
+    import pytest as _pytest
+
+    from solr_spark.query.parser import (
+        BoolQ, ConstQ, MatchAllQ, PhraseQ, RangeQ, TermQ, parse_xml_query,
+    )
+
+    ast = parse_xml_query(
+        '<BooleanQuery><Clause occurs="must"><TermQuery boost="2">spark'
+        "</TermQuery></Clause>"
+        '<Clause occurs="filter"><RangeQuery fieldName="n_chars" '
+        'lowerTerm="100" upperTerm="300" includeUpper="false"/></Clause>'
+        '<Clause occurs="mustNot"><TermQuery>merge</TermQuery></Clause>'
+        "<Clause><TermsQuery>batch stream</TermsQuery></Clause>"
+        "</BooleanQuery>"
+    )
+    assert isinstance(ast, BoolQ)
+    assert ast.must[0] == TermQ("spark", boost=2.0)
+    filt = ast.must[1]
+    assert isinstance(filt, ConstQ) and filt.score == 0.0  # scoreless FILTER
+    assert isinstance(filt.node, RangeQ) and filt.node.incl_hi is False
+    assert ast.must_not == [TermQ("merge")]
+    assert [t.text for t in ast.should[0].should] == ["batch", "stream"]
+
+    assert isinstance(parse_xml_query("<MatchAllDocsQuery/>"), MatchAllQ)
+    ph = parse_xml_query(
+        '<SpanNear slop="1"><SpanTerm>a</SpanTerm><SpanTerm>b</SpanTerm></SpanNear>'
+    )
+    assert ph == PhraseQ("a b", slop=1)
+    const = parse_xml_query(
+        '<ConstantScoreQuery boost="3"><TermQuery>x</TermQuery></ConstantScoreQuery>'
+    )
+    assert isinstance(const, ConstQ) and const.score == 3.0
+
+    with _pytest.raises(ValueError, match="unsupported"):
+        parse_xml_query("<FuzzyLikeThisQuery>x</FuzzyLikeThisQuery>")
+    with _pytest.raises(ValueError, match="exactly one"):
+        parse_xml_query("<ConstantScoreQuery/>")
+    with _pytest.raises(ValueError, match="surround"):
+        parse_xml_query('<SpanNear inOrder="false"><SpanTerm>a</SpanTerm></SpanNear>')
