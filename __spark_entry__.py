@@ -826,6 +826,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["suggest_blended_infix_ar"] = lambda s, d: qx.suggest_blended_infix(
         _engine(s, d), "ar"
     )
+    q["suggest_context_en"] = lambda s, d: qx.suggest_infix_context(
+        _read(s, d, "documents"), "text", "lang", "en", "er"
+    )
+
+    def facet_sort_stat_q(s, d):
+        """JSON facet bucket sort by nested stat (sort:"avg_n_chars desc")
+        — exact by construction in Spark (no overrequest/refinement)."""
+        from solr_spark.operators.relational import json_facet_sort_by_stat
+
+        return json_facet_sort_by_stat(
+            _read(s, d, "documents"), "lang", "n_chars", agg="avg", limit=3
+        )
+
+    q["facet_sort_by_stat"] = facet_sort_stat_q
     q["suggest_freetext_data"] = lambda s, d: qx.suggest_freetext(
         _read(s, d, "documents"), "text", "data", n=5
     )
@@ -3679,6 +3693,20 @@ ORDER BY doc_id
     from solr_spark.oracle_sql import suggest_blended_infix_sql
 
     o["suggest_blended_infix_ar"] = suggest_blended_infix_sql("ar")
+    _ctx_src = CODE_CHAIN.duckdb_tokens_select(
+        "(SELECT * FROM documents WHERE lang = 'en')", "doc_id", "text"
+    )
+    o["suggest_context_en"] = f"""
+WITH ctoks AS (SELECT DISTINCT doc_id, tok FROM {_ctx_src} t)
+SELECT tok AS term, count(*) AS df FROM ctoks
+WHERE strpos(tok, 'er') > 0
+GROUP BY tok ORDER BY df DESC, term ASC LIMIT 10"""
+    o["facet_sort_by_stat"] = """
+        SELECT lang AS bucket, count(*) AS count,
+               ROUND(avg(n_chars), 4) AS avg_n_chars
+        FROM documents GROUP BY lang
+        ORDER BY avg_n_chars DESC, bucket ASC LIMIT 3
+    """
     o["highlight_merge"] = highlight_sql("merge")
     o["significant_terms_spark"] = significant_terms_sql("spark")
     o["highlight_multi_terms"] = f"""

@@ -34,6 +34,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "facet_field",
     "json_facet_allbuckets",
+    "json_facet_sort_by_stat",
     "facet_range",
     "facet_range_other",
     "facet_field_multiselect",
@@ -114,6 +115,44 @@ def facet_field(
         # is-missing key to make the trailing placement a real contract.
         out = out.unionByName(miss).orderBy(F.col(field).isNull().asc(), *order)
     return out
+
+
+def json_facet_sort_by_stat(
+    df: DataFrame,
+    field: str,
+    agg_col: str,
+    agg: str = "avg",
+    desc: bool = True,
+    mincount: int = 1,
+    limit: int = 10,
+) -> DataFrame:
+    """JSON Facet API bucket sort by a nested aggregation
+    (``sort: "x desc"`` where ``x`` is a subfacet stat —
+    ``search/facet/FacetField.java`` sortVariable / ``FacetFieldProcessor
+    .java`` sortAcc; tests ``search/facet/TestJsonFacets.java`` testSort*).
+
+    Distributed note: sorting buckets by a STAT is where Solr needs
+    overrequest + a refinement pass (a shard's local top-N by avg can
+    miss the global winner — ``FacetFieldMerger``/``FacetRequestSorted``
+    refinement). Spark's exact global aggregation makes the result exact
+    by construction: one partial+final groupBy, then a total sort of the
+    (small) bucket table. No overrequest knob to tune, no approximation.
+
+    Output: (bucket, count, <agg>_<agg_col>) sorted by the stat with
+    bucket-value ascending tie-break, Solr's ordering contract.
+    """
+    fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[agg]
+    stat_name = f"{agg}_{agg_col}"
+    out = (
+        df.groupBy(F.col(field).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.round(fn(F.col(agg_col)).cast("double"), 4).alias(stat_name),
+        )
+        .where(F.col("count") >= mincount)
+    )
+    key = F.col(stat_name).desc() if desc else F.col(stat_name).asc()
+    return out.orderBy(key, F.col("bucket").asc()).limit(limit)
 
 
 def json_facet_allbuckets(

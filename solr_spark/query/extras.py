@@ -1163,6 +1163,41 @@ def suggest_freetext(
     )
 
 
+def suggest_infix_context(
+    docs: DataFrame,
+    text_col: str,
+    context_col: str,
+    context_val: str,
+    needle: str,
+    n: int = 10,
+    chain=None,
+) -> DataFrame:
+    """AnalyzingInfixSuggester CONTEXT filtering (Lucene
+    ``suggest/analyzing/AnalyzingInfixSuggester.lookup(key, contexts, …)``,
+    Solr ``suggest.cfq`` / ``contextField`` in SuggestComponent): infix
+    suggestions restricted to documents matching a context value.
+
+    The reference stores contexts as a per-suggestion field in the
+    suggester's side index; here the context predicate is pushed to the
+    corpus scan (partition/row-group pruning on ``context_col``), then
+    per-token df is one aggregation over the filtered domain. At 100 TB
+    the per-(context, token) df table is precomputed once, like the
+    suggester build pass."""
+    from solr_spark.analysis import CODE_CHAIN
+
+    chain = chain or CODE_CHAIN
+    toks = docs.where(F.col(context_col) == context_val).select(
+        F.explode(F.array_distinct(chain.tokens(F.col(text_col)))).alias("term")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .where(F.col("term").contains(needle))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(n)
+    )
+
+
 def mlt_interesting_terms(
     engine: SearchEngine, seed_doc_id: int, max_terms: int = 10
 ) -> DataFrame:

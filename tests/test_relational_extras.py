@@ -211,3 +211,23 @@ def test_stats_string_and_group_facet(spark):
     fac = {r["lang"]: r["count"] for r in facet_by_group(df, "lang", "grp").collect()}
     # 'en' appears in groups a+b -> 2; 'fr' only in a -> 1; NULL facet dropped
     assert fac == {"en": 2, "fr": 1}
+
+
+def test_json_facet_sort_by_stat(spark):
+    from pyspark.sql import functions as F
+
+    from solr_spark.operators.relational import json_facet_sort_by_stat
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 100), ("c", 15), ("c", 15), ("d", 100)],
+        "k string, v long",
+    )
+    rows = json_facet_sort_by_stat(df, "k", "v", agg="avg", limit=3).collect()
+    # b and d tie at avg 100 -> bucket asc tie-break; then a at 15
+    assert [(r["bucket"], r["count"], r["avg_v"]) for r in rows] == [
+        ("b", 1, 100.0), ("d", 1, 100.0), ("a", 2, 15.0),
+    ]
+    # mincount drops singleton buckets
+    rows2 = json_facet_sort_by_stat(df, "k", "v", agg="sum", mincount=2, limit=5).collect()
+    assert [r["bucket"] for r in rows2] == ["a", "c"]
+    assert rows2[0]["sum_v"] == 30.0
