@@ -633,6 +633,65 @@ def main() -> None:
         ],
     ))
 
+    # 40. Facet sort-by-stat: one partial+final aggregation, bucket sort
+    #     collapses to TakeOrderedAndProject (no refinement machinery)
+    from solr_spark.operators.relational import json_facet_sort_by_stat
+
+    p = plan_of(json_facet_sort_by_stat(docs_tbl, "lang", "n_chars", limit=3))
+    sections.append((
+        "JSON facet sort-by-stat", p,
+        [
+            ("map-side partial aggregation", "partial" in p.lower()),
+            ("single exchange", len(set(re.findall(r"Exchange \((\d+)\)", p))) == 1),
+            ("top-k collapses to TakeOrderedAndProject", "TakeOrderedAndProject" in p),
+        ],
+    ))
+
+    # 41. Context-filtered suggester: the context predicate reaches the
+    #     parquet scan; per-token df is one combined aggregation
+    from solr_spark.query.extras import suggest_infix_context
+
+    p = plan_of(suggest_infix_context(docs_tbl, "text", "lang", "en", "er"))
+    sections.append((
+        "Context-filtered infix suggester", p,
+        [
+            ("context filter pushed to scan", bool(re.search(r"PushedFilters:.*lang", p))),
+            ("map-side partial aggregation", "partial" in p.lower()),
+            ("no Python UDF (JVM tokenizer)", "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+        ],
+    ))
+
+    # 42. Repetition features: explode → two keyed aggregations with
+    #     map-side combine; NEVER a per-doc O(lines²) expression or a
+    #     cartesian product
+    from solr_spark.textops import repetition_features
+
+    p = plan_of(repetition_features(docs_tbl.where(F.col("doc_id") < 40), "doc_id", "text"))
+    sections.append((
+        "Intra-doc repetition features", p,
+        [
+            ("map-side partial aggregation", "partial" in p.lower()),
+            ("no cartesian product", "Cartesian" not in p),
+            ("doc_id filter pushed to scan", bool(re.search(r"PushedFilters:.*doc_id", p))),
+        ],
+    ))
+
+    # 43. PII scrub: map-only — zero exchanges, pure JVM regexp_replace
+    from solr_spark.textops import pii_counts, scrub_pii
+
+    cnts = pii_counts(F.col("text"))
+    p = plan_of(docs_tbl.select(
+        "doc_id", scrub_pii(F.col("text")).alias("clean"),
+        *[c.alias(n) for n, c in cnts.items()],
+    ))
+    sections.append((
+        "PII scrub (map-only)", p,
+        [
+            ("zero exchanges (map-only)", "Exchange" not in p),
+            ("no Python UDF", "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+        ],
+    ))
+
     # --- per-query driver-action counts (VERDICT r2 #1: measured, not
     # guessed — the r2 regression was driver-round-trip-bound) ---
     import time

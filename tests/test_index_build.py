@@ -398,3 +398,52 @@ def test_composite_id_routing(spark):
         assert len(by_route[route]) == 1, route          # co-located
         assert len(by_route[route + "_top"]) == 1, route  # top bits shared
     assert len(plain_shards) > 4  # un-routed ids spread
+
+
+def test_murmur3_property_vs_scalar_reference():
+    """Property test: the vectorized batch murmur3 equals an independent
+    scalar implementation on random unicode strings (any length mix in
+    one batch — exercises the column-masked block loop + all tails)."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from solr_spark.index.routing import murmur3_x86_32_batch
+
+    def scalar_m3(data: bytes, seed: int = 0) -> int:
+        c1, c2, M = 0xCC9E2D51, 0x1B873593, 0xFFFFFFFF
+        h = seed
+        nblocks = len(data) // 4
+        for i in range(nblocks):
+            k = int.from_bytes(data[4 * i: 4 * i + 4], "little")
+            k = (k * c1) & M
+            k = ((k << 15 | k >> 17) & M) * c2 & M
+            h ^= k
+            h = ((h << 13 | h >> 19) & M) * 5 + 0xE6546B64 & M
+        tail = data[nblocks * 4:]
+        k = 0
+        if len(tail) >= 3:
+            k ^= tail[2] << 16
+        if len(tail) >= 2:
+            k ^= tail[1] << 8
+        if len(tail) >= 1:
+            k ^= tail[0]
+            k = (k * c1) & M
+            k = ((k << 15 | k >> 17) & M) * c2 & M
+            h ^= k
+        h ^= len(data)
+        h ^= h >> 16
+        h = (h * 0x85EBCA6B) & M
+        h ^= h >> 13
+        h = (h * 0xC2B2AE35) & M
+        h ^= h >> 16
+        return h
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.text(max_size=40), min_size=1, max_size=30))
+    def check(batch):
+        got = murmur3_x86_32_batch(pd.Series(batch))
+        for s, g in zip(batch, got):
+            assert int(np.uint32(g)) == scalar_m3(s.encode("utf-8")), repr(s)
+
+    check()
