@@ -898,6 +898,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["blockjoin_orders_lineitem"] = blockjoin_q
 
+    def blockjoin_scored_q(s, d):
+        """{!parent score=avg} — ToParentBlockJoinQuery ScoreMode.Avg:
+        parent score = avg of matching children's value."""
+        from solr_spark.operators.relational import block_join_parent
+
+        return (
+            block_join_parent(
+                _read(s, d, "orders"), _read(s, d, "lineitem"),
+                "o_orderkey", "l_orderkey",
+                F.col("l_quantity") >= 45,
+                score_mode="avg", score_col="l_extendedprice",
+            )
+            .select("o_orderkey", "score")
+            .orderBy(F.desc("score"), F.asc("o_orderkey"))
+            .limit(50)
+        )
+
+    q["blockjoin_score_avg"] = blockjoin_scored_q
+
     def unique_block_q(s, d):
         from solr_spark.operators.relational import unique_block
 
@@ -3785,6 +3804,12 @@ GROUP BY tok ORDER BY tok
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         WHERE l_quantity >= 45
         GROUP BY o_orderkey ORDER BY o_orderkey LIMIT 100
+    """
+    o["blockjoin_score_avg"] = """
+        SELECT o_orderkey, ROUND(CAST(avg(l_extendedprice) AS DOUBLE), 4) AS score
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_quantity >= 45
+        GROUP BY o_orderkey ORDER BY score DESC, o_orderkey ASC LIMIT 50
     """
     o["uniqueblock_lineitem"] = """
         SELECT l_returnflag AS bucket, CAST(count(*) AS BIGINT) AS n_children,

@@ -420,18 +420,22 @@ def block_join_parent(
     """Parent block join (``search/join/BlockJoinParentQParserPlugin
     .java`` / Lucene ToParentBlockJoinQuery): parents whose child block
     contains ≥1 child matching ``child_filter``; score aggregates the
-    matching children per ScoreMode (count | sum | max over
-    ``score_col``). One aggregated semi-join — the columnar equivalent
+    matching children per ScoreMode — the full Lucene set
+    (``ScoreMode.{None→count, Total→sum, Max, Min, Avg}``) over
+    ``score_col``. One aggregated semi-join — the columnar equivalent
     of Lucene's contiguous parent/child block scan."""
     matched = children.where(child_filter)
-    if score_mode == "count":
-        agg = matched.groupBy(child_parent_key).agg(F.count("*").cast("long").alias("score"))
-    elif score_mode == "sum":
-        agg = matched.groupBy(child_parent_key).agg(F.sum(score_col).alias("score"))
-    elif score_mode == "max":
-        agg = matched.groupBy(child_parent_key).agg(F.max(score_col).alias("score"))
-    else:
+    fns = {
+        "count": lambda: F.count(F.lit(1)).cast("long"),
+        "sum": lambda: F.sum(score_col),
+        "total": lambda: F.sum(score_col),
+        "max": lambda: F.max(score_col),
+        "min": lambda: F.min(score_col),
+        "avg": lambda: F.round(F.avg(score_col).cast("double"), 4),
+    }
+    if score_mode not in fns:
         raise ValueError(f"unknown score_mode {score_mode}")
+    agg = matched.groupBy(child_parent_key).agg(fns[score_mode]().alias("score"))
     return parents.join(
         agg.withColumnRenamed(child_parent_key, parent_key), parent_key
     )
