@@ -2742,6 +2742,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_features_docs"] = repetition_q
 
+    def bmp_decode_q(s, d):
+        """REAL image decode: deterministic 24-bit BMPs are encoded AND
+        decoded by the from-scratch codec on executors (mapInPandas);
+        the oracle recomputes the per-image stats from the same pixel
+        formula — so a codec bug (padding, BGR order, bottom-up rows)
+        breaks the hash."""
+        import pandas as pd
+        from pyspark.sql.types import (
+            BinaryType, LongType, StructField, StructType,
+        )
+
+        from solr_spark.multimodal import decode_bmp_stats, encode_bmp
+
+        ids = s.range(0, 16).select(F.col("id").alias("doc_id"))
+        schema = StructType([
+            StructField("doc_id", LongType()), StructField("data", BinaryType()),
+        ])
+
+        def synth(batches):
+            import numpy as np
+
+            for pdf in batches:
+                rows = []
+                for doc_id in pdf["doc_id"]:
+                    did = int(doc_id)
+                    w, h = (did % 4 + 1) * 8, (did % 3 + 1) * 8
+                    i = np.arange(w * h * 3, dtype=np.int64)
+                    px = ((did * 13 + i * 7) % 256).astype(np.uint8).reshape(h, w, 3)
+                    rows.append((did, encode_bmp(px)))
+                yield pd.DataFrame(rows, columns=["doc_id", "data"])
+
+        return decode_bmp_stats(ids.mapInPandas(synth, schema)).orderBy("doc_id")
+
+    q["bmp_decode_stats"] = bmp_decode_q
+
+    def wav_decode_q(s, d):
+        """REAL audio decode: deterministic PCM WAVs (RIFF chunk walk,
+        16-bit mono) encoded + decoded by the from-scratch codec; oracle
+        recomputes stats from the sample formula."""
+        import pandas as pd
+        from pyspark.sql.types import (
+            BinaryType, LongType, StructField, StructType,
+        )
+
+        from solr_spark.multimodal import decode_wav_stats, encode_wav
+
+        ids = s.range(0, 12).select(F.col("id").alias("doc_id"))
+        schema = StructType([
+            StructField("doc_id", LongType()), StructField("data", BinaryType()),
+        ])
+
+        def synth(batches):
+            import numpy as np
+
+            for pdf in batches:
+                rows = []
+                for doc_id in pdf["doc_id"]:
+                    did = int(doc_id)
+                    n = 200 + did * 37
+                    i = np.arange(n, dtype=np.int64)
+                    samp = (((did * 17 + i * 11) % 4096) - 2048).astype(np.int16)
+                    rows.append((did, encode_wav(samp, 16000)))
+                yield pd.DataFrame(rows, columns=["doc_id", "data"])
+
+        return decode_wav_stats(ids.mapInPandas(synth, schema)).orderBy("doc_id")
+
+    q["wav_decode_stats"] = wav_decode_q
+
     def pii_q(s, d):
         """PII scrub + audit counts over documents with deterministic
         injected PII (emails/IPv4/phone), map-only regexp_replace."""
@@ -3849,6 +3917,26 @@ GROUP BY tok ORDER BY tok
     from solr_spark.textops import pii_counts_sql, repetition_sql, scrub_pii_sql
 
     o["repetition_features_docs"] = repetition_sql("doc_id < 40")
+    o["bmp_decode_stats"] = """
+WITH ids AS (SELECT unnest(range(16)) AS doc_id),
+dims AS (SELECT doc_id, ((doc_id % 4) + 1) * 8 AS w, ((doc_id % 3) + 1) * 8 AS h FROM ids),
+px AS (SELECT doc_id, w, h, (doc_id * 13 + i.i * 7) % 256 AS v
+       FROM dims, unnest(range(w * h * 3)) AS i(i))
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       ROUND(SUM(v) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_pixel,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id, w, h ORDER BY doc_id
+"""
+    o["wav_decode_stats"] = """
+WITH ids AS (SELECT unnest(range(12)) AS doc_id),
+smp AS (SELECT doc_id, ((doc_id * 17 + i.i * 11) % 4096) - 2048 AS v
+        FROM ids, unnest(range(200 + doc_id * 37)) AS i(i))
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(16000 AS INT) AS sample_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       ROUND(SUM(v) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_sample,
+       CAST(SUM(v * v) AS BIGINT) AS sumsq
+FROM smp GROUP BY doc_id ORDER BY doc_id
+"""
     _pii_inj = (
         "text || ' contact u' || CAST(doc_id AS VARCHAR) || "
         "'@mail.example.org at 10.0.' || CAST(doc_id % 200 AS VARCHAR) || "
