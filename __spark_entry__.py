@@ -3191,6 +3191,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["facet_by_group_lang"] = facet_group_q
 
+    def schema_apply_q(s, d):
+        """IndexSchema analog: dynamic-field glob resolution + typed casts
+        + copyField fan-in + uniqueKey enforcement, compiled into one
+        map-only select (solr_spark/schema.py; ref IndexSchema.java:137,
+        CopyField.java, DocumentBuilder.java:183)."""
+        from solr_spark.schema import FieldSpec, SchemaRegistry
+
+        reg = SchemaRegistry(
+            name="docs",
+            unique_key="id",
+            fields={"id": FieldSpec("id", "plong", required=True)},
+            dynamic=[("*_s", "string"), ("*_t", "text_general"),
+                     ("*_i", "pint")],
+            copy_fields=[("*_t", "_text_"), ("lang_s", "_text_")],
+        )
+        df = _read(s, d, "documents").where(F.col("doc_id") < 30).select(
+            F.col("doc_id").cast("string").alias("id"),
+            F.col("lang").alias("lang_s"),
+            F.col("source").alias("source_t"),
+            F.col("n_chars").cast("string").alias("n_chars_i"),
+        )
+        return reg.apply(df).orderBy("id")
+
+    q["schema_apply_copyfield"] = schema_apply_q
+
+    def schemaless_q(s, d):
+        """Schemaless mode (AddSchemaFieldsUpdateProcessor + Parse* chain,
+        batch form): ONE aggregation counts parse failures per candidate
+        type per column; narrowest zero-failure type wins."""
+        from solr_spark.schema import infer_schemaless_types
+
+        df = _read(s, d, "documents").select(
+            F.col("doc_id").cast("string").alias("c_long"),
+            (F.col("n_chars") + F.lit(0.5)).cast("string").alias("c_double"),
+            (F.col("n_chars") % 2 == 0).cast("string").alias("c_bool"),
+            F.col("lang").alias("c_string"),
+        )
+        inf = infer_schemaless_types(df)
+        return s.createDataFrame(
+            sorted(inf.items()), "col_name string, inferred string"
+        ).orderBy("col_name")
+
+    q["schemaless_infer_docs"] = schemaless_q
+
     return q
 
 
@@ -5352,5 +5396,45 @@ FROM z ORDER BY doc_id
         SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS count
         FROM documents WHERE lang IS NOT NULL
         GROUP BY lang ORDER BY count DESC, lang ASC LIMIT 100
+    """
+
+    o["schema_apply_copyfield"] = """
+        SELECT CAST(doc_id AS BIGINT) AS id,
+               lang AS lang_s,
+               source AS source_t,
+               CAST(n_chars AS INT) AS n_chars_i,
+               source || ' ' || lang AS "_text_"
+        FROM documents WHERE doc_id < 30 ORDER BY id
+    """
+    o["schemaless_infer_docs"] = """
+        WITH src AS (
+          SELECT CAST(doc_id AS VARCHAR) AS c_long,
+                 CAST(n_chars + 0.5 AS VARCHAR) AS c_double,
+                 CAST(n_chars % 2 = 0 AS VARCHAR) AS c_bool,
+                 lang AS c_string
+          FROM documents
+        ), cols AS (
+          SELECT 'c_long' AS col_name, c_long AS v FROM src
+          UNION ALL SELECT 'c_double', c_double FROM src
+          UNION ALL SELECT 'c_bool', c_bool FROM src
+          UNION ALL SELECT 'c_string', c_string FROM src
+        ), agg AS (
+          SELECT col_name,
+                 count(v) AS nn,
+                 count(CASE WHEN regexp_matches(v, '^[+-]?[0-9]+$')
+                            THEN 1 END) AS n_long,
+                 count(try_cast(v AS DOUBLE)) AS n_double,
+                 count(CASE WHEN lower(v) IN ('true','false') THEN 1 END) AS n_bool,
+                 count(try_cast(v AS TIMESTAMP)) AS n_ts
+          FROM cols GROUP BY col_name
+        )
+        SELECT col_name,
+               CASE WHEN nn = 0 THEN 'string'
+                    WHEN n_long = nn THEN 'plong'
+                    WHEN n_double = nn THEN 'pdouble'
+                    WHEN n_bool = nn THEN 'boolean'
+                    WHEN n_ts = nn THEN 'pdate'
+                    ELSE 'string' END AS inferred
+        FROM agg ORDER BY col_name
     """
     return o
