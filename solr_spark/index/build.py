@@ -688,38 +688,22 @@ def _encode_stream_udf(block_size: int, with_positions: bool, with_payloads: boo
     return enc
 
 
-def _stage_blocks(
-    spark: SparkSession,
-    out_dir: str,
+def _blocks_shuffle_input(
+    segments: DataFrame,
+    term_dict: DataFrame,
     config: IndexConfig,
     only_buckets: list[int] | None = None,
-) -> None:
-    """Encode posting blocks. ``only_buckets`` restricts the rebuild to
-    the given term_buckets (changed-bucket compaction at commit): the
-    scan filters to those buckets' terms, and the write replaces only
-    their partition directories (dynamic partition overwrite). Sound
-    because block CONTENT is stats-independent (see _BLOCK_SCHEMA): an
-    unchanged bucket's blocks are bit-identical to a full rebuild's.
-    """
-    segments = spark.read.parquet(_stage_dir(out_dir, "segments"))
-    term_dict = spark.read.parquet(_stage_dir(out_dir, "term_dict")).select("term", "is_hot")
-
+) -> DataFrame:
+    """The salted, bucketed, sorted shuffle input the block encoder
+    consumes — factored out so tests can assert the skew property
+    (a hot term's postings span >1 shuffle partition) on the real path."""
     # join keyed on term: AQE broadcasts term_dict when it is small; at
     # scale it shares the (term)-keyed exchange with the block shuffle.
-    p = segments.join(term_dict, "term")
+    p = segments.join(term_dict.select("term", "is_hot"), "term")
     p = p.withColumn(
         "salt",
         F.when(F.col("is_hot"), F.pmod(F.xxhash64("doc_id"), F.lit(config.n_salts)).cast("int")).otherwise(F.lit(0)),
     )
-
-    # ONE shuffle: hash-repartition by term_bucket (each write task owns
-    # whole buckets → clean directory partitioning), sort runs within
-    # partitions, stream-encode in a single Arrow pass. Replaces the
-    # previous window(row_number) + groupBy(collect_list+sort_array)
-    # formulation — same bytes out, two fewer sorts and no struct
-    # materialization. At corpus scale n_term_buckets is set to a few ×
-    # the cluster's cores; bucket skew is bounded because hot terms are
-    # already salted into sub-streams.
     p = p.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(config.n_term_buckets)).cast("int")
     )
@@ -731,10 +715,47 @@ def _stage_blocks(
     if config.with_payloads:
         cols.append("payloads")
     n_parts = config.n_term_buckets if only_buckets is None else max(1, len(only_buckets))
-    blocks = (
+    return (
         p.select(*cols)
-        .repartition(n_parts, "term_bucket")
+        .repartition(n_parts, "term_bucket", "salt")
         .sortWithinPartitions("term", "salt", "doc_id")
+    )
+
+
+def _stage_blocks(
+    spark: SparkSession,
+    out_dir: str,
+    config: IndexConfig,
+    only_buckets: list[int] | None = None,
+) -> None:
+    """Encode posting blocks. ``only_buckets`` restricts the rebuild to
+    the given term_buckets (changed-bucket compaction at commit): the
+    scan filters to those buckets' terms, and the write replaces only
+    their partition directories (dynamic partition overwrite). Sound
+    because block CONTENT is stats-independent (see _BLOCK_SCHEMA): an
+    unchanged bucket's blocks are bit-identical to a full rebuild's
+    (each (term, salt) group is contiguous and whole inside one shuffle
+    partition, and the encode of a group is a pure function of its rows,
+    so block bytes do not depend on partition composition).
+    """
+    segments = spark.read.parquet(_stage_dir(out_dir, "segments"))
+    term_dict = spark.read.parquet(_stage_dir(out_dir, "term_dict")).select("term", "is_hot")
+
+    # ONE shuffle: hash-repartition by (term_bucket, salt), sort runs
+    # within partitions, stream-encode in a single Arrow pass. Replaces
+    # the previous window(row_number) + groupBy(collect_list+sort_array)
+    # formulation — same bytes out, two fewer sorts and no struct
+    # materialization. SALT MUST BE IN THE SHUFFLE KEY: hashing on
+    # term_bucket alone would land a hot term's entire posting run
+    # ('import' at 10^12 files) on ONE reducer — the salt exists
+    # precisely so that run splits into n_salts independent sub-streams
+    # on different reducers. Each (term, salt) group still lives wholly
+    # inside one partition (the key is deterministic per row-group), so
+    # sortWithinPartitions + the streaming encoder see contiguous runs
+    # and block_no numbering is unchanged; the partitionBy("term_bucket")
+    # write just gets ≤ n_salts files per bucket directory instead of 1.
+    blocks = (
+        _blocks_shuffle_input(segments, term_dict, config, only_buckets)
         .mapInArrow(
             _encode_stream_arrow(config.block_size, config.with_positions, config.with_payloads),
             schema=_BLOCK_SCHEMA,

@@ -447,3 +447,39 @@ def test_murmur3_property_vs_scalar_reference():
             assert int(np.uint32(g)) == scalar_m3(s.encode("utf-8")), repr(s)
 
     check()
+
+
+def test_hot_term_spans_multiple_shuffle_partitions(spark, index, test_config):
+    """The blocks shuffle key must include salt: hashing on term_bucket
+    alone would put a hot term's entire posting run on ONE reducer (the
+    100-TB straggler). Asserted on the real shuffle input builder."""
+    from solr_spark.index.build import _blocks_shuffle_input
+
+    segments = spark.read.parquet(os.path.join(index.dir, "segments"))
+    shuffled = _blocks_shuffle_input(segments, index.term_dict, test_config)
+    hot = [r["term"] for r in index.term_dict.where("is_hot").collect()]
+    assert hot
+    per_term = (
+        shuffled.withColumn("pid", F.spark_partition_id())
+        .where(F.col("term").isin(hot))
+        .groupBy("term")
+        .agg(F.countDistinct("pid").alias("n_pids"), F.countDistinct("salt").alias("n_salts"))
+        .collect()
+    )
+    # every hot term is split into >1 salt sub-stream; at least one of
+    # those sub-streams lands on a different reducer (with 8 buckets x 4
+    # salts hash collisions can co-locate SOME pairs, but not all).
+    assert all(r["n_salts"] > 1 for r in per_term)
+    assert any(r["n_pids"] > 1 for r in per_term), (
+        "salt is not in the shuffle key: hot-term postings all on one reducer"
+    )
+    # and each (term, salt) group still lives wholly inside one partition
+    # (the streaming encoder requires contiguous whole groups).
+    split_groups = (
+        shuffled.withColumn("pid", F.spark_partition_id())
+        .groupBy("term", "salt")
+        .agg(F.countDistinct("pid").alias("n_pids"))
+        .where("n_pids > 1")
+        .count()
+    )
+    assert split_groups == 0
