@@ -697,13 +697,23 @@ def _blocks_shuffle_input(
     """The salted, bucketed, sorted shuffle input the block encoder
     consumes — factored out so tests can assert the skew property
     (a hot term's postings span >1 shuffle partition) on the real path."""
-    # join keyed on term: AQE broadcasts term_dict when it is small; at
-    # scale it shares the (term)-keyed exchange with the block shuffle.
-    p = segments.join(term_dict.select("term", "is_hot"), "term")
+    # Salt assignment needs only HOTNESS, not the full dictionary.
+    # Joining segments (O(total postings)) against the whole term_dict
+    # (O(vocabulary) — billions of distinct identifiers in code at 10^12
+    # files) would be a sort-merge join: a second full shuffle of the
+    # posting stream. The hot set is tiny BY CONSTRUCTION — at most
+    # total_postings / hot_df_threshold terms, in practice the Zipf head
+    # ('import', 'def', 'return') — so broadcast it and left-join: the
+    # posting stream is touched map-side only, and the one real shuffle
+    # stays the (term_bucket, salt) block exchange below.
+    hot = F.broadcast(
+        term_dict.where(F.col("is_hot")).select("term", F.lit(True).alias("_hot"))
+    )
+    p = segments.join(hot, "term", "left")
     p = p.withColumn(
         "salt",
-        F.when(F.col("is_hot"), F.pmod(F.xxhash64("doc_id"), F.lit(config.n_salts)).cast("int")).otherwise(F.lit(0)),
-    )
+        F.when(F.col("_hot").isNotNull(), F.pmod(F.xxhash64("doc_id"), F.lit(config.n_salts)).cast("int")).otherwise(F.lit(0)),
+    ).drop("_hot")
     p = p.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(config.n_term_buckets)).cast("int")
     )

@@ -457,6 +457,11 @@ def test_hot_term_spans_multiple_shuffle_partitions(spark, index, test_config):
 
     segments = spark.read.parquet(os.path.join(index.dir, "segments"))
     shuffled = _blocks_shuffle_input(segments, index.term_dict, test_config)
+    # hotness comes from a BROADCAST of the (tiny) hot set — never a
+    # sort-merge join of the posting stream against the full vocabulary.
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
     hot = [r["term"] for r in index.term_dict.where("is_hot").collect()]
     assert hot
     per_term = (
