@@ -398,8 +398,12 @@ def build_postings(analyzed: DataFrame, config: IndexConfig) -> DataFrame:
 
 def _stage_term_dict(spark: SparkSession, out_dir: str, config: IndexConfig) -> None:
     analyzed = spark.read.parquet(_stage_dir(out_dir, "analyzed"))
-    n_docs = analyzed.count()
-    sum_dl = analyzed.agg(F.sum("doc_len")).collect()[0][0] or 0
+    # one job for both corpus stats (was two full passes: count + sum)
+    stats_row = analyzed.agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("s")
+    ).collect()[0]
+    n_docs = stats_row["n"]
+    sum_dl = stats_row["s"] or 0
     avgdl = float(sum_dl) / n_docs if n_docs else 0.0
 
     segments = spark.read.parquet(_stage_dir(out_dir, "segments"))
