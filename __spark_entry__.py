@@ -2833,6 +2833,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_scrub_docs"] = pii_q
 
+    def parse_csv_stream_q(s, d):
+        """parseCSV / parseTSV stream evaluators (solrj-streaming
+        io/stream/CsvStream.java, TsvStream.java): split a delimited
+        string column into typed fields — JVM-side ``from_csv``, no
+        Python. The delimited lines are synthesized from documents
+        columns so the parse is oracle-checkable."""
+        from solr_spark.sources.loaders import parse_csv_col
+
+        docs = _read(s, d, "documents").where(F.col("doc_id") < 50)
+        lines = docs.select(
+            "doc_id",
+            F.concat_ws(",", F.col("doc_id"), F.col("lang"), F.col("source"), F.col("n_chars")).alias("csv_line"),
+            F.concat_ws("\t", F.col("lang"), F.col("n_chars")).alias("tsv_line"),
+        )
+        parsed = parse_csv_col(lines, "csv_line", "id BIGINT, l STRING, src STRING, nc INT")
+        parsed = parsed.select("doc_id", "_parsed.*", "tsv_line")
+        parsed = parse_csv_col(parsed, "tsv_line", "tl STRING, tn INT", sep="\t")
+        return (
+            parsed.select("doc_id", "id", "l", "src", "nc", "_parsed.tl", "_parsed.tn")
+            .orderBy("doc_id")
+        )
+
+    q["parse_csv_stream"] = parse_csv_stream_q
+
     def stratified_q(s, d):
         """Balanced training mix: deterministic 20-doc sample per lang."""
         from solr_spark.operators.relational import stratified_hash_sample
@@ -3994,6 +4018,22 @@ FROM smp GROUP BY doc_id ORDER BY doc_id
                CAST({_pii_cs["n_ips"]} AS INT) AS n_ips,
                CAST({_pii_cs["n_phones"]} AS INT) AS n_phones
         FROM documents WHERE doc_id < 30 ORDER BY doc_id
+    """
+    o["parse_csv_stream"] = """
+        WITH lines AS (
+          SELECT doc_id,
+                 CAST(doc_id AS VARCHAR) || ',' || lang || ',' || source || ',' || CAST(n_chars AS VARCHAR) AS csv_line,
+                 lang || CHR(9) || CAST(n_chars AS VARCHAR) AS tsv_line
+          FROM documents WHERE doc_id < 50
+        )
+        SELECT doc_id,
+               CAST(split_part(csv_line, ',', 1) AS BIGINT) AS id,
+               split_part(csv_line, ',', 2) AS l,
+               split_part(csv_line, ',', 3) AS src,
+               CAST(split_part(csv_line, ',', 4) AS INT) AS nc,
+               split_part(tsv_line, CHR(9), 1) AS tl,
+               CAST(split_part(tsv_line, CHR(9), 2) AS INT) AS tn
+        FROM lines ORDER BY doc_id
     """
     o["stratified_sample_lang"] = stratified_sample_sql(
         "lang", "doc_id", 20, "doc_id, lang, n_chars"
