@@ -153,13 +153,12 @@ def main() -> None:
         timed("q_docs_bm25_or", didx, lambda e: e.topk("spark merge data", k=10).collect())
         timed("q_docs_bm25_and", didx, lambda e: e.topk("vector customer", k=10, mode="AND").collect())
 
-    # --- workload 4: facet/agg (JsonFaceting analog)
-    t0 = time.time()
-    facet_field(idx.docs, "lang").collect()
-    queries["q_facet_lang"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    idx.term_dict.orderBy(F.desc("df")).limit(20).collect()
-    queries["q_terms_top20"] = round(time.time() - t0, 3)
+    # --- workload 4: facet/agg (JsonFaceting analog) — best-of-N like the
+    # BM25 queries above (a single trial is hostage to one host-steal burst;
+    # r4 saw a lone 1.8s q_facet_lang trial vs its usual ~0.4s)
+    timed("q_facet_lang", idx, lambda e: facet_field(e.index.docs, "lang").collect())
+    timed("q_terms_top20", idx,
+          lambda e: e.index.term_dict.orderBy(F.desc("df")).limit(20).collect())
 
     # two-cluster-size scaling evidence (measured by scripts/scaling.py —
     # best-of-N protocol under bursty sandbox CPU steal; committed here so

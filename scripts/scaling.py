@@ -98,6 +98,12 @@ def run_pair(n_docs: int, lo: int = 8, hi: int = 32, trials: int = 4) -> dict:
         "platform_control_agg_passes_per_sec": {
             f"local[{c}]": controls[c] for c in (lo, hi)
         },
+        # per-stage walls of each level's best trial: shows WHICH stage
+        # stops scaling (analyze is ALU-bound and scales; the blocks
+        # sorted-merge shuffle is the bandwidth-bound half)
+        "best_trial_stages": {
+            f"local[{c}]": best[c].get("stages") for c in (lo, hi)
+        },
     }
 
 
@@ -106,6 +112,9 @@ if __name__ == "__main__":
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     trials = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    # optional key suffix so repeated runs at the same (lo, hi) merge into
+    # SCALING.json as separate records instead of overwriting
+    suffix = sys.argv[5] if len(sys.argv) > 5 else ""
     result = run_pair(n, lo=lo, hi=hi, trials=trials)
     print(json.dumps(result))
     path = os.path.join(os.path.dirname(HERE), "SCALING.json")
@@ -113,6 +122,6 @@ if __name__ == "__main__":
     if os.path.exists(path):
         with open(path) as f:
             existing = json.load(f)
-    existing[f"local[{lo}]_vs_local[{hi}]"] = result
+    existing[f"local[{lo}]_vs_local[{hi}]{suffix}"] = result
     with open(path, "w") as f:
         json.dump(existing, f, indent=1)
