@@ -488,3 +488,41 @@ def test_hot_term_spans_multiple_shuffle_partitions(spark, index, test_config):
         .count()
     )
     assert split_groups == 0
+
+
+def test_run_packed_exchange_byte_identical_to_row_exchange(spark, index, test_config):
+    """The blocks exchange ships per-(term, salt) posting RUNS (one row
+    per mapper pack region per group) and the reducer concatenates
+    disjoint doc ranges instead of sorting per-posting rows. The packed
+    path must encode byte-identical blocks to the row-level exchange —
+    on the REAL build output, positions included."""
+    from solr_spark.index.build import (
+        _BLOCK_SCHEMA,
+        _blocks_shuffle_input,
+        _blocks_shuffle_input_rows,
+        _encode_stream_arrow,
+        _encode_stream_runs,
+    )
+
+    segments = spark.read.parquet(os.path.join(index.dir, "segments"))
+    cfg = test_config
+    new = (
+        _blocks_shuffle_input(segments, index.term_dict, cfg)
+        .mapInArrow(
+            _encode_stream_runs(cfg.block_size, cfg.with_positions, cfg.with_payloads),
+            schema=_BLOCK_SCHEMA,
+        )
+    )
+    old = (
+        _blocks_shuffle_input_rows(segments, index.term_dict, cfg)
+        .mapInArrow(
+            _encode_stream_arrow(cfg.block_size, cfg.with_positions, cfg.with_payloads),
+            schema=_BLOCK_SCHEMA,
+        )
+    )
+    key = lambda r: (r["term"], r["salt"], r["block_no"])  # noqa: E731
+    a = sorted(new.collect(), key=key)
+    b = sorted(old.collect(), key=key)
+    assert len(a) == len(b) and len(a) > 0
+    for ra, rb in zip(a, b):
+        assert ra == rb
