@@ -703,6 +703,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["nrt_delete_bm25"] = nrt_delete
     q["bm25_mm_2of3"] = lambda s, d: _rounded(qx.mm_topk(_engine(s, d), "spark merge window", mm=2))
+    # full Solr mm SPEC grammar (SolrPluginUtils.calculateMinShouldMatch):
+    # 4 optional clauses, "3<-25%" → count>3 so -25% applies → 4-int(1.0)=3
+    q["edismax_mm_spec"] = lambda s, d: _rounded(
+        qx.mm_topk(_engine(s, d), "spark merge window table", mm="3<-25%")
+    )
     q["query_prefix"] = lambda s, d: _rounded(qx.prefix_topk(_engine(s, d), "s"))
     q["query_fuzzy"] = lambda s, d: _rounded(qx.fuzzy_topk(_engine(s, d), "sprk"))
     q["mlt_doc42"] = lambda s, d: _rounded(qx.mlt_topk(_engine(s, d), seed_doc_id=42))
@@ -3715,6 +3720,9 @@ LIMIT 10
         table="(SELECT * FROM documents WHERE doc_id % 7 <> 3)",
     )
     o["bm25_mm_2of3"] = bm25_mm_sql(tok.tokenize_py("spark merge window"), mm=2)
+    # mm spec "3<-25%" over 4 clauses resolves to 3 (parser pinned to the
+    # reference's 41 golden vectors in tests/test_query_extras.py)
+    o["edismax_mm_spec"] = bm25_mm_sql(tok.tokenize_py("spark merge window table"), mm=3)
     o["query_prefix"] = prefix_topk_sql("s")
     o["query_fuzzy"] = fuzzy_topk_sql("sprk")
     o["mlt_doc42"] = mlt_topk_sql(42)

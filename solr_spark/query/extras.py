@@ -162,10 +162,55 @@ def maxscore_topk(engine: SearchEngine, query: str, k: int = 10) -> DataFrame:
     )
 
 
-def mm_topk(engine: SearchEngine, query: str, mm: int, k: int = 10) -> DataFrame:
-    """edismax min-should-match: OR requiring ≥ mm distinct matched terms."""
+def calculate_min_should_match(optional_clause_count: int, spec: str) -> int:
+    """Solr's full mm spec grammar — positive/negative integers,
+    positive/negative percentages, and ``n<spec`` conditionals (largest
+    ``n`` below the clause count wins; clause counts ≤ the smallest
+    ``n`` require ALL clauses). Mirrors the reference arithmetic exactly,
+    including truncation toward zero of the percentage product and the
+    final [0, optionalClauseCount] clamp.
+
+    Ref: ``core/src/java/org/apache/solr/util/SolrPluginUtils.java``
+    ``calculateMinShouldMatch``; golden vectors from its test
+    ``core/src/test/org/apache/solr/util/SolrPluginUtilsTest.java``
+    (testMinShouldMatchCalculator).
+    """
+    import re as _re
+
+    result = optional_clause_count
+    spec = spec.strip()
+    if "<" in spec:
+        spec = _re.sub(r"\s*<\s*", "<", spec)
+        for s in spec.split():
+            parts = s.split("<")
+            if len(parts) < 2 or not parts[0]:
+                raise ValueError(f"Invalid 'mm' spec: {s!r}. Expecting values before and after '<'")
+            upper_bound = int(parts[0])
+            if optional_clause_count <= upper_bound:
+                return result
+            result = calculate_min_should_match(optional_clause_count, parts[1])
+        return result
+    if "%" in spec:
+        percent = int(spec[: spec.index("%")])
+        calc = (result * percent) / 100.0
+        result = result + int(calc) if calc < 0 else int(calc)
+    else:
+        calc = int(spec)
+        result = result + calc if calc < 0 else calc
+    return optional_clause_count if optional_clause_count < result else (0 if result < 0 else result)
+
+
+def mm_topk(engine: SearchEngine, query: str, mm: int | str, k: int = 10) -> DataFrame:
+    """edismax min-should-match: OR requiring ≥ mm distinct matched
+    terms. ``mm`` may be an int or any Solr mm SPEC string (``"75%"``,
+    ``"-25%"``, ``"2<-25% 9<3"`` …) resolved against the analyzed
+    optional-clause count exactly like the reference
+    (``SolrPluginUtils.setMinShouldMatch`` →
+    ``calculateMinShouldMatch``)."""
     stats = engine._term_stats(engine.analyze_query(query))
-    return engine.topk_from_stats(stats, k=k, mode="OR", prune=False, min_match=mm)
+    if isinstance(mm, str):
+        mm = calculate_min_should_match(len(stats), mm)
+    return engine.topk_from_stats(stats, k=k, mode="OR", prune=False, min_match=max(mm, 1))
 
 
 # ---------------------------------------------------------------------------

@@ -34,6 +34,43 @@ def test_mlt_excludes_seed_and_returns_similar(engine):
     assert all(r["doc_id"] != 7 for r in hits)
 
 
+def test_mm_spec_reference_golden_vectors():
+    """Every assertion from the reference's SolrPluginUtilsTest
+    testMinShouldMatchCalculator (core/src/test/org/apache/solr/util/
+    SolrPluginUtilsTest.java), verbatim — integers, percentages with
+    truncation-toward-zero, conditionals, multi-conditionals, clamping."""
+    m = qx.calculate_min_should_match
+    cases = [
+        (5, "0", 0), (5, "0%", 0), (5, " -5 ", 0), (5, "\n -100% \n", 0),
+        (5, " \n3\n ", 3), (5, "-3", 2), (3, "3", 3), (3, "-3", 0),
+        (3, "5", 3), (3, "-5", 0),
+        (3, " \n25% \n", 0), (4, "25%", 1), (5, " 25% ", 1), (10, "25%", 2),
+        (3, " \n-25%\n ", 3), (4, "-25%", 3), (5, "-25%", 4), (10, "-25%", 8),
+        (1, "3<0", 1), (2, "3<0", 2), (3, "3<0", 3), (4, "3<0", 0), (5, "3<0", 0),
+        (1, "3<25%", 1), (2, " 3\n<\n25% ", 2), (3, "3<25%", 3),
+        (4, "\n 3 < \n25%\n ", 1), (5, "3<25%", 1),
+        (1, "\n3 < -25% 10 < -3 \n", 1), (2, " 3 < -25% 10 < -3\n", 2),
+        (3, " 3 < -25% \n 10 < -3 \n", 3), (4, " 3 < -25% 10 < -3 ", 3),
+        (5, " 3 < -25% 10 < -3", 4), (6, "3<-25% 10<-3", 5),
+        (7, " 3 < -25% 10 < -3 ", 6), (8, " 3 < -25% 10 \n < -3\n", 6),
+        (9, " 3 < -25% 10 < -3 \n", 7), (10, " 3 < -25% 10 < -3", 8),
+        (11, "3<-25% 10<-3", 8), (12, "3<-25% 10<-3", 9),
+        (100, "3<-25% 10<-3", 97),
+    ]
+    for n, spec, want in cases:
+        assert m(n, spec) == want, (n, spec, want, m(n, spec))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        m(5, "<50%")
+
+
+def test_mm_spec_string_matches_resolved_int(engine):
+    q = "server client parse"
+    a = [r.asDict() for r in qx.mm_topk(engine, q, mm="2<-34%", k=20).collect()]
+    b = [r.asDict() for r in qx.mm_topk(engine, q, mm=2, k=20).collect()]
+    assert a == b
+
+
 def test_mm_monotone(engine):
     q = "server client parse"
     big = 100_000  # no truncation: supersets must be genuine supersets
