@@ -176,7 +176,8 @@ def main() -> None:
             axis: {
                 k: v
                 for k, v in d.items()
-                if k in ("n_docs", "scaling_efficiency")
+                if k in ("n_docs", "scaling_efficiency",
+                         "efficiency_vs_platform_ceiling")
                 or k.endswith("_docs_per_sec")
             }
             for axis, d in full.items()
