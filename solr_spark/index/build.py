@@ -802,15 +802,19 @@ def _pack_runs_arrow(with_positions: bool, with_payloads: bool):
         dv = pc.dictionary_encode(tcol)
         codes = np.asarray(dv.indices).astype(np.int64)
         salt = np.asarray(tbl.column("salt")).astype(np.int64)
-        order = np.lexsort((salt, codes))  # stable → doc order kept per run
+        doc_key = np.asarray(tbl.column("doc_id")).astype(np.int64)
+        # doc as tertiary sort key: a map partition holding several
+        # parquet files sees them in file order, not doc order — sorting
+        # on doc here guarantees every run is doc-ascending regardless,
+        # so the reducer's repair path never fires for in-region order
+        order = np.lexsort((doc_key, salt, codes))
         c_o, s_o = codes[order], salt[order]
         change = np.empty(n, dtype=bool)
         change[0] = True
         change[1:] = (c_o[1:] != c_o[:-1]) | (s_o[1:] != s_o[:-1])
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], n)
-        nb = len(starts)
-        doc = np.asarray(tbl.column("doc_id")).astype(np.int64)[order]
+        doc = doc_key[order]
         tf = np.asarray(tbl.column("tf")).astype(np.int64)[order]
         dl = np.asarray(tbl.column("doc_len")).astype(np.int64)[order]
         tb = np.asarray(tbl.column("term_bucket")).astype(np.int32)[order]
