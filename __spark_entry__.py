@@ -614,6 +614,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["xmlparser_bool"] = xml_q
 
+    def json_req(s, d):
+        """JSON Request API envelope + JSON Query DSL
+        (request/json/RequestUtil.java, JsonQueryConverter.java):
+        bool query mixing field/lucene/term sub-parsers with a
+        scoreless filter clause, executed by the shared AST compiler."""
+        from solr_spark.plans import execute_ast
+        from solr_spark.query.parser import parse_json_request
+
+        body = {
+            "query": {"bool": {
+                "must": [
+                    {"bool": {"should": [
+                        {"field": {"f": "text", "query": "batch"}},
+                        {"lucene": {"query": "stream^2"}},
+                    ]}},
+                    "spark",
+                ],
+                "must_not": [{"term": {"f": "text", "v": "merge"}}],
+            }},
+            "filter": ["customer"],
+            "limit": 10,
+        }
+        ast, k, _ = parse_json_request(body)
+        return _rounded(execute_ast(_engine(s, d), ast, k=k))
+
+    q["json_request_bool"] = json_req
+
     def switch_q(s, d):
         return _rounded(
             qx.switch_query(
@@ -1076,6 +1103,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["join_orders_rich_customers"] = join_q
+
+    def join_score_q(s, d):
+        """`{!join score=max}` (ScoreJoinQParserPlugin / Lucene JoinUtil
+        ScoreMode.Max): from-side query = urgent orders scored by
+        o_totalprice (function-query score), aggregated per custkey and
+        carried onto the to-side customer docs as their score."""
+        from solr_spark.operators.relational import join_score
+
+        urgent = (
+            _read(s, d, "orders")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_custkey", F.col("o_totalprice").cast("double").alias("score"))
+        )
+        return (
+            join_score(
+                _read(s, d, "customer"), urgent,
+                "o_custkey", "c_custkey", mode="max",
+            )
+            .select(
+                "c_custkey", "c_name",
+                F.round("join_score", 2).alias("join_score"),
+            )
+            .orderBy(F.desc("join_score"), F.asc("c_custkey"))
+            .limit(25)
+        )
+
+    q["join_score_max"] = join_score_q
 
     def graph_q(s, d):
         li = _read(s, d, "lineitem")
@@ -2736,6 +2790,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate_overlap"] = decontaminate_q
 
+    def span_dedup_q(s, d):
+        """C4-style cross-document span dedup: non-overlapping 3-token
+        spans, keep-first by (doc_id, pos), per-doc duplicate counts.
+        Grouping key is xxhash64(span) — the 100 TB shuffle ships 8-byte
+        keys; the oracle groups on the span string itself (equal unless
+        a 64-bit collision)."""
+        from solr_spark.dedup import span_dedup_counts
+
+        return span_dedup_counts(
+            _read(s, d, "documents"), span_tokens=3
+        ).orderBy("doc_id")
+
+    q["span_dedup_c4"] = span_dedup_q
+
     def repetition_q(s, d):
         """Gopher intra-doc repetition rules: duplicate-line fractions +
         top-bigram dominance, explode→two keyed aggregations (map-side
@@ -3468,6 +3536,14 @@ def oracle_sql() -> dict[str, str]:
         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
         ORDER BY o_orderkey LIMIT 100
     """
+    o["join_score_max"] = """
+        SELECT c.c_custkey, c.c_name,
+               ROUND(CAST(max(o.o_totalprice) AS DOUBLE), 2) AS join_score
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY join_score DESC, c.c_custkey ASC LIMIT 25
+    """
     o["graph_2hop_lineitem"] = """
         WITH RECURSIVE edges AS (
           SELECT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
@@ -3680,6 +3756,11 @@ ORDER BY CAST(total AS REAL) DESC, doc_id ASC LIMIT 10
     o["xmlparser_bool"] = boosted_bool_sql(
         {"batch": 1.0, "stream": 2.0, "spark": 1.0},
         must_any=[["batch", "stream"], ["spark"]],
+        not_terms=["merge"],
+    )
+    o["json_request_bool"] = boosted_bool_sql(
+        {"batch": 1.0, "stream": 2.0, "spark": 1.0, "customer": 0.0},
+        must_any=[["batch", "stream"], ["spark"], ["customer"]],
         not_terms=["merge"],
     )
     o["switch_case_query"] = bm25_topk_sql(tok.tokenize_py("spark merge"), "OR")
@@ -3990,6 +4071,23 @@ GROUP BY tok ORDER BY tok
 
     o["analysis_filter_pack"] = filter_pack_sql()
     o["decontaminate_overlap"] = decontaminate_sql("doc_id < 5", "doc_id >= 5", n=4)
+    o["span_dedup_c4"] = r"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+), occ AS (
+  SELECT doc_id, r.i AS pos,
+         array_to_string(toks[CAST(r.i * 3 + 1 AS BIGINT) : CAST(r.i * 3 + 3 AS BIGINT)], ' ') AS span
+  FROM tk, unnest(range(CAST(floor(len(toks) / 3) AS BIGINT))) AS r(i)
+), flagged AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+  FROM occ
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
     from solr_spark.textops import pii_counts_sql, repetition_sql, scrub_pii_sql
 
     o["repetition_features_docs"] = repetition_sql("doc_id < 40")

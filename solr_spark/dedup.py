@@ -640,3 +640,55 @@ def decontaminate_flags(
     bench = F.broadcast(_sh(benchmark, id_col).select("shingle").distinct())
     hits = _sh(corpus, id_col).join(bench, "shingle")
     return hits.groupBy(id_col).agg(F.count("*").cast("long").alias("n_overlap"))
+
+
+# ---------------------------------------------------------------------------
+# cross-document span dedup (C4-style keep-first)
+# ---------------------------------------------------------------------------
+
+
+def span_dedup_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 10,
+) -> DataFrame:
+    """C4-style cross-corpus span dedup: split each document into
+    consecutive NON-overlapping ``span_tokens``-token spans, keep only
+    the globally FIRST occurrence of each span (min ``(doc_id, pos)``),
+    and report per document how many of its spans are duplicates of an
+    earlier occurrence — ``(doc_id, n_spans, n_removed)``. (C4 removed
+    all but one of any three-sentence span occurring more than once;
+    with sentence-free corpora the fixed token window is the standard
+    substitute.)
+
+    Distributed shape: one posexplode → groupBy on ``xxhash64(span)``
+    (8-byte keys shuffle, never the span strings) taking the min
+    (doc, pos) struct as the keeper → join back on the same hash key
+    (co-partitioned with the groupBy — Spark reuses the exchange) →
+    per-doc count aggregation. No window over the global corpus, no
+    driver state; skew is bounded because a span's group is exactly its
+    occurrence list.
+    """
+    W = int(span_tokens)
+    spans = F.expr(
+        f"CASE WHEN size(filter(split({text_col}, '\\\\s+'), t -> t <> '')) >= {W} "
+        f"THEN transform(sequence(0, int(size(filter(split({text_col}, '\\\\s+'), "
+        f"t -> t <> '')) / {W}) - 1), "
+        f"i -> concat_ws(' ', slice(filter(split({text_col}, '\\\\s+'), t -> t <> ''), "
+        f"i * {W} + 1, {W}))) ELSE array() END"
+    )
+    occ = df.select(
+        F.col(id_col), F.posexplode(spans).alias("pos", "span")
+    ).select(id_col, "pos", F.xxhash64("span").alias("h"))
+    keeper = occ.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("keep")
+    )
+    flagged = occ.join(keeper, "h").withColumn(
+        "removed",
+        (F.col("keep.d") != F.col(id_col)) | (F.col("keep.p") != F.col("pos")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("removed").cast("long")).cast("long").alias("n_removed"),
+    )

@@ -713,6 +713,40 @@ def join_filter(docs: DataFrame, other: DataFrame, from_col: str, to_col: str) -
     return docs.join(keys, to_col, "left_semi")
 
 
+def join_score(
+    docs: DataFrame,
+    scored_from: DataFrame,
+    from_col: str,
+    to_col: str,
+    score_col: str = "score",
+    mode: str = "max",
+) -> DataFrame:
+    """``{!join ... score=max|min|avg|total|none}`` — the score-aware
+    cross-core join (ScoreJoinQParserPlugin.java; Lucene
+    ``JoinUtil.createJoinQuery`` ScoreMode). The from-side query's
+    per-row scores are aggregated per join key and the to-side docs
+    carry that aggregate as their score (``none`` keeps filter
+    semantics at score 1.0, the plugin's constant-score path).
+
+    One map-side-combined aggregation over the from side (it is the
+    query result — small), then a key join into the to side; no
+    correlated subquery per doc. The aggregated side is typically
+    broadcastable; Spark's AQE decides.
+    """
+    agg = {
+        "max": F.max, "min": F.min, "avg": F.avg, "total": F.sum,
+        "none": lambda c: F.lit(1.0),
+    }
+    if mode not in agg:
+        raise ValueError(f"score mode must be one of {sorted(agg)}: {mode!r}")
+    keyed = (
+        scored_from.groupBy(F.col(from_col).alias(to_col))
+        .agg(agg[mode](F.col(score_col)).cast("double").alias("join_score"))
+    )
+    out_cols = [c for c in docs.columns if c != score_col]
+    return docs.select(*out_cols).join(keyed, to_col, "inner")
+
+
 def graph_traverse(
     edges: DataFrame,
     src_col: str,

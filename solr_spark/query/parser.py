@@ -720,3 +720,108 @@ def _xml_node(el):
             raise ValueError("unordered SpanNear: use the surround parser (N operator)")
         return PhraseQ(" ".join(terms), slop=int(el.get("slop", "0")), boost=boost)
     raise ValueError(f"unsupported XML query element: {tag}")
+
+
+def parse_json_query(node):
+    """Parse one JSON Query DSL node into the shared boolean AST.
+
+    Reference: the JSON Request API's query converter
+    (``core/src/java/org/apache/solr/request/json/JsonQueryConverter.java``,
+    envelope handling in ``request/json/RequestUtil.java``; docs
+    "JSON Query DSL"). A node is either a bare string (parsed by the
+    default ``lucene`` grammar) or a one-key object
+    ``{"<parser_name>": <params>}``. Mapped parser names:
+
+    - ``lucene``: ``{"query"/"v": str, "q.op": "AND"|"OR"}`` →
+      :func:`parse_lucene`
+    - ``bool``: ``must`` / ``should`` / ``must_not`` / ``filter``
+      clause lists (each entry itself a DSL node); ``filter`` is
+      required-but-scoreless, exactly Lucene's FILTER occur →
+      ``ConstQ(sub, 0.0)`` in ``must`` (BoolQParserPlugin.java)
+    - ``field``: analyzed as one unit — single token → term, several →
+      phrase (FieldQParserPlugin.java semantics)
+    - ``term``: raw, unanalyzed single term (TermQParserPlugin.java)
+    - ``prefix``: ``{"f":..., "query": "sp"}`` → ``sp*``
+      (PrefixQParserPlugin.java)
+
+    A one-key object whose key starts with ``#`` is a *tagged* clause
+    (used by multi-select faceting's ``excludeTags``); the tag is
+    transparent here — the wrapped node is parsed as usual.
+    ``{"param": ...}`` dereference has no request-parameter layer in
+    this engine and raises. Executed by ``plans.execute_ast`` like the
+    lucene / simple / xmlparser front-ends.
+    """
+    if isinstance(node, str):
+        return parse_lucene(node)
+    if not isinstance(node, dict) or len(node) != 1:
+        raise ValueError(f"JSON query node must be a string or one-key object: {node!r}")
+    (name, params), = node.items()
+    if name.startswith("#"):  # tagged clause — tag is facet-domain metadata
+        return parse_json_query(params)
+    if name == "param":
+        raise ValueError("JSON DSL param dereference requires a request-params layer")
+    boost = 1.0
+    if isinstance(params, dict) and "boost" in params and name != "bool":
+        boost = float(params["boost"])
+    if name == "lucene":
+        if isinstance(params, str):
+            return parse_lucene(params)
+        q = params.get("query", params.get("v"))
+        ast = parse_lucene(q, default_op=params.get("q.op", "OR"))
+        if boost != 1.0:
+            ast.boost = getattr(ast, "boost", 1.0) * boost
+        return ast
+    if name == "bool":
+        out = BoolQ(boost=float(params.get("boost", 1.0)))
+
+        def clauses(key):
+            v = params.get(key, [])
+            return v if isinstance(v, list) else [v]
+
+        for sub in clauses("must"):
+            out.must.append(parse_json_query(sub))
+        for sub in clauses("should"):
+            out.should.append(parse_json_query(sub))
+        for sub in clauses("must_not"):
+            out.must_not.append(parse_json_query(sub))
+        for sub in clauses("filter"):
+            out.must.append(ConstQ(parse_json_query(sub), 0.0))
+        return out
+    if name == "field":
+        text = str(params.get("query", params.get("v", "")))
+        f = params.get("f")
+        toks = text.split()
+        if len(toks) <= 1:
+            return TermQ(text.strip(), field=f, boost=boost)
+        return PhraseQ(text, field=f, boost=boost)
+    if name == "term":
+        return TermQ(str(params.get("v", params.get("query", ""))).strip(),
+                     field=params.get("f"), boost=boost)
+    if name == "prefix":
+        return WildQ(str(params.get("query", params.get("v", ""))) + "*", boost=boost)
+    raise ValueError(f"unsupported JSON DSL parser name: {name}")
+
+
+def parse_json_request(body):
+    """Parse a JSON Request API envelope ``{"query": ..., "filter":
+    [...], "limit": N, "offset": N}`` into ``(ast, limit, offset)``.
+
+    Reference: ``request/json/RequestUtil.java`` maps ``query``→``q``,
+    ``filter``→``fq`` (each filter required but scoreless), ``limit``→
+    ``rows``, ``offset``→``start``. ``body`` may be a dict or a JSON
+    string.
+    """
+    import json as _json
+
+    if isinstance(body, str):
+        body = _json.loads(body)
+    ast = parse_json_query(body.get("query", "*:*"))
+    filters = body.get("filter", [])
+    if not isinstance(filters, list):
+        filters = [filters]
+    if filters:
+        if not isinstance(ast, BoolQ) or ast.should and not ast.must:
+            ast = BoolQ(must=[ast])
+        for fq in filters:
+            ast.must.append(ConstQ(parse_json_query(fq), 0.0))
+    return ast, int(body.get("limit", 10)), int(body.get("offset", 0))

@@ -667,3 +667,23 @@ def test_pii_scrub_and_counts(spark):
         assert tuple(vals) == (
             got[i]["n_emails"], got[i]["n_ips"], got[i]["n_phones"]
         ), t
+
+
+def test_span_dedup_keep_first(spark):
+    """C4-style span dedup: the globally FIRST (doc_id, pos) occurrence
+    of a span is kept; all later occurrences count as removed; tail
+    tokens short of a full span never form one."""
+    from solr_spark.dedup import span_dedup_counts
+
+    rows = [
+        (1, "a b c d e f"),        # spans: 'a b c', 'd e f'  (both first)
+        (2, "a b c a b c x"),      # 'a b c' dup, 'a b c' dup again; 'x' = tail
+        (3, "d e f g h i d e f"),  # 'd e f' dup, 'g h i' first, 'd e f' dup
+        (4, "z z"),                # shorter than one span -> no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_removed"])
+        for r in span_dedup_counts(df, span_tokens=3).collect()
+    }
+    assert got == {1: (2, 0), 2: (2, 2), 3: (3, 2)}

@@ -572,3 +572,57 @@ def test_parse_xml_query_shapes():
         parse_xml_query("<ConstantScoreQuery/>")
     with _pytest.raises(ValueError, match="surround"):
         parse_xml_query('<SpanNear inOrder="false"><SpanTerm>a</SpanTerm></SpanNear>')
+
+
+def test_parse_json_query_shapes():
+    """JSON Request API front-end (JsonQueryConverter.java analog):
+    node mapping, filter-occur wrapping, tagged clauses, envelope
+    semantics (no Spark needed — execution shares execute_ast, gated
+    by the json_request_bool oracle entry)."""
+    import pytest as _pytest
+
+    from solr_spark.query.parser import (
+        BoolQ, ConstQ, PhraseQ, TermQ, WildQ,
+        parse_json_query, parse_json_request,
+    )
+
+    # one-key parser objects
+    assert parse_json_query({"term": {"f": "text", "v": "Spark"}}) == TermQ(
+        "Spark", field="text"
+    )
+    assert parse_json_query({"prefix": {"query": "sp"}}) == WildQ("sp*")
+    assert parse_json_query({"field": {"f": "text", "query": "a b"}}) == PhraseQ(
+        "a b", field="text"
+    )
+    assert parse_json_query(
+        {"#myTag": {"term": {"f": "text", "v": "x"}}}
+    ) == TermQ("x", field="text")
+
+    ast = parse_json_query({"bool": {
+        "must": "spark",
+        "must_not": [{"term": {"v": "merge"}}],
+        "filter": [{"lucene": {"query": "batch"}}],
+    }})
+    assert isinstance(ast, BoolQ)
+    filt = ast.must[-1]
+    assert isinstance(filt, ConstQ) and filt.score == 0.0
+
+    # envelope: a pure-should query gets WRAPPED before filters attach
+    # (a doc matching only the filter must not match, per fq semantics)
+    wrapped, k, off = parse_json_request(
+        {"query": {"bool": {"should": ["a", "b"]}},
+         "filter": ["c"], "limit": 7, "offset": 2}
+    )
+    assert (k, off) == (7, 2)
+    assert isinstance(wrapped, BoolQ) and len(wrapped.must) == 2
+    inner, filt = wrapped.must
+    assert isinstance(inner, BoolQ) and len(inner.should) == 2
+    assert isinstance(filt, ConstQ) and filt.score == 0.0
+    assert not wrapped.should
+
+    with _pytest.raises(ValueError, match="param"):
+        parse_json_query({"param": "ref"})
+    with _pytest.raises(ValueError, match="unsupported"):
+        parse_json_query({"edismax": {"query": "x"}})
+    with _pytest.raises(ValueError, match="one-key"):
+        parse_json_query(42)

@@ -231,3 +231,33 @@ def test_json_facet_sort_by_stat(spark):
     rows2 = json_facet_sort_by_stat(df, "k", "v", agg="sum", mincount=2, limit=5).collect()
     assert [r["bucket"] for r in rows2] == ["a", "c"]
     assert rows2[0]["sum_v"] == 30.0
+
+
+def test_join_score_modes(spark, people):
+    """ScoreJoinQParserPlugin ScoreMode semantics: per-key aggregate of
+    the from-side scores carried onto the to side; none = constant 1.0;
+    to-side rows without a from match drop (inner, like the filter)."""
+    from solr_spark.operators.relational import join_score
+
+    # from-side "query result": (g, score) rows, group 0 twice
+    scored = spark.createDataFrame(
+        [(0, 2.0), (0, 4.0), (1, 10.0)], "g long, score double"
+    )
+    to = people.where(F.col("id") < 10)  # grps 0-4, ids 0-9
+
+    def got(mode):
+        return {
+            (r["id"], r["join_score"])
+            for r in join_score(to, scored, "g", "grp", mode=mode).collect()
+        }
+
+    ids0 = {0, 5}  # grp 0
+    ids1 = {1, 6}  # grp 1
+    assert got("max") == {(i, 4.0) for i in ids0} | {(i, 10.0) for i in ids1}
+    assert got("min") == {(i, 2.0) for i in ids0} | {(i, 10.0) for i in ids1}
+    assert got("avg") == {(i, 3.0) for i in ids0} | {(i, 10.0) for i in ids1}
+    assert got("total") == {(i, 6.0) for i in ids0} | {(i, 10.0) for i in ids1}
+    assert got("none") == {(i, 1.0) for i in ids0 | ids1}
+
+    with pytest.raises(ValueError, match="score mode"):
+        join_score(to, scored, "g", "grp", mode="sum")
