@@ -51,6 +51,7 @@ from solr_spark.oracle_sql import (
     ann_topk_sql,
     bm25_mm_sql,
     bm25_topk_sql,
+    boost_expr_sql,
     boost_recip_nchars_sql,
     dismax_sql,
     embedding_lsh_sql,
@@ -783,6 +784,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "boost",
         )
     )
+    def external_boost_q(s, d):
+        """ExternalFileField (schema/ExternalFileField.java +
+        FileFloatSource.java): keyed float file as a function-query
+        boost. The file is synthesized deterministically (keys for
+        doc_id%3!=0, later override lines for doc_id%7==1 exercising
+        FileFloatSource's last-wins read), missing keys take the
+        default 1.0, and BM25('table') is boosted multiplicatively."""
+        import os as _os
+        import tempfile
+
+        from solr_spark.sources.loaders import load_external_floats
+
+        docs = _read(s, d, "documents").select("doc_id")
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+        path = _os.path.join(
+            tempfile.gettempdir(), f"solr_spark_external_{max_id}.txt"
+        )
+        with open(path, "w") as f:
+            f.write("# external_boost=deterministic test file\n")
+            for i in range(max_id + 1):
+                if i % 3 != 0:
+                    f.write(f"{i}={((i * 7) % 100) / 10.0 + 0.5}\n")
+            for i in range(max_id + 1):  # later lines win (FileFloatSource)
+                if i % 3 != 0 and i % 7 == 1:
+                    f.write(f"{i}={((i * 7) % 100) / 10.0 + 2.5}\n")
+        ext = load_external_floats(s, path)
+        boost_df = docs.join(ext, "doc_id", "left").select(
+            "doc_id", F.coalesce("ext_val", F.lit(1.0)).alias("boost")
+        )
+        return _rounded(qx.boost_topk(_engine(s, d), "table", boost_df, "boost"))
+
+    q["external_file_boost"] = external_boost_q
+
     q["dismax_text_source"] = lambda s, d: _rounded(
         qx.dismax_topk(
             {"text": _engine(s, d), "source": _engine_field(s, d, "source")},
@@ -2906,6 +2940,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_scrub_docs"] = pii_q
 
+    def lm_q(s, d):
+        """CCNet-style LM quality score: corpus-trained Laplace bigram
+        model, per-doc mean negative log-probability (nats). Model
+        tables are vocabulary-sized -> broadcast joins; scoring is one
+        exploded pass + one per-doc aggregation."""
+        from solr_spark.textops import bigram_lm_scores
+
+        return bigram_lm_scores(_read(s, d, "documents")).orderBy("doc_id")
+
+    q["lm_perplexity_docs"] = lm_q
+
     def parse_csv_stream_q(s, d):
         """parseCSV / parseTSV stream evaluators (solrj-streaming
         io/stream/CsvStream.java, TsvStream.java): split a delimited
@@ -3844,6 +3889,13 @@ GROUP BY 1 ORDER BY weight DESC, suggestion ASC LIMIT 5
         tok.tokenize_py("table row"), tok.tokenize_py("merge table"), k=10
     )
     o["boost_by_recip_nchars"] = boost_recip_nchars_sql(tok.tokenize_py("table"))
+    o["external_file_boost"] = boost_expr_sql(
+        tok.tokenize_py("table"),
+        "CASE WHEN doc_id % 3 <> 0 AND doc_id % 7 = 1 "
+        "THEN ((doc_id * 7) % 100) / 10.0 + 2.5 "
+        "WHEN doc_id % 3 <> 0 THEN ((doc_id * 7) % 100) / 10.0 + 0.5 "
+        "ELSE 1.0 END",
+    )
     o["dismax_text_source"] = dismax_sql(
         tok.tokenize_py("src3 spark"), tok.tokenize_py("src3 spark"), tie=0.1
     )
@@ -4088,7 +4140,9 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
        CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
 FROM flagged GROUP BY doc_id ORDER BY doc_id
 """
-    from solr_spark.textops import pii_counts_sql, repetition_sql, scrub_pii_sql
+    from solr_spark.textops import (
+        bigram_lm_sql, pii_counts_sql, repetition_sql, scrub_pii_sql,
+    )
 
     o["repetition_features_docs"] = repetition_sql("doc_id < 40")
     o["bmp_decode_stats"] = """
@@ -4117,6 +4171,7 @@ FROM smp GROUP BY doc_id ORDER BY doc_id
         "'.7 tel 555-123-4567'"
     )
     _pii_cs = pii_counts_sql(_pii_inj)
+    o["lm_perplexity_docs"] = bigram_lm_sql()
     o["pii_scrub_docs"] = f"""
         SELECT doc_id,
                CAST(length({scrub_pii_sql(_pii_inj)}) AS INT) AS len_scrubbed,

@@ -718,6 +718,20 @@ FROM sc JOIN documents USING (doc_id)
 ORDER BY {boosted} DESC, sc.doc_id ASC LIMIT {k}"""
 
 
+def boost_expr_sql(terms: list[str], boost_expr: str, k: int = 10,
+                   chain: AnalyzerChain = CODE_CHAIN) -> str:
+    """Boost query oracle with an arbitrary SQL boost expression over the
+    joined ``documents`` row (ExternalFileField-style function boosts):
+    score = f32(f32(bm25) * boost_expr)."""
+    boosted = (f"CAST(CAST(CAST(score_raw AS REAL) AS DOUBLE)"
+               f" * ({boost_expr}) AS REAL)")
+    return f"""WITH {_prelude(chain)},
+{_scored('sc', _inlist(terms))}
+SELECT sc.doc_id, ROUND(CAST({boosted} AS DOUBLE), 4) AS score
+FROM sc JOIN documents USING (doc_id)
+ORDER BY {boosted} DESC, sc.doc_id ASC LIMIT {k}"""
+
+
 def rank_boost_log_sql(terms: list[str], weight: float, scaling: float,
                        k: int = 10, chain: AnalyzerChain = CODE_CHAIN) -> str:
     """{!rank function=log} combined additively with BM25 (rank_boost_topk

@@ -313,3 +313,40 @@ def parse_graphml_response(spark: SparkSession, payload: str) -> DataFrame:
         for e in root.iter(f"{ns}edge")
     ]
     return spark.createDataFrame(rows, schema="src string, dst string")
+
+
+def load_external_floats(
+    spark: SparkSession,
+    path: str,
+    key_col: str = "doc_id",
+    val_col: str = "ext_val",
+) -> DataFrame:
+    """ExternalFileField's keyed float file (``schema/ExternalFileField
+    .java`` + ``search/function/FileFloatSource.java``): one ``key=value``
+    per line, ``#`` comments and malformed lines skipped, and when a key
+    repeats the LAST line wins (FileFloatSource reads the file top to
+    bottom, later entries overwrite). Returns ``(key_col long, val_col
+    double)`` for use as a function-query operand (the classic external
+    page-rank / CTR boost).
+
+    Distributed read: ``spark.read.text`` scans the file(s) in
+    parallel; last-wins uses the line's byte order via a max(struct)
+    aggregation, not a window.
+    """
+    lines = spark.read.text(path).select(
+        F.monotonically_increasing_id().alias("seq"), F.col("value")
+    )
+    parsed = (
+        lines.where(~F.col("value").startswith("#"))
+        .select(
+            "seq",
+            F.regexp_extract("value", r"^\s*(-?\d+)=(-?\d+(?:\.\d+)?)\s*$", 1).alias("k"),
+            F.regexp_extract("value", r"^\s*(-?\d+)=(-?\d+(?:\.\d+)?)\s*$", 2).alias("v"),
+        )
+        .where(F.col("k") != "")
+    )
+    return (
+        parsed.groupBy(F.col("k").cast("long").alias(key_col))
+        .agg(F.max(F.struct("seq", "v")).alias("last"))
+        .select(key_col, F.col("last.v").cast("double").alias(val_col))
+    )

@@ -400,3 +400,87 @@ def pii_counts_sql(text_expr: str) -> dict[str, str]:
         "n_ips": f"len(regexp_extract_all({no_email}, '{PII_IP_RE}'))",
         "n_phones": f"len(regexp_extract_all({no_ip}, '{PII_PHONE_RE}'))",
     }
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM cross-entropy (CCNet-style LM quality score)
+# ---------------------------------------------------------------------------
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document language-model quality score — the CCNet recipe
+    (score each document by LM cross-entropy, bucket the corpus by it)
+    with the KenLM replaced by a corpus-trained Laplace-smoothed bigram
+    model: ``P(w2|w1) = (C(w1 w2) + α) / (C(w1 ·) + α·V)`` where
+    ``C(w1 ·)`` is the bigram-context count and ``V`` the corpus
+    vocabulary size. Returns ``(doc_id, n_bigrams, cross_entropy)`` —
+    mean negative log-probability in nats; docs under 2 tokens drop.
+
+    Distributed shape: ONE exploded bigram-occurrence frame feeds both
+    the model counts and the scoring pass. The model tables are
+    vocabulary-sized (tiny next to the corpus — Heaps' law), so the
+    scoring joins broadcast; the vocabulary scalar V joins as a
+    broadcast 1-row frame, not a driver collect. At 100 TB: train the
+    counts on a fixed reference slice instead of the full corpus and
+    the scoring pass becomes map-only + broadcast joins.
+    """
+    toks = F.expr(f"filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')")
+    base = df.select(F.col(id_col), toks.alias("tk"))
+    occ = base.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)), "
+                "slice(tk, 2, greatest(size(tk) - 1, 0)), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("b"),
+    ).select(id_col, "b.w1", "b.w2")
+    c12 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = base.select(F.explode("tk").alias("w")).agg(
+        F.countDistinct("w").alias("V")
+    )
+    a = float(alpha)
+    scored = (
+        occ.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "nll",
+            -F.log((F.col("c12") + F.lit(a)) / (F.col("c1") + F.lit(a) * F.col("V"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("nll"), 5).alias("cross_entropy"),
+    )
+
+
+def bigram_lm_sql(where: str = "TRUE", alpha: float = 1.0) -> str:
+    """DuckDB twin of :func:`bigram_lm_scores` over ``documents``."""
+    a = float(alpha)
+    return f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents WHERE {where}
+), occ AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM tk, unnest(range(1, len(t))) AS r(i)
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM occ GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM occ GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT w) AS V FROM (SELECT unnest(t) AS w FROM tk)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(-ln((c12.c12 + {a}) / (c1.c1 + {a} * v.V))), 5) AS cross_entropy
+FROM occ JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY doc_id ORDER BY doc_id
+""".strip()

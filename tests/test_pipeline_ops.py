@@ -687,3 +687,35 @@ def test_span_dedup_keep_first(spark):
         for r in span_dedup_counts(df, span_tokens=3).collect()
     }
     assert got == {1: (2, 0), 2: (2, 2), 3: (3, 2)}
+
+
+def test_bigram_lm_crossentropy_python_oracle(spark):
+    """Laplace bigram LM: engine cross-entropy equals the pure-Python
+    computation on a tiny corpus; 1-token docs drop."""
+    import math
+    from collections import Counter
+
+    from solr_spark.textops import bigram_lm_scores
+
+    rows = [(1, "a b a b c"), (2, "b c b"), (3, "a"), (4, "c a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    toks = {i: t.split() for i, t in rows}
+    occ = [(w1, w2) for t in toks.values() for w1, w2 in zip(t, t[1:])]
+    c12, c1 = Counter(occ), Counter(w1 for w1, _ in occ)
+    V = len({w for t in toks.values() for w in t})
+
+    def ce(t):
+        pairs = list(zip(t, t[1:]))
+        return sum(
+            -math.log((c12[p] + 1.0) / (c1[p[0]] + 1.0 * V)) for p in pairs
+        ) / len(pairs)
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["cross_entropy"])
+        for r in bigram_lm_scores(df).collect()
+    }
+    assert set(got) == {1, 2, 4}  # doc 3 has no bigram
+    for i in (1, 2, 4):
+        assert got[i][0] == len(toks[i]) - 1
+        assert got[i][1] == pytest.approx(round(ce(toks[i]), 5), abs=1e-9)

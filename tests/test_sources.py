@@ -249,3 +249,26 @@ def test_graphml_response_roundtrip(spark):
     assert got == {("a<1", "b&2"), ("a<1", 'c"3'), ("b&2", 'c"3')}
     # node list is deduped: 3 distinct vertices despite 6 endpoint slots
     assert payload.count("<node ") == 3
+
+
+def test_load_external_floats_last_wins(spark, tmp_path):
+    """ExternalFileField file parse: key=value lines, # comments and
+    malformed lines skipped, repeated key -> LAST value wins
+    (FileFloatSource.java read order)."""
+    from solr_spark.sources.loaders import load_external_floats
+
+    p = tmp_path / "external_rank.txt"
+    p.write_text(
+        "# comment line\n"
+        "1=0.5\n"
+        "2=1.25\n"
+        "garbage line\n"
+        "3=oops\n"
+        "1=9.0\n"
+        "-4=-2.5\n"
+    )
+    got = {
+        r["doc_id"]: r["ext_val"]
+        for r in load_external_floats(spark, str(p)).collect()
+    }
+    assert got == {1: 9.0, 2: 1.25, -4: -2.5}
