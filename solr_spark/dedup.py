@@ -662,13 +662,16 @@ def span_dedup_counts(
     with sentence-free corpora the fixed token window is the standard
     substitute.)
 
-    Distributed shape: one posexplode → groupBy on ``xxhash64(span)``
-    (8-byte keys shuffle, never the span strings) taking the min
-    (doc, pos) struct as the keeper → join back on the same hash key
-    (co-partitioned with the groupBy — Spark reuses the exchange) →
-    per-doc count aggregation. No window over the global corpus, no
-    driver state; skew is bounded because a span's group is exactly its
-    occurrence list.
+    Distributed shape: the corpus is exploded ONCE; the occurrence
+    stream immediately pre-aggregates to one row per ``(span_hash,
+    doc)`` — min pos + count, with map-side partial aggregation — so
+    every later exchange and join moves aggregated rows, never raw
+    occurrences (and never the span strings: the key is
+    ``xxhash64(span)``, 8 bytes at 100 TB). The keeper (global min
+    ``(doc, pos)`` per hash) reduces that frame again and joins back on
+    the hash key. No window over the global corpus, no driver state,
+    no second scan of the text; skew is bounded because a span's group
+    is exactly its occurrence list.
     """
     W = int(span_tokens)
     spans = F.expr(
@@ -681,14 +684,21 @@ def span_dedup_counts(
     occ = df.select(
         F.col(id_col), F.posexplode(spans).alias("pos", "span")
     ).select(id_col, "pos", F.xxhash64("span").alias("h"))
-    keeper = occ.groupBy("h").agg(
-        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("keep")
+    per_doc = occ.groupBy("h", id_col).agg(
+        F.min("pos").alias("first_pos"), F.count(F.lit(1)).alias("cnt")
     )
-    flagged = occ.join(keeper, "h").withColumn(
+    keeper = per_doc.groupBy("h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("first_pos").alias("p"))
+        ).alias("keep")
+    )
+    flagged = per_doc.join(keeper, "h").withColumn(
         "removed",
-        (F.col("keep.d") != F.col(id_col)) | (F.col("keep.p") != F.col("pos")),
+        F.when(F.col("keep.d") == F.col(id_col), F.col("cnt") - 1).otherwise(
+            F.col("cnt")
+        ),
     )
     return flagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_spans"),
-        F.sum(F.col("removed").cast("long")).cast("long").alias("n_removed"),
+        F.sum("cnt").cast("long").alias("n_spans"),
+        F.sum("removed").cast("long").alias("n_removed"),
     )

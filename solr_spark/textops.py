@@ -421,13 +421,16 @@ def bigram_lm_scores(
     vocabulary size. Returns ``(doc_id, n_bigrams, cross_entropy)`` —
     mean negative log-probability in nats; docs under 2 tokens drop.
 
-    Distributed shape: ONE exploded bigram-occurrence frame feeds both
-    the model counts and the scoring pass. The model tables are
-    vocabulary-sized (tiny next to the corpus — Heaps' law), so the
-    scoring joins broadcast; the vocabulary scalar V joins as a
-    broadcast 1-row frame, not a driver collect. At 100 TB: train the
-    counts on a fixed reference slice instead of the full corpus and
-    the scoring pass becomes map-only + broadcast joins.
+    Distributed shape: the bigram model needs ONE aggregation — the
+    context counts are the bigram counts re-summed over ``w2``
+    (``C(w1 ·) = Σ_w2 C(w1 w2)``, an aggregation over the already
+    vocabulary²-sized table, not a second corpus scan). The model
+    tables are vocabulary-sized (tiny next to the corpus — Heaps'
+    law), so the scoring joins broadcast; the vocabulary scalar V
+    joins as a broadcast 1-row frame, not a driver collect. At
+    100 TB: train the counts on a fixed reference slice instead of
+    the full corpus and the scoring pass becomes map-only +
+    broadcast joins.
     """
     toks = F.expr(f"filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')")
     base = df.select(F.col(id_col), toks.alias("tk"))
@@ -442,7 +445,7 @@ def bigram_lm_scores(
         ).alias("b"),
     ).select(id_col, "b.w1", "b.w2")
     c12 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = base.select(F.explode("tk").alias("w")).agg(
         F.countDistinct("w").alias("V")
     )
