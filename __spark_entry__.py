@@ -52,6 +52,7 @@ from solr_spark.oracle_sql import (
     bm25_mm_sql,
     bm25_topk_sql,
     boost_expr_sql,
+    bm25_topk_numfound_sql,
     boost_recip_nchars_sql,
     dismax_sql,
     embedding_lsh_sql,
@@ -232,6 +233,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- full-text engine (index build + BM25 top-k) ---
     q["bm25_top10_or"] = lambda s, d: _bm25(s, d, _Q_OR, "OR")
+
+    def numfound_q(s, d):
+        """numFound/numFoundExact on the response (minExactCount unset
+        -> exact hit count, QueryComponent.java:448): top-10 rows each
+        carrying the exact matching-doc count. The bounded
+        (numFoundExact=false) path is pytest-gated -- its count depends
+        on the pruning threshold, which SQL cannot replay."""
+        return _engine(s, d).search_with_numfound(_Q_OR, k=10, mode="OR").select(
+            "doc_id", F.round(F.col("score").cast("double"), 4).alias("score"),
+            "num_found", "num_found_exact"
+        )
+
+    q["numfound_exact_topk"] = numfound_q
     q["bm25_top10_and"] = lambda s, d: _bm25(s, d, _Q_AND, "AND")
     q["bm25_hot_term"] = lambda s, d: _bm25(s, d, _Q_HOT, "OR")
 
@@ -3385,6 +3399,7 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["bm25_top10_or"] = bm25_topk_sql(tok.tokenize_py(_Q_OR), "OR")
+    o["numfound_exact_topk"] = bm25_topk_numfound_sql(tok.tokenize_py(_Q_OR), "OR")
     o["bm25_top10_and"] = bm25_topk_sql(tok.tokenize_py(_Q_AND), "AND")
     o["bm25_hot_term"] = bm25_topk_sql(tok.tokenize_py(_Q_HOT), "OR")
     o["term_dict_top20"] = term_dict_sql(order="df DESC, term ASC", limit=20)

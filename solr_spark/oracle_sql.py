@@ -583,6 +583,55 @@ def _inlist(terms: list[str]) -> str:
     return "(" + ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms))) + ")"
 
 
+def bm25_topk_numfound_sql(
+    terms: list[str],
+    mode: str = "OR",
+    k: int = 10,
+    chain: AnalyzerChain = CODE_CHAIN,
+) -> str:
+    """bm25_topk_sql + Solr's response hit count: every row carries
+    num_found (exact matching-doc count) and num_found_exact=TRUE —
+    the minExactCount=unset contract (QueryComponent.java:448)."""
+    uniq = sorted(set(terms))
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    toks = chain.duckdb_tokens_select("documents", "doc_id", "text")
+    and_filter = f"WHERE nt = {len(uniq)}" if mode == "AND" else ""
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc_id, tok FROM {toks} t
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ({term_list}) GROUP BY doc_id, tok
+),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id,
+         SUM( ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) ) AS score_raw,
+         COUNT(*) AS nt
+  FROM tf
+  JOIN dfreq USING (tok)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       ROUND(CAST(CAST(score_raw AS REAL) AS DOUBLE), 4) AS score,
+       (SELECT CAST(count(*) AS BIGINT) FROM scored {and_filter}) AS num_found,
+       TRUE AS num_found_exact
+FROM scored
+{and_filter}
+ORDER BY CAST(score_raw AS REAL) DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 _RANKED = """SELECT doc_id, ROUND(CAST(CAST(score_raw AS REAL) AS DOUBLE), 4) AS score
 FROM {src} {flt}
 ORDER BY CAST(score_raw AS REAL) DESC, doc_id ASC

@@ -273,6 +273,60 @@ class SearchEngine:
             stats, k=k, mode=mode, prune=prune, n_query_terms=len(set(terms))
         )
 
+    def search_with_numfound(
+        self,
+        query_text: str,
+        k: int = 10,
+        mode: str = "OR",
+        min_exact_count: int | None = None,
+    ) -> DataFrame:
+        """Top-k plus Solr's response hit count: every row carries
+        ``num_found`` and ``num_found_exact`` (the ``minExactCount``
+        contract — ``QueryComponent.java:448``, threshold constant
+        ``common/params/CommonParams.java:186``).
+
+        ``min_exact_count=None`` (Solr's default, Integer.MAX_VALUE) →
+        exact count of matching docs over UNPRUNED postings,
+        ``num_found_exact=true``. ``min_exact_count <= k`` → the count
+        is the survivor count of the same rank-safe block-max-pruned
+        decode the top-k uses: a true LOWER bound ≥ k (pruning only
+        drops blocks that cannot reach the top-k), reported with
+        ``num_found_exact=false`` — Lucene's totalHitsThreshold
+        behavior. Values between k and the corpus size fall back to the
+        exact path (a collector can stop counting mid-stream; a batch
+        aggregation cannot).
+
+        The count is one extra aggregation job; its result is attached
+        as a literal column so the top-k plan itself is unchanged.
+        """
+        terms = self.analyze_query(query_text)
+        stats = self._term_stats(terms)
+        n_q = len(set(terms))
+        top = self.topk_from_stats(stats, k=k, mode=mode, n_query_terms=n_q)
+        bounded = min_exact_count is not None and min_exact_count <= k
+        if not stats or (mode == "AND" and len(stats) < n_q):
+            nf, nfe = 0, True
+        else:
+            if bounded and mode == "AND" and len(stats) > 1:
+                blocks = self._and_pruned_blocks(stats, k)
+            elif bounded and mode == "OR" and k <= self._MAX_PRUNE_K:
+                theta = self._or_theta(stats, k)
+                blocks = self._or_pruned_from(
+                    stats, theta, self._blocks_for([s.term for s in stats])
+                )
+            else:
+                bounded = False
+                blocks = self._blocks_for([s.term for s in stats])
+            agg = self.score_all(stats, blocks=blocks)
+            if mode == "AND":
+                agg = agg.where(F.col("n_terms") == F.lit(len(stats)))
+            nf, nfe = agg.count(), not bounded
+        return top.select(
+            "doc_id", "score",
+            F.lit(int(nf)).cast("long").alias("num_found"),
+            F.lit(bool(nfe)).alias("num_found_exact"),
+        )
+
     def score_all(self, stats: list[TermStats], blocks: DataFrame | None = None) -> DataFrame:
         """Unlimited per-doc scores: (doc_id, score_raw double, n_terms).
 

@@ -626,3 +626,21 @@ def test_parse_json_query_shapes():
         parse_json_query({"edismax": {"query": "x"}})
     with _pytest.raises(ValueError, match="one-key"):
         parse_json_query(42)
+
+
+def test_search_with_numfound_contract(engine):
+    """minExactCount contract: default -> exact count, flagged exact;
+    min_exact_count<=k -> a lower bound in [k_returned, exact], flagged
+    inexact; the top-k rows themselves are identical either way."""
+    exact = engine.search_with_numfound("import", k=5).collect()
+    assert exact, "hot term must match"
+    nf = {r["num_found"] for r in exact}
+    assert len(nf) == 1 and all(r["num_found_exact"] for r in exact)
+    nf_exact = nf.pop()
+    assert nf_exact >= len(exact)
+
+    bounded = engine.search_with_numfound("import", k=5, min_exact_count=5).collect()
+    assert [r["doc_id"] for r in bounded] == [r["doc_id"] for r in exact]
+    assert all(not r["num_found_exact"] for r in bounded)
+    nb = bounded[0]["num_found"]
+    assert len(bounded) <= nb <= nf_exact
