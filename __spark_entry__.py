@@ -2965,6 +2965,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_perplexity_docs"] = lm_q
 
+    def gopher_q(s, d):
+        """Gopher hard filters (Rae et al. 2021 A.1.1): per-doc rule
+        flags + combined keep decision, map-only column expressions."""
+        from solr_spark.textops import gopher_filter_flags
+
+        return gopher_filter_flags(
+            _read(s, d, "documents"), "doc_id", "text"
+        ).orderBy("doc_id")
+
+    q["gopher_filter_flags"] = gopher_q
+
     def parse_csv_stream_q(s, d):
         """parseCSV / parseTSV stream evaluators (solrj-streaming
         io/stream/CsvStream.java, TsvStream.java): split a delimited
@@ -4156,7 +4167,8 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
 FROM flagged GROUP BY doc_id ORDER BY doc_id
 """
     from solr_spark.textops import (
-        bigram_lm_sql, pii_counts_sql, repetition_sql, scrub_pii_sql,
+        bigram_lm_sql, gopher_filter_sql, pii_counts_sql, repetition_sql,
+        scrub_pii_sql,
     )
 
     o["repetition_features_docs"] = repetition_sql("doc_id < 40")
@@ -4187,6 +4199,7 @@ FROM smp GROUP BY doc_id ORDER BY doc_id
     )
     _pii_cs = pii_counts_sql(_pii_inj)
     o["lm_perplexity_docs"] = bigram_lm_sql()
+    o["gopher_filter_flags"] = gopher_filter_sql()
     o["pii_scrub_docs"] = f"""
         SELECT doc_id,
                CAST(length({scrub_pii_sql(_pii_inj)}) AS INT) AS len_scrubbed,

@@ -487,3 +487,99 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM occ JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
 GROUP BY doc_id ORDER BY doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Gopher hard filters (rule flags over the quality features)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WL = 3.0
+GOPHER_MAX_MEAN_WL = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.10
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_filter_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher's document-level hard filters (Rae et al. 2021 §A.1.1, the
+    rule set every web-corpus pipeline since reuses) as per-doc boolean
+    columns plus the combined keep decision:
+
+    - ``ok_word_count``: 50 ≤ words ≤ 100k
+    - ``ok_mean_word_len``: mean word length in [3, 10]
+    - ``ok_symbol_ratio``: symbol(non-word, non-space) chars / chars < 0.1
+    - ``ok_stopwords``: ≥ 2 DISTINCT English stopwords present (the
+      "stop word" fluency requirement)
+    - ``keep`` = all of the above
+
+    Map-only column expressions (one corpus scan, no shuffle, no
+    Python) — composes with :func:`repetition_features` for the
+    repetition rules, which need their own keyed aggregations.
+    """
+    c = F.col(text_col)
+    words = F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+    n_words = F.size(words).cast("double")
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0.0), lambda a, w: a + F.length(w)) / n_words,
+    ).otherwise(F.lit(0.0))
+    n_chars = F.length(c).cast("double")
+    sym_ratio = F.when(
+        n_chars > 0, F.regexp_count(c, F.lit(r"[^\w\s]")).cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    n_stop_distinct = F.size(
+        F.array_distinct(
+            F.filter(
+                F.transform(words, F.lower),
+                lambda t: t.isin(list(QUALITY_STOPWORDS)),
+            )
+        )
+    )
+    ok_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_wl = (mean_wl >= GOPHER_MIN_MEAN_WL) & (mean_wl <= GOPHER_MAX_MEAN_WL)
+    ok_sym = sym_ratio < GOPHER_MAX_SYMBOL_RATIO
+    ok_stop = n_stop_distinct >= GOPHER_MIN_STOPWORDS
+    return df.select(
+        F.col(id_col),
+        ok_wc.alias("ok_word_count"),
+        ok_wl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_wl & ok_sym & ok_stop).alias("keep"),
+    )
+
+
+def gopher_filter_sql(where: str = "TRUE") -> str:
+    """DuckDB twin of :func:`gopher_filter_flags` over ``documents``."""
+    words = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+    n_words = f"CAST(len({words}) AS DOUBLE)"
+    mean_wl = (
+        f"CASE WHEN {n_words} > 0 THEN "
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({words}, w -> CAST(length(w) AS DOUBLE))), (a,b) -> a+b)"
+        f" / {n_words} ELSE 0.0 END"
+    )
+    n_chars = "CAST(length(text) AS DOUBLE)"
+    sym_ratio = (
+        f"CASE WHEN {n_chars} > 0 THEN "
+        rf"CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / {n_chars} "
+        f"ELSE 0.0 END"
+    )
+    stops = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    n_stop = (
+        f"len(list_distinct(list_filter(list_transform({words}, w -> lower(w)), "
+        f"t -> t IN ({stops}))))"
+    )
+    return f"""
+SELECT doc_id,
+  ({n_words} >= {GOPHER_MIN_WORDS} AND {n_words} <= {GOPHER_MAX_WORDS}) AS ok_word_count,
+  (({mean_wl}) >= {GOPHER_MIN_MEAN_WL} AND ({mean_wl}) <= {GOPHER_MAX_MEAN_WL}) AS ok_mean_word_len,
+  (({sym_ratio}) < {GOPHER_MAX_SYMBOL_RATIO}) AS ok_symbol_ratio,
+  ({n_stop} >= {GOPHER_MIN_STOPWORDS}) AS ok_stopwords,
+  (({n_words} >= {GOPHER_MIN_WORDS} AND {n_words} <= {GOPHER_MAX_WORDS})
+   AND (({mean_wl}) >= {GOPHER_MIN_MEAN_WL} AND ({mean_wl}) <= {GOPHER_MAX_MEAN_WL})
+   AND (({sym_ratio}) < {GOPHER_MAX_SYMBOL_RATIO})
+   AND ({n_stop} >= {GOPHER_MIN_STOPWORDS})) AS keep
+FROM documents WHERE {where} ORDER BY doc_id
+""".strip()

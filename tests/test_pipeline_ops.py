@@ -719,3 +719,24 @@ def test_bigram_lm_crossentropy_python_oracle(spark):
     for i in (1, 2, 4):
         assert got[i][0] == len(toks[i]) - 1
         assert got[i][1] == pytest.approx(round(ce(toks[i]), 5), abs=1e-9)
+
+
+def test_gopher_filter_flags_rules(spark):
+    """Each Gopher rule trips independently and keep is the conjunction."""
+    from solr_spark.textops import gopher_filter_flags
+
+    good = "the and of " + " ".join(f"word{i}" for i in range(60))
+    rows = [
+        (1, good),                                        # passes all
+        (2, "the and " + "w " * 10),                      # too few words
+        (3, "the and of " + "ab " * 60),                  # mean word len < 3
+        (4, "the and of " + " ".join("!!!word%d!!!" % i for i in range(60))),  # symbols
+        (5, " ".join(f"word{i}" for i in range(60))),     # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_filter_flags(df, "doc_id", "text").collect()}
+    assert got[1]["keep"]
+    assert not got[2]["ok_word_count"] and not got[2]["keep"]
+    assert not got[3]["ok_mean_word_len"] and not got[3]["keep"]
+    assert not got[4]["ok_symbol_ratio"] and not got[4]["keep"]
+    assert not got[5]["ok_stopwords"] and not got[5]["keep"]
