@@ -2976,6 +2976,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gopher_filter_flags"] = gopher_q
 
+    def corpus_mix_q(s, d):
+        """Training-mix analysis: per-language corpus share — doc/token/
+        char volumes plus the token-count distribution (exact p50/p95;
+        at 100 TB swap F.percentile for percentile_approx and the group
+        agg stays one shuffle)."""
+        from solr_spark.textops import token_count_ws
+
+        base = _read(s, d, "documents").select(
+            "lang",
+            token_count_ws(F.col("text")).alias("ntok"),
+            F.length("text").cast("long").alias("nch"),
+        )
+        return (
+            base.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("ntok").cast("long").alias("n_tokens"),
+                F.round(F.avg("ntok"), 4).alias("mean_tokens"),
+                F.round(F.percentile("ntok", 0.5), 4).alias("p50_tokens"),
+                F.round(F.percentile("ntok", 0.95), 4).alias("p95_tokens"),
+                F.sum("nch").cast("long").alias("n_chars"),
+            )
+            .orderBy("lang")
+        )
+
+    q["corpus_mix_by_lang"] = corpus_mix_q
+
     def parse_csv_stream_q(s, d):
         """parseCSV / parseTSV stream evaluators (solrj-streaming
         io/stream/CsvStream.java, TsvStream.java): split a delimited
@@ -4200,6 +4227,20 @@ FROM smp GROUP BY doc_id ORDER BY doc_id
     _pii_cs = pii_counts_sql(_pii_inj)
     o["lm_perplexity_docs"] = bigram_lm_sql()
     o["gopher_filter_flags"] = gopher_filter_sql()
+    _ws_tok = r"CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT)"
+    o["corpus_mix_by_lang"] = f"""
+        WITH base AS (
+          SELECT lang, {_ws_tok} AS ntok, CAST(length(text) AS BIGINT) AS nch
+          FROM documents
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS n_tokens,
+               ROUND(avg(ntok), 4) AS mean_tokens,
+               ROUND(quantile_cont(ntok, 0.5), 4) AS p50_tokens,
+               ROUND(quantile_cont(ntok, 0.95), 4) AS p95_tokens,
+               CAST(sum(nch) AS BIGINT) AS n_chars
+        FROM base GROUP BY lang ORDER BY lang
+    """
     o["pii_scrub_docs"] = f"""
         SELECT doc_id,
                CAST(length({scrub_pii_sql(_pii_inj)}) AS INT) AS len_scrubbed,
