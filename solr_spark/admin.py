@@ -96,3 +96,46 @@ def analysis_stages(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def segments_info(index) -> DataFrame:
+    """Physical index layout (SegmentsInfoRequestHandler analog — ref:
+    ``handler/admin/SegmentsInfoRequestHandler.java``, test
+    ``handler/admin/SegmentsInfoRequestHandlerTest.java``): one row per
+    on-disk stage — ``(stage, n_files, n_dirs, bytes)`` — plus a row per
+    blocks term-bucket partition so merge/skew health is visible (the
+    reference reports per-segment sizes for the same reason).
+
+    Driver-side directory walk, like the reference handler: it reads
+    file METADATA (names + sizes), never file contents — O(files) on
+    the driver regardless of corpus size; the result is returned as a
+    (tiny) DataFrame for composability.
+    """
+    import os
+
+    rows = []
+    for stage in sorted(os.listdir(index.dir)):
+        p = os.path.join(index.dir, stage)
+        if not os.path.isdir(p):
+            continue
+        n_files = n_dirs = total = 0
+        for root, dirs, files in os.walk(p):
+            n_dirs += len(dirs)
+            for fn in files:
+                n_files += 1
+                total += os.path.getsize(os.path.join(root, fn))
+        rows.append((stage, n_files, n_dirs, total))
+        if stage == "blocks":
+            for sub in sorted(os.listdir(p)):
+                sp = os.path.join(p, sub)
+                if not os.path.isdir(sp) or "=" not in sub:
+                    continue
+                bf = bb = 0
+                for root, _, files in os.walk(sp):
+                    for fn in files:
+                        bf += 1
+                        bb += os.path.getsize(os.path.join(root, fn))
+                rows.append((f"blocks/{sub}", bf, 0, bb))
+    return index.spark.createDataFrame(
+        rows, "stage string, n_files long, n_dirs long, bytes long"
+    )

@@ -249,3 +249,19 @@ def test_filter_pack_golden_vectors(spark):
     empty = out[1]
     assert all(empty[c] == [] for c in
                ("edge", "ng3", "len36", "keep", "repl", "trunc", "rev", "lim2", "cg"))
+
+
+def test_segments_info_physical_layout(index, test_config):
+    """SegmentsInfoRequestHandler analog: every on-disk stage reported
+    with real sizes; blocks bucket rows match the configured bucket
+    count and sum to the stage total."""
+    from solr_spark import admin
+
+    rows = {r["stage"]: r for r in admin.segments_info(index).collect()}
+    for stage in ("analyzed", "segments", "term_dict", "blocks"):
+        assert stage in rows, stage
+        assert rows[stage]["n_files"] > 0 and rows[stage]["bytes"] > 0
+    buckets = [s for s in rows if s.startswith("blocks/")]
+    assert len(buckets) == test_config.n_term_buckets
+    assert sum(rows[b]["bytes"] for b in buckets) <= rows["blocks"]["bytes"]
+    assert sum(rows[b]["n_files"] for b in buckets) >= test_config.n_term_buckets
