@@ -320,6 +320,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["grouping_top2_per_lang"] = group_top2
 
+    def group_ngroups(s, d):
+        """Grouping with group.ngroups=true (Grouping.java:73 +
+        GroupingSpecification): group heads over a filtered domain, each
+        row carrying matches (domain doc count) and ngroups (distinct
+        group count) — the totals are a broadcast 1-row aggregate, no
+        driver collect."""
+        docs = _read(s, d, "documents").where(F.col("n_chars") >= 100)
+        heads = group_topn(
+            docs, "source", [F.desc("n_chars"), F.asc("doc_id")], n=1
+        ).select("source", "doc_id", "n_chars")
+        totals = docs.agg(
+            F.count(F.lit(1)).cast("long").alias("matches"),
+            F.countDistinct("source").cast("long").alias("ngroups"),
+        )
+        return heads.crossJoin(F.broadcast(totals)).orderBy("source")
+
+    q["grouping_ngroups"] = group_ngroups
+
     # --- streaming-expression analogs over TPC-H-ish tables ---
     q["rollup_orders_priority"] = lambda s, d: rollup(
         _read(s, d, "orders"),
@@ -3486,6 +3504,20 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY n_chars DESC, doc_id ASC) AS rn
           FROM documents) t
         WHERE rn <= 2 ORDER BY lang, rn
+    """
+
+    o["grouping_ngroups"] = """
+        WITH dom AS (SELECT * FROM documents WHERE n_chars >= 100),
+        heads AS (
+          SELECT source, doc_id, n_chars FROM (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM dom) t WHERE rn = 1)
+        SELECT h.source, h.doc_id, h.n_chars,
+               (SELECT CAST(count(*) AS BIGINT) FROM dom) AS matches,
+               (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM dom) AS ngroups
+        FROM heads h ORDER BY h.source
     """
 
     o["rollup_orders_priority"] = """

@@ -94,3 +94,66 @@ def test_random_boolean_tree_set_semantics(tree, qengine, docsets):
     expect = evaluate(tree, docsets)
     got = {r["doc_id"] for r in execute_query(qengine, q, k=10**6).collect()}
     assert got == expect, q
+
+
+# ---------------------------------------------------------------------------
+# JSON Query DSL round-trip: render AST -> JSON DSL -> parse -> same AST
+# ---------------------------------------------------------------------------
+
+
+def _ast_trees():
+    from solr_spark.query.parser import BoolQ, ConstQ, TermQ, WildQ
+
+    leaf = st.one_of(
+        st.sampled_from(["alpha", "beta", "gamma"]).map(lambda t: TermQ(t, field="text")),
+        st.sampled_from(["al", "be"]).map(lambda p: WildQ(p + "*")),
+    )
+
+    def extend(children):
+        def mk(parts):
+            must, should, must_not, filt = parts
+            node = BoolQ(must=list(must), should=list(should), must_not=list(must_not))
+            node.must.extend(ConstQ(f, 0.0) for f in filt)
+            return node
+
+        lists = st.lists(children, max_size=2)
+        return st.tuples(lists, lists, lists, st.lists(children, max_size=1)).map(mk)
+
+    return st.recursive(leaf, extend, max_leaves=8)
+
+
+def _render_json(node):
+    """Inverse of parse_json_query for the node shapes it emits."""
+    from solr_spark.query.parser import BoolQ, ConstQ, TermQ, WildQ
+
+    if isinstance(node, TermQ):
+        return {"term": {"f": node.field, "v": node.text}}
+    if isinstance(node, WildQ):
+        assert node.pattern.endswith("*")
+        return {"prefix": {"query": node.pattern[:-1]}}
+    if isinstance(node, BoolQ):
+        body = {}
+        must, filt = [], []
+        for m in node.must:
+            (filt if isinstance(m, ConstQ) and m.score == 0.0 else must).append(m)
+        if must:
+            body["must"] = [_render_json(m) for m in must]
+        if node.should:
+            body["should"] = [_render_json(s) for s in node.should]
+        if node.must_not:
+            body["must_not"] = [_render_json(s) for s in node.must_not]
+        if filt:
+            body["filter"] = [_render_json(f.node) for f in filt]
+        return {"bool": body}
+    raise AssertionError(type(node))
+
+
+@given(ast=_ast_trees())
+@settings(max_examples=200, deadline=None)
+def test_json_dsl_roundtrip(ast):
+    """parse_json_query(render(ast)) reproduces the AST exactly —
+    clause lists, occurs classes, and scoreless-filter wrapping all
+    survive the JSON round trip (pure parser property, no Spark)."""
+    from solr_spark.query.parser import parse_json_query
+
+    assert parse_json_query(_render_json(ast)) == ast
