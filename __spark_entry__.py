@@ -1122,27 +1122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cbor_roundtrip_ingest"] = cbor_roundtrip
 
-    def parse_csv_q(s, d):
-        """parseCSV/parseTSV stream evaluator analog: typed parse of a
-        CSV-line string column via from_csv (JVM, no per-tuple Python)."""
-        from solr_spark.sources.loaders import parse_csv_col
-
-        lines = _read(s, d, "documents").select(
-            F.concat_ws(",", "doc_id", "lang", "n_chars").alias("line")
-        )
-        parsed = parse_csv_col(lines, "line", "id long, lang string, n_chars long")
-        return (
-            parsed.select("_parsed.id", "_parsed.lang", "_parsed.n_chars")
-            .groupBy("lang")
-            .agg(
-                F.count("*").cast("long").alias("n"),
-                F.sum("n_chars").cast("long").alias("total_chars"),
-            )
-            .orderBy("lang")
-        )
-
-    q["parse_csv_stream"] = parse_csv_q
-
     def func_scalars(s, d):
         from solr_spark.functions import linear, map_value, recip, strdist
 
@@ -3639,11 +3618,6 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY lang ORDER BY lang
     """
     o["cbor_roundtrip_ingest"] = """
-        SELECT lang, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(n_chars) AS BIGINT) AS total_chars
-        FROM documents GROUP BY lang ORDER BY lang
-    """
-    o["parse_csv_stream"] = """
         SELECT lang, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang ORDER BY lang

@@ -740,9 +740,12 @@ def parse_json_query(node):
       ``ConstQ(sub, 0.0)`` in ``must`` (BoolQParserPlugin.java)
     - ``field``: analyzed as one unit — single token → term, several →
       phrase (FieldQParserPlugin.java semantics)
-    - ``term``: raw, unanalyzed single term (TermQParserPlugin.java)
-    - ``prefix``: ``{"f":..., "query": "sp"}`` → ``sp*``
-      (PrefixQParserPlugin.java)
+    - ``term``: single term (TermQParserPlugin.java — documented
+      deviation: the engine's dictionary stores analyzed terms, so the
+      value is analyzed like ``field`` instead of a raw byte lookup)
+    - ``prefix``: ``{"query": "sp"}`` → ``sp*`` on the default text
+      field (PrefixQParserPlugin.java; a non-default ``f`` raises —
+      the wildcard expansion is dictionary-backed)
 
     A one-key object whose key starts with ``#`` is a *tagged* clause
     (used by multi-select faceting's ``excludeTags``); the tag is
@@ -767,6 +770,8 @@ def parse_json_query(node):
         if isinstance(params, str):
             return parse_lucene(params)
         q = params.get("query", params.get("v"))
+        if not isinstance(q, str):
+            raise ValueError(f"lucene node needs a 'query' or 'v' string: {params!r}")
         ast = parse_lucene(q, default_op=params.get("q.op", "OR"))
         if boost != 1.0:
             ast.boost = getattr(ast, "boost", 1.0) * boost
@@ -795,9 +800,20 @@ def parse_json_query(node):
             return TermQ(text.strip(), field=f, boost=boost)
         return PhraseQ(text, field=f, boost=boost)
     if name == "term":
+        # deviation from TermQParserPlugin: the engine's dictionary
+        # stores ANALYZED terms, so the value is analyzed at compile
+        # time like 'field' — a truly raw lookup has no target here
         return TermQ(str(params.get("v", params.get("query", ""))).strip(),
                      field=params.get("f"), boost=boost)
     if name == "prefix":
+        f = params.get("f")
+        if f not in (None, "text"):
+            # WildQ expands against the default-field term dictionary
+            # only; silently rescoping a fielded prefix would return
+            # wrong results
+            raise ValueError(
+                f"prefix node supports only the default text field, got f={f!r}"
+            )
         return WildQ(str(params.get("query", params.get("v", ""))) + "*", boost=boost)
     raise ValueError(f"unsupported JSON DSL parser name: {name}")
 

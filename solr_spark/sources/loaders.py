@@ -330,15 +330,26 @@ def load_external_floats(
     page-rank / CTR boost).
 
     Distributed read: ``spark.read.text`` scans the file(s) in
-    parallel; last-wins uses the line's byte order via a max(struct)
-    aggregation, not a window.
+    parallel; last-wins orders by ``(file name asc, byte order within
+    the file)`` via a max(struct) aggregation, not a window. The file
+    name is part of the key because Spark packs splits by SIZE, not
+    listing order — ``monotonically_increasing_id`` alone would make
+    cross-file precedence depend on file sizes. (Solr reads
+    ``external_<field>.*`` segments in sorted-name order with later
+    files winning — the same rule.) Within one file the id tracks byte
+    order per split; a file only splits past
+    ``spark.sql.files.maxPartitionBytes`` (128 MB), far above any keyed
+    float file, so intra-file order is exact in practice.
     """
     lines = spark.read.text(path).select(
-        F.monotonically_increasing_id().alias("seq"), F.col("value")
+        F.input_file_name().alias("fname"),
+        F.monotonically_increasing_id().alias("seq"),
+        F.col("value"),
     )
     parsed = (
         lines.where(~F.col("value").startswith("#"))
         .select(
+            "fname",
             "seq",
             F.regexp_extract("value", r"^\s*(-?\d+)=(-?\d+(?:\.\d+)?)\s*$", 1).alias("k"),
             F.regexp_extract("value", r"^\s*(-?\d+)=(-?\d+(?:\.\d+)?)\s*$", 2).alias("v"),
@@ -347,6 +358,6 @@ def load_external_floats(
     )
     return (
         parsed.groupBy(F.col("k").cast("long").alias(key_col))
-        .agg(F.max(F.struct("seq", "v")).alias("last"))
+        .agg(F.max(F.struct("fname", "seq", "v")).alias("last"))
         .select(key_col, F.col("last.v").cast("double").alias(val_col))
     )

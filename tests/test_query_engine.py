@@ -644,3 +644,17 @@ def test_search_with_numfound_contract(engine):
     assert all(not r["num_found_exact"] for r in bounded)
     nb = bounded[0]["num_found"]
     assert len(bounded) <= nb <= nf_exact
+
+
+def test_parse_json_query_strictness():
+    """Review fixes: fielded prefix raises (no silent rescope to the
+    text field); lucene node without query/v raises cleanly."""
+    import pytest as _pytest
+
+    from solr_spark.query.parser import parse_json_query
+
+    with _pytest.raises(ValueError, match="default text field"):
+        parse_json_query({"prefix": {"f": "source", "query": "sr"}})
+    parse_json_query({"prefix": {"f": "text", "query": "sp"}})  # default ok
+    with _pytest.raises(ValueError, match="query.*or.*v"):
+        parse_json_query({"lucene": {"q.op": "AND"}})

@@ -272,3 +272,22 @@ def test_load_external_floats_last_wins(spark, tmp_path):
         for r in load_external_floats(spark, str(p)).collect()
     }
     assert got == {1: 9.0, 2: 1.25, -4: -2.5}
+
+
+def test_load_external_floats_multifile_name_order(spark, tmp_path):
+    """Across several external_* files, the LAST file in sorted-name
+    order wins regardless of file sizes (Spark packs splits by size —
+    the fname key makes precedence deterministic)."""
+    from solr_spark.sources.loaders import load_external_floats
+
+    # earlier-named file is made LARGER so size-ordered split packing
+    # would pick it if the implementation ignored file names
+    (tmp_path / "external_rank.00").write_text(
+        "1=0.5\n2=1.0\n" + "\n".join(f"{i}=0.1" for i in range(100, 400)) + "\n"
+    )
+    (tmp_path / "external_rank.01").write_text("1=9.0\n")
+    got = {
+        r["doc_id"]: r["ext_val"]
+        for r in load_external_floats(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == 9.0 and got[2] == 1.0 and got[100] == 0.1
