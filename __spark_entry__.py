@@ -674,6 +674,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["json_request_bool"] = json_req
 
+    def fielded_wildcard_q(s, d):
+        """Fielded wildcard on a doc-registry column (lang:e* — Solr
+        standard parser dispatches per field type): compiles to a raw
+        sargable column predicate, not a term-dictionary expansion."""
+        from solr_spark.plans import execute_query
+
+        return _rounded(execute_query(_engine(s, d), "spark AND lang:e*", k=10))
+
+    q["lucene_fielded_wildcard"] = fielded_wildcard_q
+
     def switch_q(s, d):
         return _rounded(
             qx.switch_query(
@@ -3861,6 +3871,11 @@ ORDER BY CAST(total AS REAL) DESC, doc_id ASC LIMIT 10
         {"batch": 1.0, "stream": 2.0, "spark": 1.0},
         must_any=[["batch", "stream"], ["spark"]],
         not_terms=["merge"],
+    )
+    o["lucene_fielded_wildcard"] = boosted_bool_sql(
+        {"spark": 1.0},
+        must_any=[["spark"]],
+        range_pred="lang LIKE 'e%'",
     )
     o["json_request_bool"] = boosted_bool_sql(
         {"batch": 1.0, "stream": 2.0, "spark": 1.0, "customer": 0.0},

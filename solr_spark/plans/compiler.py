@@ -105,6 +105,13 @@ def _meta_pred(engine: SearchEngine, fieldname: str, node) -> Column | None:
 
     if isinstance(node, (TermQ, PhraseQ)):
         return F.col(fieldname) == lit(node.text)
+    if isinstance(node, WildQ):
+        # fielded wildcard (lang:py*): a raw column predicate — prefix
+        # patterns stay sargable via startswith, the rest via rlike
+        pat = node.pattern
+        if pat.endswith("*") and "*" not in pat[:-1] and "?" not in pat:
+            return F.col(fieldname).startswith(pat[:-1])
+        return F.col(fieldname).cast("string").rlike(_glob_to_regex(pat))
     if isinstance(node, RangeQ):
         cond = F.lit(True)
         if node.lo is not None:
@@ -119,7 +126,7 @@ def _meta_pred(engine: SearchEngine, fieldname: str, node) -> Column | None:
 
 def _is_meta(engine: SearchEngine, node) -> bool:
     return (
-        isinstance(node, (TermQ, RangeQ, PhraseQ))
+        isinstance(node, (TermQ, RangeQ, PhraseQ, WildQ))
         and getattr(node, "field", None) not in (None, "text")
         and node.field in engine.index.docs.columns
     )
@@ -244,6 +251,7 @@ def _compile(ctx: _Ctx, node, boost: float):
     if isinstance(node, (WildQ, RegexQ, FuzzyQ, RangeQ)):
         source = None
         if isinstance(node, WildQ):
+            _check_field(eng, node)  # unknown field → text-dict expansion, loudly
             pat = node.pattern.lower()
             inner = pat.strip("*")
             plain_inner = "*" not in inner and "?" not in inner

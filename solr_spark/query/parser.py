@@ -135,6 +135,9 @@ class PhraseQ:
 class WildQ:  # glob pattern with * / ? (PrefixQuery is the trailing-* case)
     pattern: str
     boost: float = 1.0
+    field: str | None = None  # None/'text' = term-dict expansion; a
+    # doc-registry column = fq-style predicate (SolrQueryParserBase
+    # dispatches fielded wildcards per field type the same way)
 
 
 @dataclass
@@ -258,7 +261,7 @@ def _word_node(w: str, boost: float, fieldname: str | None):
         edits = int(m.group(1)) if m.group(1) else 2
         return FuzzyQ(base, max_edits=edits, boost=boost)
     if "*" in w or "?" in w:
-        return WildQ(w, boost=boost)
+        return WildQ(w, boost=boost, field=fieldname)
     return TermQ(w, field=fieldname, boost=boost)
 
 
@@ -743,9 +746,10 @@ def parse_json_query(node):
     - ``term``: single term (TermQParserPlugin.java — documented
       deviation: the engine's dictionary stores analyzed terms, so the
       value is analyzed like ``field`` instead of a raw byte lookup)
-    - ``prefix``: ``{"query": "sp"}`` → ``sp*`` on the default text
-      field (PrefixQParserPlugin.java; a non-default ``f`` raises —
-      the wildcard expansion is dictionary-backed)
+    - ``prefix``: ``{"f":..., "query": "sp"}`` → ``sp*``
+      (PrefixQParserPlugin.java; the default text field expands against
+      the term dictionary, a doc-registry ``f`` compiles to a column
+      predicate)
 
     A one-key object whose key starts with ``#`` is a *tagged* clause
     (used by multi-select faceting's ``excludeTags``); the tag is
@@ -806,15 +810,8 @@ def parse_json_query(node):
         return TermQ(str(params.get("v", params.get("query", ""))).strip(),
                      field=params.get("f"), boost=boost)
     if name == "prefix":
-        f = params.get("f")
-        if f not in (None, "text"):
-            # WildQ expands against the default-field term dictionary
-            # only; silently rescoping a fielded prefix would return
-            # wrong results
-            raise ValueError(
-                f"prefix node supports only the default text field, got f={f!r}"
-            )
-        return WildQ(str(params.get("query", params.get("v", ""))) + "*", boost=boost)
+        return WildQ(str(params.get("query", params.get("v", ""))) + "*",
+                     boost=boost, field=params.get("f"))
     raise ValueError(f"unsupported JSON DSL parser name: {name}")
 
 

@@ -653,8 +653,11 @@ def test_parse_json_query_strictness():
 
     from solr_spark.query.parser import parse_json_query
 
-    with _pytest.raises(ValueError, match="default text field"):
-        parse_json_query({"prefix": {"f": "source", "query": "sr"}})
+    from solr_spark.query.parser import WildQ as _WildQ
+
+    assert parse_json_query({"prefix": {"f": "source", "query": "sr"}}) == _WildQ(
+        "sr*", field="source"
+    )
     parse_json_query({"prefix": {"f": "text", "query": "sp"}})  # default ok
     with _pytest.raises(ValueError, match="query.*or.*v"):
         parse_json_query({"lucene": {"q.op": "AND"}})
