@@ -216,8 +216,10 @@ def _compile(ctx: _Ctx, node, boost: float):
 
     if isinstance(node, TermQ):
         _check_field(eng, node)
-        toks = eng.analyze_query(node.text)
-        if not toks:
+        # raw (TermQParserPlugin): verbatim dictionary lookup — the
+        # value must equal the indexed term exactly, no analysis
+        toks = [node.text] if node.raw else eng.analyze_query(node.text)
+        if not toks or not toks[0]:
             return _FALSE
         if len(toks) > 1:  # multi-token analyzed word → conjunction
             return _compile(ctx, BoolQ(must=[TermQ(t, boost=node.boost) for t in toks]), boost)
@@ -304,7 +306,10 @@ def _collect_leaf_terms(engine: SearchEngine, node, out: list[str]) -> None:
     elif isinstance(node, ConstQ):
         _collect_leaf_terms(engine, node.node, out)
     elif isinstance(node, (TermQ, PhraseQ)) and not _is_meta(engine, node):
-        out.extend(engine.analyze_query(node.text))
+        if getattr(node, "raw", False):
+            out.append(node.text)
+        else:
+            out.extend(engine.analyze_query(node.text))
 
 
 def _prefetch_stats(engine: SearchEngine, ast) -> None:

@@ -121,6 +121,8 @@ class TermQ:
     text: str
     field: str | None = None
     boost: float = 1.0
+    raw: bool = False  # True = verbatim dictionary lookup, no query-time
+    # analysis (TermQParserPlugin semantics: match the indexed term as-is)
 
 
 @dataclass
@@ -743,9 +745,9 @@ def parse_json_query(node):
       ``ConstQ(sub, 0.0)`` in ``must`` (BoolQParserPlugin.java)
     - ``field``: analyzed as one unit — single token → term, several →
       phrase (FieldQParserPlugin.java semantics)
-    - ``term``: single term (TermQParserPlugin.java — documented
-      deviation: the engine's dictionary stores analyzed terms, so the
-      value is analyzed like ``field`` instead of a raw byte lookup)
+    - ``term``: raw single term (TermQParserPlugin.java — the value is
+      matched against the indexed term verbatim, bypassing query-time
+      analysis; ``{"term": {"v": "Spark"}}`` misses a lowercased index)
     - ``prefix``: ``{"f":..., "query": "sp"}`` → ``sp*``
       (PrefixQParserPlugin.java; the default text field expands against
       the term dictionary, a doc-registry ``f`` compiles to a column
@@ -804,11 +806,10 @@ def parse_json_query(node):
             return TermQ(text.strip(), field=f, boost=boost)
         return PhraseQ(text, field=f, boost=boost)
     if name == "term":
-        # deviation from TermQParserPlugin: the engine's dictionary
-        # stores ANALYZED terms, so the value is analyzed at compile
-        # time like 'field' — a truly raw lookup has no target here
+        # TermQParserPlugin: the value is NOT analyzed — it must match
+        # the indexed (already-analyzed) term byte-for-byte
         return TermQ(str(params.get("v", params.get("query", ""))).strip(),
-                     field=params.get("f"), boost=boost)
+                     field=params.get("f"), boost=boost, raw=True)
     if name == "prefix":
         return WildQ(str(params.get("query", params.get("v", ""))) + "*",
                      boost=boost, field=params.get("f"))

@@ -588,7 +588,7 @@ def test_parse_json_query_shapes():
 
     # one-key parser objects
     assert parse_json_query({"term": {"f": "text", "v": "Spark"}}) == TermQ(
-        "Spark", field="text"
+        "Spark", field="text", raw=True
     )
     assert parse_json_query({"prefix": {"query": "sp"}}) == WildQ("sp*")
     assert parse_json_query({"field": {"f": "text", "query": "a b"}}) == PhraseQ(
@@ -596,7 +596,7 @@ def test_parse_json_query_shapes():
     )
     assert parse_json_query(
         {"#myTag": {"term": {"f": "text", "v": "x"}}}
-    ) == TermQ("x", field="text")
+    ) == TermQ("x", field="text", raw=True)
 
     ast = parse_json_query({"bool": {
         "must": "spark",
@@ -661,3 +661,22 @@ def test_parse_json_query_strictness():
     parse_json_query({"prefix": {"f": "text", "query": "sp"}})  # default ok
     with _pytest.raises(ValueError, match="query.*or.*v"):
         parse_json_query({"lucene": {"q.op": "AND"}})
+
+
+def test_raw_term_bypasses_analysis(engine):
+    """TermQParserPlugin semantics: a raw term matches the indexed
+    (analyzed) term verbatim — 'Import' misses a lowercased dictionary
+    where the analyzed form of the same query matches."""
+    from solr_spark.plans import execute_ast
+    from solr_spark.query.parser import BoolQ, TermQ
+
+    analyzed = execute_ast(engine, BoolQ(should=[TermQ("Import")]), k=5).collect()
+    assert analyzed, "analyzed path lowercases and matches"
+    raw_miss = execute_ast(
+        engine, BoolQ(should=[TermQ("Import", raw=True)]), k=5
+    ).collect()
+    assert raw_miss == []
+    raw_hit = execute_ast(
+        engine, BoolQ(should=[TermQ("import", raw=True)]), k=5
+    ).collect()
+    assert [r["doc_id"] for r in raw_hit] == [r["doc_id"] for r in analyzed]

@@ -127,7 +127,9 @@ def _render_json(node):
     from solr_spark.query.parser import BoolQ, ConstQ, TermQ, WildQ
 
     if isinstance(node, TermQ):
-        return {"term": {"f": node.field, "v": node.text}}
+        if node.raw:
+            return {"term": {"f": node.field, "v": node.text}}
+        return {"field": {"f": node.field, "query": node.text}}
     if isinstance(node, WildQ):
         assert node.pattern.endswith("*")
         return {"prefix": {"query": node.pattern[:-1]}}
