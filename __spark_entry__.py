@@ -372,6 +372,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["timeseries_events_daily"] = ts_events
 
+    def time_routed_q(s, d):
+        """TimeRoutedAlias analog: events routed into day-window parquet
+        partitions on write; a time-ranged read prunes to the covering
+        route_window directories (Catalyst PartitionFilters) before the
+        exact ts range trims edge rows."""
+        import hashlib
+        import tempfile
+        import os as _os
+
+        from solr_spark.index.time_routed import read_time_range, write_time_routed
+
+        tag = hashlib.md5(d.encode()).hexdigest()[:8]
+        path = _os.path.join(tempfile.gettempdir(), f"solr_spark_troute_{tag}")
+        if not _os.path.isdir(path):
+            write_time_routed(_read(s, d, "events"), path, ts_col="ts")
+        lo, hi = "2024-01-03 00:00:00", "2024-01-06 00:00:00"
+        return (
+            read_time_range(s, path, lo, hi, ts_col="ts")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.round(F.sum("value"), 3).alias("total_value"),
+            )
+            .orderBy("event_type")
+        )
+
+    q["time_routed_range_counts"] = time_routed_q
+
     def fetch_enrich(s, d):
         ev = _read(s, d, "events").where(F.col("event_id") < 100)
         users = (
@@ -3519,6 +3547,14 @@ def oracle_sql() -> dict[str, str]:
                round(sum(o_totalprice), 2) AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+    o["time_routed_range_counts"] = """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 3) AS total_value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-06 00:00:00'
+        GROUP BY event_type ORDER BY event_type
     """
     o["timeseries_events_daily"] = """
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

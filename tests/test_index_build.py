@@ -526,3 +526,37 @@ def test_run_packed_exchange_byte_identical_to_row_exchange(spark, index, test_c
     assert len(a) == len(b) and len(a) > 0
     for ra, rb in zip(a, b):
         assert ra == rb
+
+
+def test_time_routed_partition_pruning(spark, tmp_path):
+    """TimeRoutedAlias analog: the time-range read carries a partition
+    filter on route_window (Catalyst prunes non-covering directories)
+    and returns exactly the rows the raw ts predicate selects."""
+    from pyspark.sql import functions as F
+
+    from solr_spark.index.time_routed import read_time_range, write_time_routed
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 9:02d} 12:00:00", float(i)) for i in range(90)],
+        "event_id long, ts_s string, value double",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    path = str(tmp_path / "routed")
+    write_time_routed(df, path, ts_col="ts")
+
+    out = read_time_range(spark, path, "2024-01-03 00:00:00", "2024-01-05 00:00:00")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "route_window" in plan and "PartitionFilters" in plan
+
+    got = {r["event_id"] for r in out.collect()}
+    exp = {
+        r["event_id"]
+        for r in df.where(
+            (F.col("ts") >= "2024-01-03") & (F.col("ts") < "2024-01-05")
+        ).collect()
+    }
+    assert got == exp and got  # non-empty and exact
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="interval"):
+        write_time_routed(df, path, interval="fortnight")
