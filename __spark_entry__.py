@@ -400,6 +400,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["time_routed_range_counts"] = time_routed_q
 
+    def sessionize_q(s, d):
+        """Session windows per user (6h inactivity gap): native merging
+        session aggregation vs the gaps-and-islands SQL oracle."""
+        from solr_spark.operators.relational import sessionize_counts
+
+        return sessionize_counts(_read(s, d, "events"), "user_id", "ts")
+
+    q["sessionize_events"] = sessionize_q
+
     def fetch_enrich(s, d):
         ev = _read(s, d, "events").where(F.col("event_id") < 100)
         users = (
@@ -3547,6 +3556,18 @@ def oracle_sql() -> dict[str, str]:
                round(sum(o_totalprice), 2) AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+    o["sessionize_events"] = """
+        WITH d AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM events
+        )
+        SELECT user_id,
+               CAST(sum(CASE WHEN prev IS NULL OR epoch(ts - prev) > 21600
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM d GROUP BY user_id ORDER BY user_id
     """
     o["time_routed_range_counts"] = """
         SELECT event_type, CAST(count(*) AS BIGINT) AS n,

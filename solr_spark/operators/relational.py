@@ -1065,3 +1065,31 @@ def facet_by_group(
         .orderBy(F.desc("count"), F.asc(facet_field))
         .limit(limit)
     )
+
+
+def sessionize_counts(
+    df: DataFrame, user_col: str, ts_col: str, gap: str = "6 hours"
+) -> DataFrame:
+    """Per-user sessionization — the standard large-scale event-pipeline
+    op (beyond the reference; Solr's timeseries() buckets by fixed
+    calendar units only). Events of one user belong to the same session
+    while each arrives within ``gap`` of the previous one; an event at
+    exactly ``prev + gap`` still JOINS the session (verified against
+    Spark's merge rule — a new session needs a strictly larger gap). Returns ``(user, n_sessions, n_events)``.
+
+    Uses ``F.session_window`` — Catalyst's native merging session
+    aggregation (one shuffle keyed by user, windows merged inside the
+    aggregation; no self-join, no per-user collect). The SQL oracle is
+    the classic gaps-and-islands formulation over LAG.
+    """
+    sess = df.groupBy(
+        F.col(user_col), F.session_window(F.col(ts_col), gap)
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sess.groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+        .orderBy(user_col)
+    )

@@ -261,3 +261,26 @@ def test_join_score_modes(spark, people):
 
     with pytest.raises(ValueError, match="score mode"):
         join_score(to, scored, "g", "grp", mode="sum")
+
+
+def test_sessionize_gap_boundary(spark):
+    """Session semantics: within-gap events merge — INCLUDING an event
+    at exactly prev + gap (Spark's merge rule, mirrored by the strict >
+    in the SQL oracle); users are independent."""
+    from solr_spark.operators.relational import sessionize_counts
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),   # within 30m -> same session
+        (1, "2024-01-01 00:40:00"),   # exactly prev+30m -> still merges
+        (1, "2024-01-01 02:00:00"),   # far -> new session
+        (2, "2024-01-01 00:00:00"),   # other user: own session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in sessionize_counts(df, "user_id", "ts", gap="30 minutes").collect()
+    }
+    assert got == {1: (2, 4), 2: (1, 1)}
