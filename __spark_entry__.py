@@ -2896,6 +2896,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["span_dedup_c4"] = span_dedup_q
 
+    def dup_substr_q(s, d):
+        """ExactSubstr-style duplicated-substring detection (Lee et al.
+        2022): stride-1 15-token windows hashed corpus-wide; per-doc
+        duplicated-window and merged covered-token counts. Docs below
+        one window drop; docs with no duplication report zeros."""
+        from solr_spark.dedup import dup_substring_stats
+
+        return dup_substring_stats(
+            _read(s, d, "documents"), min_len=15
+        ).orderBy("doc_id")
+
+    q["dup_substring_stats"] = dup_substr_q
+
     def repetition_q(s, d):
         """Gopher intra-doc repetition rules: duplicate-line fractions +
         top-bigram dominance, explode→two keyed aggregations (map-side
@@ -4254,6 +4267,31 @@ GROUP BY tok ORDER BY tok
 
     o["analysis_filter_pack"] = filter_pack_sql()
     o["decontaminate_overlap"] = decontaminate_sql("doc_id < 5", "doc_id >= 5", n=4)
+    o["dup_substring_stats"] = r"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+), occ AS (
+  SELECT doc_id, r.i AS pos,
+         array_to_string(toks[CAST(r.i + 1 AS BIGINT) : CAST(r.i + 15 AS BIGINT)], ' ') AS win
+  FROM tk, unnest(range(CAST(len(toks) - 15 + 1 AS BIGINT))) AS r(i)
+  WHERE len(toks) >= 15
+), duph AS (SELECT win FROM occ GROUP BY win HAVING count(*) > 1),
+dup_occ AS (SELECT o.doc_id, o.pos FROM occ o JOIN duph USING (win)),
+cover AS (
+  SELECT doc_id, CAST(count(DISTINCT pos + j.j) AS BIGINT) AS n_dup_tokens
+  FROM dup_occ, unnest(range(15)) AS j(j) GROUP BY doc_id
+), dupc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows FROM dup_occ GROUP BY doc_id
+), base AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM occ GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_windows,
+       CAST(COALESCE(d.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(COALESCE(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens
+FROM base b LEFT JOIN dupc d USING (doc_id) LEFT JOIN cover c USING (doc_id)
+ORDER BY b.doc_id
+"""
     o["span_dedup_c4"] = r"""
 WITH tk AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks

@@ -702,3 +702,75 @@ def span_dedup_counts(
         F.sum("cnt").cast("long").alias("n_spans"),
         F.sum("removed").cast("long").alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-substring detection (ExactSubstr-style, sliding windows)
+# ---------------------------------------------------------------------------
+
+
+def dup_substring_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 15,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-substring detection ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022 —
+    their suffix-array criterion: a substring of ≥ min_len tokens that
+    occurs elsewhere in the corpus). Distributed restatement: every
+    STRIDE-1 window of ``min_len`` tokens is hashed; a window whose hash
+    occurs more than once corpus-wide marks all its token positions as
+    duplicated — exactly the windows a suffix array would report for
+    matches of length in [min_len, 2·min_len). Returns per doc
+    ``(doc_id, n_windows, n_dup_windows, n_dup_tokens)`` where
+    n_dup_tokens counts DISTINCT token positions covered by at least
+    one duplicated window (overlaps merged).
+
+    Scale shape: the window stream is linear in corpus tokens (stride 1,
+    one row per position) and ships 8-byte xxhash64 keys; the coverage
+    explode is proportional to DUPLICATED windows only — rare by
+    construction in a deduplicated corpus — never to the corpus. No
+    suffix array, no global sort, no driver state.
+    """
+    W = int(min_len)
+    toks = f"filter(split({text_col}, '\\\\s+'), t -> t <> '')"
+    wins = F.expr(
+        f"CASE WHEN size({toks}) >= {W} THEN "
+        f"transform(sequence(0, size({toks}) - {W}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {W}))) "
+        f"ELSE array() END"
+    )
+    occ = df.select(
+        F.col(id_col), F.posexplode(wins).alias("pos", "win")
+    ).select(id_col, "pos", F.xxhash64("win").alias("h"))
+    dup_h = (
+        occ.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("h")
+    )
+    dup_occ = occ.join(dup_h, "h")
+    covered = (
+        dup_occ.select(
+            id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + W - 1)).alias("tpos")
+        )
+        .groupBy(id_col)
+        .agg(F.countDistinct("tpos").cast("long").alias("n_dup_tokens"))
+    )
+    per_doc = occ.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+    )
+    dup_counts = dup_occ.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_windows")
+    )
+    return (
+        per_doc.join(dup_counts, id_col, "left")
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+        )
+    )

@@ -740,3 +740,29 @@ def test_gopher_filter_flags_rules(spark):
     assert not got[3]["ok_mean_word_len"] and not got[3]["keep"]
     assert not got[4]["ok_symbol_ratio"] and not got[4]["keep"]
     assert not got[5]["ok_stopwords"] and not got[5]["keep"]
+
+
+def test_dup_substring_overlap_merge(spark):
+    """ExactSubstr windows: a shared run longer than min_len produces
+    overlapping duplicate windows whose covered positions MERGE (no
+    double count); unique docs report zeros; short docs drop."""
+    from solr_spark.dedup import dup_substring_stats
+
+    shared = " ".join(f"s{i}" for i in range(6))  # 6-token shared run
+    rows = [
+        (1, shared + " x1 x2 x3 x4"),   # 10 toks: windows at 0..5 (W=5)
+        (2, "y0 " + shared + " y1"),    # same 6-token run elsewhere
+        (3, "z0 z1 z2 z3 z4 z5 z6"),    # unique content
+        (4, "w0 w1"),                   # shorter than one window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["n_dup_tokens"])
+        for r in dup_substring_stats(df, min_len=5).collect()
+    }
+    # the 6-token shared run contains TWO 5-token windows; both dup;
+    # their coverage merges to exactly the 6 shared positions
+    assert got[1] == (6, 2, 6)
+    assert got[2] == (4, 2, 6)
+    assert got[3] == (3, 0, 0)
+    assert 4 not in got
