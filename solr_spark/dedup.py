@@ -727,11 +727,16 @@ def dup_substring_stats(
     n_dup_tokens counts DISTINCT token positions covered by at least
     one duplicated window (overlaps merged).
 
-    Scale shape: the window stream is linear in corpus tokens (stride 1,
-    one row per position) and ships 8-byte xxhash64 keys; the coverage
-    explode is proportional to DUPLICATED windows only — rare by
-    construction in a deduplicated corpus — never to the corpus. No
-    suffix array, no global sort, no driver state.
+    Scale shape: the corpus is exploded ONCE and immediately
+    pre-aggregated to one row per ``(window_hash, doc)`` — count +
+    position list, bounded by the doc's own window count — then
+    materialized with an eager localCheckpoint (the jaccard_for_pairs
+    precedent: three downstream consumers would otherwise each replay
+    the corpus scan+explode). Every later exchange and join moves the
+    aggregated frame; the coverage explode is proportional to
+    DUPLICATED windows only — rare by construction in a deduplicated
+    corpus — never to the corpus. No suffix array, no global sort, no
+    driver state.
     """
     W = int(min_len)
     toks = f"filter(split({text_col}, '\\\\s+'), t -> t <> '')"
@@ -744,25 +749,25 @@ def dup_substring_stats(
     occ = df.select(
         F.col(id_col), F.posexplode(wins).alias("pos", "win")
     ).select(id_col, "pos", F.xxhash64("win").alias("h"))
-    dup_h = (
-        occ.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") > 1)
-        .select("h")
+    per_hd = occ.groupBy("h", id_col).agg(
+        F.count(F.lit(1)).alias("cnt"), F.collect_list("pos").alias("poss")
+    ).localCheckpoint(eager=True)
+    hstats = per_hd.groupBy("h").agg(F.sum("cnt").alias("total"))
+    marked = per_hd.join(hstats, "h")  # co-partitioned with the groupBy
+    dup = marked.where(F.col("total") > 1)
+    per_doc = marked.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_windows")
     )
-    dup_occ = occ.join(dup_h, "h")
+    dup_counts = dup.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_dup_windows")
+    )
     covered = (
-        dup_occ.select(
+        dup.select(id_col, F.explode("poss").alias("pos"))
+        .select(
             id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + W - 1)).alias("tpos")
         )
         .groupBy(id_col)
         .agg(F.countDistinct("tpos").cast("long").alias("n_dup_tokens"))
-    )
-    per_doc = occ.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_windows"),
-    )
-    dup_counts = dup_occ.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_dup_windows")
     )
     return (
         per_doc.join(dup_counts, id_col, "left")
