@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         route_window directories (Catalyst PartitionFilters) before the
         exact ts range trims edge rows."""
         import hashlib
+        import shutil
         import tempfile
         import os as _os
 
@@ -385,8 +386,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         tag = hashlib.md5(d.encode()).hexdigest()[:8]
         path = _os.path.join(tempfile.gettempdir(), f"solr_spark_troute_{tag}")
-        if not _os.path.isdir(path):
-            write_time_routed(_read(s, d, "events"), path, ts_col="ts")
+        # Reuse only a COMPLETE cached write (Spark's _SUCCESS marker);
+        # build into a unique temp dir and atomically rename so a crashed
+        # or concurrent writer can never leave a half-written dir that a
+        # later run trusts.
+        if not _os.path.isfile(_os.path.join(path, "_SUCCESS")):
+            tmp = tempfile.mkdtemp(prefix=f"solr_spark_troute_{tag}_",
+                                   dir=tempfile.gettempdir())
+            staged = _os.path.join(tmp, "data")
+            write_time_routed(_read(s, d, "events"), staged, ts_col="ts")
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                _os.rename(staged, path)
+            except OSError:
+                # lost a rename race to a concurrent writer — theirs is
+                # complete (rename is atomic), use it
+                if not _os.path.isfile(_os.path.join(path, "_SUCCESS")):
+                    raise
+            shutil.rmtree(tmp, ignore_errors=True)
         lo, hi = "2024-01-03 00:00:00", "2024-01-06 00:00:00"
         return (
             read_time_range(s, path, lo, hi, ts_col="ts")
@@ -864,12 +881,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
     def external_boost_q(s, d):
-        """ExternalFileField (schema/ExternalFileField.java +
-        FileFloatSource.java): keyed float file as a function-query
-        boost. The file is synthesized deterministically (keys for
-        doc_id%3!=0, later override lines for doc_id%7==1 exercising
-        FileFloatSource's last-wins read), missing keys take the
-        default 1.0, and BM25('table') is boosted multiplicatively."""
+        """ExternalFileField analog (historical Solr semantics — the
+        feature was removed from the pinned reference tree): keyed float
+        file as a function-query boost. The file is synthesized
+        deterministically (keys for doc_id%3!=0, later override lines
+        for doc_id%7==1 exercising the intra-file last-wins read),
+        missing keys take the default 1.0, and BM25('table') is boosted
+        multiplicatively."""
         import os as _os
         import tempfile
 

@@ -33,17 +33,25 @@ def write_time_routed(
     """Route rows into time-window partition directories
     (``route_window=<window>/``), one per ``interval`` bucket of
     ``ts_col`` — TimeRoutedAliasUpdateProcessor's routing decision as a
-    partitioned write. Rows with a NULL timestamp are rejected, like the
-    reference (the processor requires the route field)."""
+    partitioned write. A NULL timestamp raises, like the reference (the
+    processor throws when the route field is missing) — enforced
+    distributedly via ``raise_error`` inside the routing expression, so
+    the write fails on the first bad row with no extra corpus scan."""
     if interval not in _FMT:
         raise ValueError(f"interval must be one of {sorted(_FMT)}: {interval!r}")
-    routed = df.withColumn(ROUTE_COL, F.date_format(F.col(ts_col), _FMT[interval]))
-    (
-        routed.filter(F.col(ROUTE_COL).isNotNull())
-        .write.mode("overwrite")
-        .partitionBy(ROUTE_COL)
-        .parquet(path)
+    window = F.date_format(F.col(ts_col), _FMT[interval])
+    routed = df.withColumn(
+        ROUTE_COL,
+        F.when(
+            F.col(ts_col).isNull(),
+            F.raise_error(
+                F.lit(f"write_time_routed: NULL route field {ts_col!r} "
+                      "(TimeRoutedAliasUpdateProcessor rejects docs missing "
+                      "the router.field)")
+            ).cast("string"),
+        ).otherwise(window),
     )
+    routed.write.mode("overwrite").partitionBy(ROUTE_COL).parquet(path)
 
 
 def read_time_range(

@@ -321,43 +321,48 @@ def load_external_floats(
     key_col: str = "doc_id",
     val_col: str = "ext_val",
 ) -> DataFrame:
-    """ExternalFileField's keyed float file (``schema/ExternalFileField
-    .java`` + ``search/function/FileFloatSource.java``): one ``key=value``
-    per line, ``#`` comments and malformed lines skipped, and when a key
-    repeats the LAST line wins (FileFloatSource reads the file top to
-    bottom, later entries overwrite). Returns ``(key_col long, val_col
-    double)`` for use as a function-query operand (the classic external
-    page-rank / CTR boost).
+    """ExternalFileField's keyed float file — modeled on historical
+    Solr semantics (the feature was removed from the pinned reference
+    tree; VersionedFile + FileFloatSource in earlier Solr): one
+    ``key=value`` per line, ``#`` comments and malformed lines skipped.
+    Like VersionedFile, only the NEWEST ``external_<field>.*`` file (max
+    sorted name) is read — earlier files are ignored entirely, not
+    merged. Within that file, when a key repeats the LAST line wins
+    (top-to-bottom read, later entries overwrite). Returns ``(key_col
+    long, val_col double)`` for use as a function-query operand (the
+    classic external page-rank / CTR boost).
 
-    Distributed read: ``spark.read.text`` scans the file(s) in
-    parallel; last-wins orders by ``(file name asc, byte order within
-    the file)`` via a max(struct) aggregation, not a window. The file
-    name is part of the key because Spark packs splits by SIZE, not
-    listing order — ``monotonically_increasing_id`` alone would make
-    cross-file precedence depend on file sizes. (Solr reads
-    ``external_<field>.*`` segments in sorted-name order with later
-    files winning — the same rule.) Within one file the id tracks byte
-    order per split; a file only splits past
-    ``spark.sql.files.maxPartitionBytes`` (128 MB), far above any keyed
-    float file, so intra-file order is exact in practice.
+    Read shape: ``wholetext`` loads each file as ONE row, so line order
+    is exact by construction (``posexplode`` position), independent of
+    ``spark.sql.files.maxPartitionBytes`` or split packing — the
+    monotonically_increasing_id byte-order caveat is gone. Keyed float
+    files are small by contract (Solr materializes them as an in-heap
+    float[] per reader anyway), so one-row-per-file is safe; the parse
+    and last-wins aggregation stay distributed.
     """
-    lines = spark.read.text(path).select(
-        F.input_file_name().alias("fname"),
-        F.monotonically_increasing_id().alias("seq"),
-        F.col("value"),
+    files = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(path)
+        .select(F.input_file_name().alias("fname"), "value")
+    )
+    # VersionedFile: only the max-sorted-name file counts (tiny sort —
+    # one row per file).
+    newest = files.orderBy(F.col("fname").desc()).limit(1)
+    lines = newest.select(
+        F.posexplode(F.split("value", "\n")).alias("seq", "line")
     )
     parsed = (
-        lines.where(~F.col("value").startswith("#"))
+        lines.where(~F.col("line").startswith("#"))
         .select(
-            "fname",
             "seq",
-            F.regexp_extract("value", r"^\s*(-?\d+)=(-?\d+(?:\.\d+)?)\s*$", 1).alias("k"),
-            F.regexp_extract("value", r"^\s*(-?\d+)=(-?\d+(?:\.\d+)?)\s*$", 2).alias("v"),
+            F.regexp_extract("line", r"^\s*(-?\d+)=(-?\d+(?:\.\d+)?)\s*$", 1).alias("k"),
+            F.regexp_extract("line", r"^\s*(-?\d+)=(-?\d+(?:\.\d+)?)\s*$", 2).alias("v"),
         )
         .where(F.col("k") != "")
     )
     return (
         parsed.groupBy(F.col("k").cast("long").alias(key_col))
-        .agg(F.max(F.struct("fname", "seq", "v")).alias("last"))
+        .agg(F.max(F.struct("seq", "v")).alias("last"))
         .select(key_col, F.col("last.v").cast("double").alias(val_col))
     )

@@ -560,3 +560,23 @@ def test_time_routed_partition_pruning(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="interval"):
         write_time_routed(df, path, interval="fortnight")
+
+
+def test_time_routed_null_route_raises(spark, tmp_path):
+    """A NULL route timestamp must fail the write (the reference's
+    TimeRoutedAliasUpdateProcessor throws when the route field is
+    missing) — not silently drop the row."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from pyspark.sql import functions as F
+
+    from solr_spark.index.time_routed import write_time_routed
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, None)],
+        "event_id long, ts_s string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    import pytest as _pytest
+
+    with _pytest.raises(SparkRuntimeException, match="NULL route field"):
+        write_time_routed(df, str(tmp_path / "bad"), ts_col="ts")

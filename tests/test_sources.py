@@ -274,10 +274,10 @@ def test_load_external_floats_last_wins(spark, tmp_path):
     assert got == {1: 9.0, 2: 1.25, -4: -2.5}
 
 
-def test_load_external_floats_multifile_name_order(spark, tmp_path):
-    """Across several external_* files, the LAST file in sorted-name
-    order wins regardless of file sizes (Spark packs splits by size —
-    the fname key makes precedence deterministic)."""
+def test_load_external_floats_newest_file_only(spark, tmp_path):
+    """Across several external_* files, ONLY the newest sorted-name
+    file is read (VersionedFile semantics) — earlier files are ignored
+    entirely, not merged, regardless of file sizes."""
     from solr_spark.sources.loaders import load_external_floats
 
     # earlier-named file is made LARGER so size-ordered split packing
@@ -285,9 +285,32 @@ def test_load_external_floats_multifile_name_order(spark, tmp_path):
     (tmp_path / "external_rank.00").write_text(
         "1=0.5\n2=1.0\n" + "\n".join(f"{i}=0.1" for i in range(100, 400)) + "\n"
     )
-    (tmp_path / "external_rank.01").write_text("1=9.0\n")
+    (tmp_path / "external_rank.01").write_text("1=9.0\n5=2.0\n")
     got = {
         r["doc_id"]: r["ext_val"]
         for r in load_external_floats(spark, str(tmp_path)).collect()
     }
-    assert got[1] == 9.0 and got[2] == 1.0 and got[100] == 0.1
+    # newest file wins; keys present only in older files do NOT survive
+    assert got == {1: 9.0, 5: 2.0}
+
+
+def test_load_external_floats_order_survives_tiny_splits(spark, tmp_path):
+    """Intra-file last-wins must be exact even when the file would be
+    split by a tiny maxPartitionBytes — wholetext makes line order
+    positional, not split-dependent."""
+    from solr_spark.sources.loaders import load_external_floats
+
+    p = tmp_path / "external_rank.txt"
+    p.write_text(
+        "\n".join(f"7={i / 10.0}" for i in range(500)) + "\n7=99.5\n"
+    )
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "128")
+    try:
+        got = {
+            r["doc_id"]: r["ext_val"]
+            for r in load_external_floats(spark, str(p)).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert got == {7: 99.5}
