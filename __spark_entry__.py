@@ -1472,8 +1472,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def tlogit_q(s, d):
         """tlogit (TextLogisticRegressionQParserPlugin): distributed
-        full-batch GD — iterative, so no SQL oracle (rows-only check;
-        convergence gated in tests/test_tlogit.py)."""
+        full-batch GD with a FROZEN epoch count (15) and per-epoch
+        weight rounding (1e-8) — deterministic, so the full train+score
+        pipeline is hash-checked against an unrolled-epoch DuckDB
+        oracle (convergence additionally gated in tests/test_tlogit.py)."""
         from solr_spark.tlogit import tlogit_classify, tlogit_train
 
         docs = _read(s, d, "documents")
@@ -1482,7 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = tlogit_train(docs, "text", label, terms, iters=15)
         return (
             tlogit_classify(docs, "text", w, terms, keep_cols=["doc_id"])
-            .select("doc_id", "predicted")
+            .select("doc_id", F.round("prob", 6).alias("prob"), "predicted")
             .orderBy(F.desc("prob"), F.asc("doc_id"))
             .limit(10)
         )
@@ -5702,6 +5704,45 @@ SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS prob,
        CAST(CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5 THEN 1 ELSE 0 END
             AS INTEGER) AS predicted
 FROM z ORDER BY doc_id
+""".strip()
+
+    # Trained tlogit, FULLY hash-checked: the trainer freezes epoch
+    # count (15) and rounds weights to 1e-8 per epoch (tlogit.py), so
+    # each GD step unrolls to one CTE computing the identical rounded
+    # update — z uses the same left-fold add order as the Spark side
+    # (IEEE +/* are deterministic; the rounding absorbs avg-order drift).
+    _tl_epochs = 15
+    _tl_z = "((w.w0 + w.w1 * f.f0) + w.w2 * f.f1) + w.w3 * f.f2"
+    _tl_steps = []
+    for _k in range(_tl_epochs):
+        _tl_steps.append(f"""
+w{_k + 1} AS (
+  SELECT ROUND(min(w0) + avg(y - p), 8) AS w0,
+         ROUND(min(w1) + avg((y - p) * f0), 8) AS w1,
+         ROUND(min(w2) + avg((y - p) * f1), 8) AS w2,
+         ROUND(min(w3) + avg((y - p) * f2), 8) AS w3
+  FROM (SELECT w.w0, w.w1, w.w2, w.w3, f.y, f.f0, f.f1, f.f2,
+               1.0 / (1.0 + exp(-({_tl_z}))) AS p
+        FROM f CROSS JOIN w{_k} w))""".strip())
+    _tl_chain = ",\n".join(_tl_steps)
+    o["tlogit_classify_top10"] = f"""
+WITH f AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(list_contains({_te}, 'customer') AS DOUBLE) AS y,
+         CAST(len(list_filter({_te}, x -> x = 'customer')) AS DOUBLE) AS f0,
+         CAST(len(list_filter({_te}, x -> x = 'merge')) AS DOUBLE) AS f1,
+         CAST(len(list_filter({_te}, x -> x = 'join')) AS DOUBLE) AS f2
+  FROM documents),
+w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+              CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3),
+{_tl_chain},
+scored AS (
+  SELECT f.doc_id, {_tl_z} AS z
+  FROM f CROSS JOIN w{_tl_epochs} w)
+SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS prob,
+       CAST(CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5 THEN 1 ELSE 0 END
+            AS INTEGER) AS predicted
+FROM scored ORDER BY prob DESC, doc_id ASC LIMIT 10
 """.strip()
 
     # [child] doc transformer: nested child values as a sorted array

@@ -14,9 +14,12 @@ of weights. Feature extraction is a JVM ``size(filter(tokens, ...))``
 expression — no Python in the per-doc path. The tf features are frozen
 (raw counts), matching the reference's ``TrainingParams`` default.
 
-Iterative training is not SQL-expressible, so the driver entry records
-the weaker rows-only check; convergence/recovery of a planted signal is
-pytest-gated (tests/test_tlogit.py).
+Training is iterative but DETERMINISTIC given a frozen epoch count and
+the per-epoch weight rounding (see ``tlogit_train``), so the driver
+entry is hash-checked against an unrolled-epoch DuckDB oracle — each
+epoch is one CTE computing the same rounded gradient step. Convergence /
+recovery of a planted signal is additionally pytest-gated
+(tests/test_tlogit.py).
 """
 
 from __future__ import annotations
@@ -48,11 +51,21 @@ def tlogit_train(
     chain: AnalyzerChain = CODE_CHAIN,
     iters: int = 20,
     lr: float = 1.0,
+    round_digits: int | None = 8,
 ) -> list[float]:
     """Train logistic regression (bias + one weight per feature term).
 
     ``label_col``: boolean/0-1 Column. Returns [w0, w1..wm] after
     ``iters`` full-batch GD steps (one distributed aggregation each).
+
+    ``round_digits`` freezes each epoch's weights to a fixed decimal
+    grid (default 1e-8). Full-batch GD is then REPLAYABLE bit-for-bit by
+    any engine: the only cross-engine nondeterminism is the summation
+    order inside ``avg`` (~1e-13 absolute here), which the rounding
+    absorbs, while the per-row arithmetic (+,*, the frozen left-fold z)
+    is IEEE-deterministic. This is what lets the driver hash-check the
+    trained entry against an unrolled-epoch DuckDB oracle. Pass ``None``
+    for raw float weights.
     """
     m = len(terms)
     data = df.select(
@@ -69,6 +82,8 @@ def tlogit_train(
             *[F.avg(err * F.col(f"f{j}")).alias(f"g{j + 1}") for j in range(m)],
         ).collect()[0]
         w = [w[j] + lr * float(row[f"g{j}"]) for j in range(m + 1)]
+        if round_digits is not None:
+            w = [round(x, round_digits) for x in w]
     return w
 
 
