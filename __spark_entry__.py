@@ -2051,8 +2051,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def eval_find_delay(s, d):
         """FindDelayEvaluator analog: best-alignment lag between the
-        daily click and error count series (cross-correlation arg-max,
-        group-keyed pair join — same O(n·m) as the reference, spread)."""
+        daily click and error count series — FFT cross-correlation,
+        O((n+m) log(n+m)), with exact re-score of near-max lags (the
+        O(n·m) pair-join form survives as find_delay_pairs, and as this
+        entry's DuckDB oracle)."""
         daily = (
             _read(s, d, "events")
             .groupBy(F.to_date("ts").alias("day"))
@@ -2068,10 +2070,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["eval_find_delay"] = eval_find_delay
 
     def eval_kendall(s, d):
-        """CorrelationEvaluator type=kendalls analog (tau-b): pair-count
-        join on a deterministic lineitem subset (pair work is O(n²) by
-        definition — matching the reference — so the entry samples;
-        tau is rank-based, sampling is unbiased)."""
+        """CorrelationEvaluator type=kendalls analog (tau-b): Knight's
+        O(n log n) merge-count algorithm per group (the quadratic
+        pair-count form survives as kendall_tau_pairs, and as this
+        entry's DuckDB oracle). The deterministic subset keeps the
+        QUADRATIC oracle cheap — the Spark side no longer needs it."""
         li = _read(s, d, "lineitem").where(F.col("l_orderkey") % 199 == 0)
         out = ev.kendall_tau(li, "l_quantity", "l_extendedprice", by="l_returnflag")
         return out.select(

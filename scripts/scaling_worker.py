@@ -6,7 +6,14 @@ The sandbox host steals CPU in multi-minute bursts (verified via
 /proc/stat deltas), so every trial also reports its measured steal
 fraction — the orchestrator uses it to discard contaminated trials.
 
-Usage: python scripts/scaling_worker.py <cpus> <n_docs> [trials]
+Usage: python scripts/scaling_worker.py <spec> <n_docs> [trials]
+
+``spec`` is either an int N (``local[N]``, executors as threads in one
+JVM) or ``WxC`` (``local-cluster[W,C,mem]`` — W SEPARATE executor JVM
+processes with C cores each, total W*C cores). The WxC form is the
+two-process variant VERDICT r4 asked for: it takes the single-JVM
+memory-bus/GC ceiling out of the 2-to-8 scaling measurement, the
+sandbox's closest analog to N vs 4N executors on a real cluster.
 """
 
 from __future__ import annotations
@@ -29,7 +36,7 @@ def _cpu_stat() -> tuple[int, int]:
 
 
 def main() -> None:
-    cpus, n_docs = int(sys.argv[1]), int(sys.argv[2])
+    spec, n_docs = sys.argv[1], int(sys.argv[2])
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
     from solr_spark.corpus import synth_corpus
@@ -41,8 +48,27 @@ def main() -> None:
     # superlinear blowup at 160k docs with 2 partitions); AQE coalesces
     # any excess, so the same count works at every width
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64"))
-    spark = get_spark(f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=shuffle)
-    out = f"/tmp/solr_spark_scaling_{cpus}"
+    extra: dict[str, str] = {}
+    if "x" in spec:  # WxC → W separate executor JVMs with C cores each
+        workers, cores = (int(p) for p in spec.split("x"))
+        cpus = workers * cores
+        mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "6144"))
+        master = f"local-cluster[{workers},{cores},{mem_mb}]"
+        repo = os.path.dirname(HERE := os.path.dirname(os.path.abspath(__file__)))
+        extra = {
+            "spark.executor.memory": f"{mem_mb}m",
+            # executor-side Python workers must import solr_spark
+            "spark.executorEnv.PYTHONPATH": repo,
+            # modest driver heap: the work happens in executor JVMs now
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        }
+    else:
+        cpus = int(spec)
+        master = f"local[{cpus}]"
+    spark = get_spark(
+        f"scaling_{spec}", master=master, shuffle_partitions=shuffle, extra_conf=extra
+    )
+    out = f"/tmp/solr_spark_scaling_{spec}"
 
     # untimed warmup: two builds so JIT/codegen/Python-worker costs are
     # fully amortized before the timed window (a single small build still
@@ -65,7 +91,7 @@ def main() -> None:
         steal = (st1 - st0) / max(tot1 - tot0, 1)
         stages = {s: m["wall_sec"] for s, m in idx.manifests().items()}
         print(json.dumps({
-            "cpus": cpus, "docs": n, "sec": round(dt, 3),
+            "cpus": cpus, "master": master, "docs": n, "sec": round(dt, 3),
             "docs_per_sec": round(n / dt, 1), "steal_frac": round(steal, 4),
             "stages": stages,
         }), flush=True)

@@ -424,12 +424,30 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+#: Hard ceiling for the exact all-pairs twin — big enough for every
+#: oracle/test corpus, small enough that pointing it at a real corpus
+#: fails fast instead of launching an O(n²) join (VERDICT r4 item 7).
+EXACT_PAIRS_MAX_ROWS = 100_000
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.45
 ) -> DataFrame:
     """Exact cosine near-dup pairs (O(n²) — the verification/test-scale
     path; :func:`embedding_lsh_pairs` is the corpus-scale candidate
-    generator). Returns (id_a, id_b, cosine ≥ threshold)."""
+    generator). Returns (id_a, id_b, cosine ≥ threshold).
+
+    Refuses inputs above :data:`EXACT_PAIRS_MAX_ROWS` — this function
+    exists to cross-check the LSH path at oracle scale, never to run on
+    a real corpus (the count costs one cheap action and prevents a
+    silent 10^10-pair join)."""
+    n = emb.count()
+    if n > EXACT_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"embedding_neardup_pairs is the O(n²) oracle twin — {n} rows "
+            f"exceeds EXACT_PAIRS_MAX_ROWS={EXACT_PAIRS_MAX_ROWS}; use "
+            "embedding_lsh_pairs for corpus-scale near-dup"
+        )
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     a = e.alias("a")
     b = e.alias("b")

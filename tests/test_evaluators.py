@@ -1088,3 +1088,79 @@ def test_multi_kmeans_tie_goes_to_lowest_restart_and_drops_empty(spark):
     rows = ev.multi_kmeans_step_1d(df, "v", [[5.0, 99.0], [5.0, 99.0]]).collect()
     assert [r["restart"] for r in rows] == [0]  # identical WCSS -> restart 0
     assert [r["cluster"] for r in rows] == [0]  # empty cluster 1 dropped
+
+
+# --- round-5: O(n log n) Kendall + FFT findDelay vs their pair-join twins
+
+
+def _no_pair_join(df):
+    """The de-quadratic invariant: the executed plan must contain no
+    join of the series against itself (VERDICT r4 item 5)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for op in ("CartesianProduct", "BroadcastNestedLoopJoin",
+               "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert op not in plan, f"{op} in plan:\n{plan}"
+    return True
+
+
+def test_kendall_knight_matches_pair_join_twin(spark):
+    rng = np.random.default_rng(29)
+    rows = []
+    for g in ("a", "b", "c"):
+        n = int(rng.integers(20, 60))
+        x = rng.integers(0, 8, n).astype(float)   # heavy x ties
+        y = x * rng.normal(1.0, 0.5, n) + rng.integers(0, 4, n)  # y ties too
+        rows += [(g, float(x[i]), float(round(y[i], 1))) for i in range(n)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    fast = ev.kendall_tau(df, "x", "y", by="grp")
+    slow = ev.kendall_tau_pairs(df, "x", "y", by="grp")
+    got = {r["grp"]: r["kendall_tau"] for r in fast.collect()}
+    exp = {r["grp"]: r["kendall_tau"] for r in slow.collect()}
+    assert set(got) == set(exp)
+    for g in exp:
+        assert got[g] == pytest.approx(exp[g], abs=1e-12), g
+    assert _no_pair_join(fast)
+
+
+def test_find_delay_fft_matches_pair_join_twin(spark):
+    rng = np.random.default_rng(31)
+    rows = []
+    for g, shift in (("p", 7), ("q", -4), ("r", 0)):
+        a = rng.integers(0, 50, 64).astype(float)  # count-like series
+        b = np.roll(a, shift)
+        rows += [(g, int(i), float(a[i]), float(b[i])) for i in range(64)]
+    df = spark.createDataFrame(rows, "grp string, t long, a double, b double")
+    fast = ev.find_delay(df, "t", "a", "b", by="grp")
+    slow = ev.find_delay_pairs(df, "t", "a", "b", by="grp")
+    got = {r["grp"]: r["delay"] for r in fast.collect()}
+    exp = {r["grp"]: r["delay"] for r in slow.collect()}
+    assert got == exp == {"p": -7, "q": 4, "r": 0}
+    assert _no_pair_join(fast)
+
+
+def test_find_delay_fft_exact_tiebreak(spark):
+    # constant series: every lag of the overlap has a distinct exact r,
+    # with near-ties at the ends — the exact re-score must pick the
+    # reference's first-max (|r| desc, t asc)
+    n = 32
+    rows = [(int(i), 1.0, 1.0) for i in range(n)]
+    df = spark.createDataFrame(rows, "t long, a double, b double")
+    got = ev.find_delay(df, "t", "a", "b").collect()[0]["delay"]
+    conv = np.convolve(np.ones(n), np.ones(n))
+    exp = int(np.argmax(np.abs(conv))) + 1 - n  # == 0 (full overlap)
+    assert got == exp == 0
+
+
+def test_quadratic_twins_refuse_large_inputs(spark):
+    from pyspark.sql import functions as F
+
+    big = spark.range(100_001).select(
+        F.col("id").alias("t"),
+        F.lit("g").alias("grp"),
+        F.rand(7).alias("a"),
+        F.rand(8).alias("b"),
+    )
+    with pytest.raises(ValueError, match="oracle twin"):
+        ev.find_delay_pairs(big, "t", "a", "b")
+    with pytest.raises(ValueError, match="oracle twin"):
+        ev.kendall_tau_pairs(big, "a", "b", by="grp")

@@ -766,3 +766,17 @@ def test_dup_substring_overlap_merge(spark):
     assert got[2] == (4, 2, 6)
     assert got[3] == (3, 0, 0)
     assert 4 not in got
+
+
+def test_embedding_exact_twin_refuses_large_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from solr_spark.dedup import embedding_neardup_pairs
+
+    big = spark.range(100_001).select(
+        F.col("id"), F.array(F.lit(1.0), F.lit(0.0)).alias("emb")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="oracle twin"):
+        embedding_neardup_pairs(big, "id", "emb")
