@@ -55,7 +55,9 @@ def _blocks_fingerprint(idx):
             F.xxhash64(
                 "term", "salt", "block_no", "n_docs", "min_doc_id",
                 "max_doc_id", "doc_ids_enc", "tfs_enc", "dls_enc",
-            ).alias("h")
+            )
+            .cast("decimal(38,0)")  # summing 64-bit hashes overflows long
+            .alias("h")
         )
         .agg(F.sum("h").alias("hsum"), F.count("*").alias("n"))
         .collect()[0]
