@@ -167,23 +167,21 @@ def main() -> None:
     # ~2000 bytes of stdout as one JSON line, and round 3's full inline
     # copy (trials + notes) pushed the line past that window and broke
     # the parse. Full trial detail stays in SCALING.json.
+    # r3 and r4 BOTH overflowed that window (BENCH_r0{3,4}.json "parsed":
+    # null) — the line MUST stay well under 2000 bytes, so each axis is a
+    # terse triple [n_docs, raw_efficiency, efficiency_vs_platform_ceiling].
     scaling = None
     spath = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
     if os.path.exists(spath):
         with open(spath) as f:
             full = json.load(f)
         scaling = {
-            axis: {
-                k: v
-                for k, v in d.items()
-                if k in ("n_docs", "scaling_efficiency",
-                         "efficiency_vs_platform_ceiling")
-                or k.endswith("_docs_per_sec")
-            }
+            axis: [d.get("n_docs"), d.get("scaling_efficiency"),
+                   d.get("efficiency_vs_platform_ceiling")]
             for axis, d in full.items()
             if isinstance(d, dict)
         }
-        scaling["detail"] = "SCALING.json"
+        scaling["detail"] = "[n_docs, raw_eff, eff_vs_ceiling]; SCALING.json"
 
     total = time.time() - t_total
     steal1, ticks1 = _cpu_ticks()
@@ -210,10 +208,13 @@ def main() -> None:
                 "synth_docs": n,
                 "cpus": cpus,
                 "host_steal_frac": round(steal_frac, 4),
-                "platform_control": {
-                    "start": control_start,
-                    "end": control_end,
-                },
+                # bracketing host probes, [1-wide, 8-wide-agg] passes/sec
+                "control_start_end": [
+                    [control_start["sort_passes_per_sec_1w"],
+                     control_start["sort_passes_per_sec_8w_agg"]],
+                    [control_end["sort_passes_per_sec_1w"],
+                     control_end["sort_passes_per_sec_8w_agg"]],
+                ],
                 "docs_per_sec_per_control": round(docs_per_sec / ctrl_avg, 1)
                 if ctrl_avg > 0
                 else None,
