@@ -49,19 +49,30 @@ def main() -> None:
     # any excess, so the same count works at every width
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64"))
     extra: dict[str, str] = {}
+    # A/B knobs for the shuffle-bandwidth hypothesis (VERDICT r4 item 3):
+    # codec trades CPU for bytes through the shared memory bus/page cache.
+    codec = os.environ.get("SPARK_GRAFT_IO_CODEC")
+    if codec:
+        extra["spark.io.compression.codec"] = codec
+        if codec == "zstd":
+            extra["spark.io.compression.zstd.level"] = os.environ.get(
+                "SPARK_GRAFT_ZSTD_LEVEL", "1"
+            )
+    if os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS"):
+        extra["spark.shuffle.compress"] = os.environ["SPARK_GRAFT_SHUFFLE_COMPRESS"]
     if "x" in spec:  # WxC → W separate executor JVMs with C cores each
         workers, cores = (int(p) for p in spec.split("x"))
         cpus = workers * cores
         mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "6144"))
         master = f"local-cluster[{workers},{cores},{mem_mb}]"
         repo = os.path.dirname(HERE := os.path.dirname(os.path.abspath(__file__)))
-        extra = {
+        extra.update({
             "spark.executor.memory": f"{mem_mb}m",
             # executor-side Python workers must import solr_spark
             "spark.executorEnv.PYTHONPATH": repo,
             # modest driver heap: the work happens in executor JVMs now
             "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
-        }
+        })
     else:
         cpus = int(spec)
         master = f"local[{cpus}]"
