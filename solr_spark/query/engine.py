@@ -343,6 +343,21 @@ class SearchEngine:
             _decode_blocks_udf(), schema=_DECODED_SCHEMA
         )
         scored = self._score_decoded(decoded, stats)
+        if len(stats) == 1:
+            # Single distinct term: a doc_id appears at most ONCE across
+            # the term's posting streams (tf is per-doc aggregated at
+            # build time and salting routes a doc's postings for a term
+            # to exactly one salt stream), so the per-doc aggregation is
+            # an identity — emit scores map-side with NO exchange. The
+            # downstream top-k then collapses to a shuffle-free
+            # TakeOrderedAndProject: one job fewer per single-term query
+            # (the reference's TermQuery scorer likewise walks one
+            # postings list with no merge step, SolrIndexSearcher.java).
+            return scored.select(
+                "doc_id",
+                F.col("contrib").alias("score_raw"),
+                F.lit(1).cast("long").alias("n_terms"),
+            )
         return scored.groupBy("doc_id").agg(
             F.sum("contrib").alias("score_raw"), F.count("*").alias("n_terms")
         )

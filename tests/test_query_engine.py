@@ -37,6 +37,47 @@ def test_camel_case_query_analysis(engine, oracle):
     _assert_rank_identical(engine, oracle, "getUserName", "OR")
 
 
+def test_single_term_plan_has_no_shuffle(engine, index):
+    """A single-distinct-term top-k is exchange-free: tf is per-doc
+    aggregated at build time and salting routes a doc's postings for a
+    term to one salt stream, so the per-doc sum is an identity and the
+    plan must collapse to scan -> decode -> TakeOrderedAndProject with
+    no Exchange (the TermQuery single-postings-walk analog,
+    SolrIndexSearcher.java)."""
+    plan = engine.topk("import", k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
+
+    # and the specialized plan is row-identical to the generic
+    # aggregation path on the same stats (duplicate query tokens keep
+    # the weight semantics: "import import" is still one distinct term)
+    stats = engine._term_stats(engine.analyze_query("import import"))
+    fast = engine.score_all(stats).orderBy("doc_id").collect()
+    from pyspark.sql import functions as F
+
+    decoded = engine.index.blocks.where(
+        F.col("term").isin([s.term for s in stats])
+    )
+    generic = (
+        engine._score_decoded(
+            decoded.select("term", "n_docs", "doc_ids_enc", "tfs_enc", "dls_enc").mapInPandas(
+                __import__("solr_spark.query.engine", fromlist=["x"])._decode_blocks_udf(),
+                schema=__import__("solr_spark.query.engine", fromlist=["x"])._DECODED_SCHEMA,
+            ),
+            stats,
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score_raw"), F.count("*").alias("n_terms"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [(r["doc_id"], r["n_terms"]) for r in fast] == [
+        (r["doc_id"], r["n_terms"]) for r in generic
+    ]
+    for a, b in zip(fast, generic):
+        assert abs(a["score_raw"] - b["score_raw"]) < 1e-12
+
+
 def test_and_query(engine, oracle):
     _assert_rank_identical(engine, oracle, "server client", "AND")
 
